@@ -1,0 +1,126 @@
+"""linops_tpu — a TPU-native, matrix-free linear-operator framework.
+
+Brand-new JAX/XLA/Pallas/pjit design with the capabilities of
+LinearOperators.jl (see SURVEY.md): lazy operator algebra as an explicit
+pytree operator graph, every apply jit-compiled into one fused computation,
+quasi-Newton operators with device-resident ring buffers, sparse
+CSR/COO/BSR operators with Pallas kernels, and mesh-sharded partitioned
+operators for multi-chip scaling.
+"""
+
+from .core.base import (
+    LinearOperator as AbstractLinearOperator,
+    LinearOperatorException,
+    Counters,
+)
+from .core.dense import MatrixOperator, FunctionOperator, make_operator, aslinearoperator
+
+# Reference-parity spelling: `LinearOperator(...)` is the polymorphic factory
+# (the abstract base is exported as AbstractLinearOperator, as in the
+# reference).
+LinearOperator = make_operator
+
+from .core.algebra import Scale, Sum, Compose
+from .core.adjoint import (
+    AdjointOperator,
+    TransposeOperator,
+    ConjugateOperator,
+    adjoint,
+    transpose,
+    conj,
+)
+from .core.apply import matvec, matmat, mul, to_dense, apply_cache_sizes
+
+from .ops.eye import Eye, UniversalEye, Ones, Zeros, opEye, opOnes, opZeros
+from .ops.diagonal import DiagonalOperator, opDiagonal
+from .ops.restriction import RestrictionOperator, opRestriction, opExtension
+from .ops.cat import (
+    HCatOperator,
+    VCatOperator,
+    BlockDiagonalOperator,
+    hcat,
+    vcat,
+    hvcat,
+)
+from .ops.kron import KronOperator, kron
+from .ops.shifted import ShiftedOperator
+from .ops.linalg_ops import (
+    InverseOperator,
+    CholeskyOperator,
+    LDLOperator,
+    HouseholderOperator,
+    HermitianOperator,
+    opInverse,
+    opCholesky,
+    opLDL,
+    opHouseholder,
+    opHermitian,
+)
+from .ops.timed import TimedOperator
+
+from .utils.norm import normest, estimate_opnorm
+from .utils.checks import check_ctranspose, check_hermitian, check_positive_definite
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AbstractLinearOperator",
+    "LinearOperator",
+    "LinearOperatorException",
+    "Counters",
+    "MatrixOperator",
+    "FunctionOperator",
+    "make_operator",
+    "aslinearoperator",
+    "Scale",
+    "Sum",
+    "Compose",
+    "AdjointOperator",
+    "TransposeOperator",
+    "ConjugateOperator",
+    "adjoint",
+    "transpose",
+    "conj",
+    "matvec",
+    "matmat",
+    "mul",
+    "to_dense",
+    "apply_cache_sizes",
+    "Eye",
+    "UniversalEye",
+    "Ones",
+    "Zeros",
+    "opEye",
+    "opOnes",
+    "opZeros",
+    "DiagonalOperator",
+    "opDiagonal",
+    "RestrictionOperator",
+    "opRestriction",
+    "opExtension",
+    "HCatOperator",
+    "VCatOperator",
+    "BlockDiagonalOperator",
+    "hcat",
+    "vcat",
+    "hvcat",
+    "KronOperator",
+    "kron",
+    "ShiftedOperator",
+    "InverseOperator",
+    "CholeskyOperator",
+    "LDLOperator",
+    "HouseholderOperator",
+    "HermitianOperator",
+    "opInverse",
+    "opCholesky",
+    "opLDL",
+    "opHouseholder",
+    "opHermitian",
+    "TimedOperator",
+    "normest",
+    "estimate_opnorm",
+    "check_ctranspose",
+    "check_hermitian",
+    "check_positive_definite",
+]

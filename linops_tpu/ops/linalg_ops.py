@@ -1,0 +1,383 @@
+"""Factorization-backed operators: opInverse / opCholesky / opLDL /
+opHouseholder / opHermitian.
+
+Reference: src/linalg.jl. Cholesky/LDL factor ONCE at construction and every
+apply is a (fused) triangular solve; opInverse performs a fresh solve per
+apply (reference semantics, src/linalg.jl:20-32).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..core.base import LinearOperator, LinearOperatorException, register_operator
+
+__all__ = [
+    "InverseOperator",
+    "CholeskyOperator",
+    "LDLOperator",
+    "HouseholderOperator",
+    "HermitianOperator",
+    "opInverse",
+    "opCholesky",
+    "opLDL",
+    "opHouseholder",
+    "opHermitian",
+]
+
+
+def _isrealdtype(x) -> bool:
+    return not jnp.issubdtype(jnp.result_type(x), jnp.complexfloating)
+
+
+class InverseOperator(LinearOperator):
+    """``M^{-1}`` as an operator; each apply solves (reference:
+    src/linalg.jl:20-32 — 'each application of this operator applies \\\\')."""
+
+    _fields_children = ("M",)
+    _fields_aux = ("_symmetric", "_hermitian")
+
+    def __init__(self, M, *, symmetric: bool = False, hermitian: bool = False):
+        super().__init__()
+        M = jnp.asarray(M)
+        if M.ndim != 2 or M.shape[0] != M.shape[1]:
+            raise LinearOperatorException("opInverse requires a square matrix")
+        self.M = M
+        self._symmetric = bool(symmetric)
+        self._hermitian = bool(hermitian)
+
+    @property
+    def nrow(self):
+        return self.M.shape[1]
+
+    @property
+    def ncol(self):
+        return self.M.shape[0]
+
+    @property
+    def dtype(self):
+        return self.M.dtype
+
+    @property
+    def symmetric(self):
+        return self._symmetric
+
+    @property
+    def hermitian(self):
+        return self._hermitian
+
+    def _prod(self, v):
+        return jnp.linalg.solve(self.M, v)
+
+    def _tprod(self, u):
+        return jnp.linalg.solve(self.M.T, u)
+
+    def _ctprod(self, w):
+        return jnp.linalg.solve(jnp.conj(self.M).T, w)
+
+    def apply_matrix(self, M, mode: str = "N"):
+        if mode == "N":
+            return jnp.linalg.solve(self.M, M)
+        if mode == "T":
+            return jnp.linalg.solve(self.M.T, M)
+        if mode == "H":
+            return jnp.linalg.solve(jnp.conj(self.M).T, M)
+        return jnp.conj(jnp.linalg.solve(self.M, jnp.conj(M)))
+
+    def _name(self):
+        return "Inverse operator"
+
+
+register_operator(InverseOperator)
+
+
+class CholeskyOperator(LinearOperator):
+    """Inverse of an HPD matrix via its Cholesky factor, computed once
+    (reference: src/linalg.jl:34-58). Flags: symmetric=isreal(M),
+    hermitian=True. The transpose apply uses the conj trick
+    (reference tmulFact!, src/linalg.jl:11-17)."""
+
+    _fields_children = ("L",)
+    _fields_aux = ("_symmetric",)
+
+    def __init__(self, M, *, check: bool = False):
+        super().__init__()
+        M = jnp.asarray(M)
+        if M.ndim != 2 or M.shape[0] != M.shape[1]:
+            raise LinearOperatorException("shape mismatch")
+        if check:
+            from ..utils.checks import check_hermitian, check_positive_definite
+
+            if not check_hermitian(M):
+                raise LinearOperatorException("matrix is not Hermitian")
+            if not check_positive_definite(M):
+                raise LinearOperatorException("matrix is not positive definite")
+        L = jnp.linalg.cholesky(M)
+        self.L = L
+        self._symmetric = _isrealdtype(M)
+
+    @property
+    def nrow(self):
+        return self.L.shape[0]
+
+    @property
+    def ncol(self):
+        return self.L.shape[0]
+
+    @property
+    def dtype(self):
+        return self.L.dtype
+
+    @property
+    def symmetric(self):
+        return self._symmetric
+
+    @property
+    def hermitian(self):
+        return True
+
+    def _solve(self, b):
+        return jsl.cho_solve((self.L, True), b)
+
+    def _prod(self, v):
+        return self._solve(v)
+
+    def _ctprod(self, w):
+        # (M^{-1})^H = M^{-1} for hermitian M
+        return self._solve(w)
+
+    def _tprod(self, u):
+        # transpose via conj trick: conj(M^{-1} conj(u))
+        if _isrealdtype(self.L):
+            return self._solve(u)
+        return jnp.conj(self._solve(jnp.conj(u)))
+
+    def apply_matrix(self, M, mode: str = "N"):
+        if mode in ("N", "H"):
+            return self._solve(M)
+        if mode == "T":
+            if _isrealdtype(self.L):
+                return self._solve(M)
+            return jnp.conj(self._solve(jnp.conj(M)))
+        return jnp.conj(self._solve(jnp.conj(M)))
+
+    def _name(self):
+        return "Cholesky inverse operator"
+
+
+register_operator(CholeskyOperator)
+
+
+class LDLOperator(LinearOperator):
+    """Inverse of a symmetric (possibly indefinite) matrix, factored once.
+
+    The reference's opLDL (src/linalg.jl:60-75 + ext/
+    LinearOperatorsLDLFactorizationsExt.jl) uses an LDLᵀ factorization; on TPU
+    we factor once with partial-pivoted LU (jit-friendly, MXU-based) which
+    handles the same symmetric-indefinite systems."""
+
+    _fields_children = ("lu", "piv")
+    _fields_aux = ("_symmetric",)
+
+    def __init__(self, M, *, check: bool = False):
+        super().__init__()
+        M = jnp.asarray(M)
+        if M.ndim != 2 or M.shape[0] != M.shape[1]:
+            raise LinearOperatorException("shape mismatch")
+        if check:
+            from ..utils.checks import check_hermitian
+
+            if not check_hermitian(M):
+                raise LinearOperatorException("matrix is not Hermitian")
+        lu, piv = jsl.lu_factor(M)
+        self.lu = lu
+        self.piv = piv
+        self._symmetric = _isrealdtype(M)
+
+    @property
+    def nrow(self):
+        return self.lu.shape[0]
+
+    @property
+    def ncol(self):
+        return self.lu.shape[0]
+
+    @property
+    def dtype(self):
+        return self.lu.dtype
+
+    @property
+    def symmetric(self):
+        return self._symmetric
+
+    @property
+    def hermitian(self):
+        return True
+
+    def _prod(self, v):
+        return jsl.lu_solve((self.lu, self.piv), v)
+
+    def _ctprod(self, w):
+        return self._prod(w)
+
+    def _tprod(self, u):
+        if _isrealdtype(self.lu):
+            return self._prod(u)
+        return jnp.conj(self._prod(jnp.conj(u)))
+
+    def apply_matrix(self, M, mode: str = "N"):
+        if mode in ("N", "H"):
+            return jsl.lu_solve((self.lu, self.piv), M)
+        if _isrealdtype(self.lu):
+            return jsl.lu_solve((self.lu, self.piv), M)
+        return jnp.conj(jsl.lu_solve((self.lu, self.piv), jnp.conj(M)))
+
+    def _name(self):
+        return "LDL inverse operator"
+
+
+register_operator(LDLOperator)
+
+
+class HouseholderOperator(LinearOperator):
+    """``x -> (I - 2 h h^H) x`` — self-adjoint reflector
+    (reference: src/linalg.jl:77-95)."""
+
+    _fields_children = ("h",)
+    _fields_aux = ()
+
+    def __init__(self, h):
+        super().__init__()
+        h = jnp.asarray(h)
+        if h.ndim != 1:
+            raise LinearOperatorException("opHouseholder requires a vector")
+        self.h = h
+
+    @property
+    def nrow(self):
+        return self.h.shape[0]
+
+    @property
+    def ncol(self):
+        return self.h.shape[0]
+
+    @property
+    def dtype(self):
+        return self.h.dtype
+
+    @property
+    def symmetric(self):
+        return _isrealdtype(self.h)
+
+    @property
+    def hermitian(self):
+        return True
+
+    def _prod(self, v):
+        h = self.h
+        # dot(h, v) conjugates the first argument (Julia dot)
+        return v - 2.0 * jnp.vdot(h, v) * h
+
+    def _ctprod(self, w):
+        return self._prod(w)  # reference passes ctprod=prod (src/linalg.jl:94)
+
+    def apply_matrix(self, M, mode: str = "N"):
+        h = self.h
+        if mode in ("N", "H"):
+            return M - 2.0 * jnp.outer(h, jnp.conj(h) @ M)
+        return super().apply_matrix(M, mode)
+
+    def _name(self):
+        return "Householder operator"
+
+
+register_operator(HouseholderOperator)
+
+
+class HermitianOperator(LinearOperator):
+    """Hermitian operator from a diagonal ``d`` and the strict lower triangle
+    of ``A``: ``y = d .* v + L v + L^H v`` (reference: src/linalg.jl:97-127)."""
+
+    _fields_children = ("d", "L")
+    _fields_aux = ("_symmetric",)
+
+    def __init__(self, d, A=None):
+        super().__init__()
+        if A is None:
+            A = jnp.asarray(d)
+            d = jnp.diagonal(A)
+        d = jnp.asarray(d)
+        A = jnp.asarray(A)
+        if A.ndim != 2 or A.shape[0] != A.shape[1] or A.shape[0] != d.shape[0]:
+            raise LinearOperatorException("shape mismatch")
+        self.d = d
+        self.L = jnp.tril(A, -1)
+        self._symmetric = _isrealdtype(A) and _isrealdtype(d)
+
+    @property
+    def nrow(self):
+        return self.d.shape[0]
+
+    @property
+    def ncol(self):
+        return self.d.shape[0]
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self.d.dtype, self.L.dtype)
+
+    @property
+    def symmetric(self):
+        return self._symmetric
+
+    @property
+    def hermitian(self):
+        return True
+
+    def _prod(self, v):
+        L = self.L
+        lv = L @ v
+        # L^H v without materializing L^H: conj(conj(v) @ L)
+        if jnp.iscomplexobj(L) or jnp.iscomplexobj(v):
+            lhv = jnp.conj(jnp.conj(v) @ L)
+        else:
+            lhv = v @ L
+        return self.d * v + lv + lhv
+
+    def apply_matrix(self, M, mode: str = "N"):
+        L = self.L
+        if mode in ("N", "H"):
+            return self.d[:, None] * M + L @ M + jnp.conj(L).T @ M
+        Mc = jnp.conj(M)
+        return jnp.conj(self.d[:, None] * Mc + L @ Mc + jnp.conj(L).T @ Mc)
+
+    def _name(self):
+        return "Hermitian operator"
+
+
+register_operator(HermitianOperator)
+
+
+# -- reference-parity spellings ----------------------------------------------
+
+
+def opInverse(M, *, symm: bool = False, herm: bool = False):
+    return InverseOperator(M, symmetric=symm, hermitian=herm)
+
+
+def opCholesky(M, check: bool = False):
+    return CholeskyOperator(M, check=check)
+
+
+def opLDL(M, check: bool = False):
+    return LDLOperator(M, check=check)
+
+
+def opHouseholder(h):
+    return HouseholderOperator(h)
+
+
+def opHermitian(d, A=None):
+    return HermitianOperator(d, A)

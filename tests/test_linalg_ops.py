@@ -1,0 +1,102 @@
+"""Factorization operators: opInverse / opCholesky / opLDL / opHouseholder /
+opHermitian (reference test coverage in test/test_linop.jl)."""
+
+import numpy as np
+import pytest
+
+import linops_tpu as lo
+from helpers import simple_matrix, simple_vector, assert_close, RTOL
+
+DTYPES = [np.float64, np.complex128]
+
+
+def _spd(dtype, n, rng):
+    A = simple_matrix(dtype, n, n, rng)
+    return A @ A.conj().T + n * np.eye(n, dtype=dtype)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_op_inverse(dtype, rng):
+    M = simple_matrix(dtype, 5, 5, rng)
+    op = lo.opInverse(M)
+    Minv = np.linalg.inv(M)
+    v = simple_vector(dtype, 5)
+    assert_close(op @ v, Minv @ v, rtol=100 * RTOL)
+    assert_close(op.T @ v, Minv.T @ v, rtol=100 * RTOL)
+    assert_close(op.H @ v, Minv.conj().T @ v, rtol=100 * RTOL)
+    assert_close(lo.to_dense(op @ lo.LinearOperator(M)), np.eye(5), rtol=100 * RTOL)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_op_cholesky(dtype, rng):
+    M = _spd(dtype, 5, rng)
+    op = lo.opCholesky(M, check=True)
+    Minv = np.linalg.inv(M)
+    v = simple_vector(dtype, 5)
+    assert_close(op @ v, Minv @ v, rtol=100 * RTOL)
+    assert_close(op.T @ v, Minv.T @ v, rtol=100 * RTOL)
+    assert_close(op.H @ v, Minv.conj().T @ v, rtol=100 * RTOL)
+    assert op.hermitian
+    assert op.symmetric == (dtype == np.float64)
+
+
+def test_op_cholesky_check_rejects(rng):
+    M = simple_matrix(np.float64, 5, 5, rng)  # not symmetric
+    with pytest.raises(lo.LinearOperatorException):
+        lo.opCholesky(M, check=True)
+    # negative definite
+    N = -_spd(np.float64, 5, rng)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.opCholesky(N, check=True)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_op_ldl(dtype, rng):
+    # symmetric indefinite
+    A = simple_matrix(dtype, 5, 5, rng)
+    M = (A + A.conj().T) / 2
+    M = M - 1.5 * np.eye(5)  # make indefinite
+    op = lo.opLDL(M)
+    v = simple_vector(dtype, 5)
+    assert_close(np.asarray(lo.LinearOperator(M) @ (op @ v)), np.asarray(v), rtol=1e3 * RTOL)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_op_householder(dtype, rng):
+    h = np.asarray(simple_vector(dtype, 5)) / np.linalg.norm(simple_vector(dtype, 5))
+    H = np.eye(5) - 2 * np.outer(h, h.conj())
+    op = lo.opHouseholder(h)
+    v = simple_vector(dtype, 5)
+    assert_close(op @ v, H @ v, rtol=10 * RTOL)
+    assert_close(op.H @ v, H.conj().T @ v, rtol=10 * RTOL)
+    assert_close(op.T @ v, H.T @ v, rtol=10 * RTOL)
+    assert op.hermitian
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_op_hermitian(dtype, rng):
+    B = simple_matrix(dtype, 5, 5, rng)
+    A = (B + B.conj().T) / 2
+    op = lo.opHermitian(np.real(np.diagonal(A)).astype(dtype), A)
+    v = simple_vector(dtype, 5)
+    assert_close(op @ v, A @ v, rtol=10 * RTOL)
+    assert_close(op.H @ v, A.conj().T @ v, rtol=10 * RTOL)
+    assert_close(op.T @ v, A.T @ v, rtol=10 * RTOL)
+    assert op.hermitian
+    # single-arg form takes diagonal + lower triangle of the matrix
+    op2 = lo.opHermitian(A)
+    assert_close(op2 @ v, A @ v, rtol=10 * RTOL)
+
+
+def test_timed_operator(rng):
+    A = simple_matrix(np.float64, 4, 4, rng)
+    op = lo.TimedOperator(lo.LinearOperator(A))
+    v = simple_vector(np.float64, 4)
+    assert_close(op @ v, A @ v)
+    assert_close(op.T @ v, A.T @ v)
+    assert op.timings["prod"][0] == 1
+    assert op.timings["prod"][1] > 0
+    # decorator commutes with adjoint (reference: src/TimedOperators.jl:35-37)
+    assert isinstance(op.H, lo.TimedOperator)
+    r = repr(op)
+    assert "ncalls" in r

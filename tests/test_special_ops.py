@@ -1,0 +1,152 @@
+"""Eye/Ones/Zeros/Diagonal/Restriction/Extension/slicing oracle tests —
+reference contract from test/test_linop.jl (special operators sections,
+Restriction/Extension :437-469)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import linops_tpu as lo
+from helpers import simple_matrix, simple_vector, assert_close, RTOL
+
+DTYPES = [np.float64, np.complex128]
+
+
+def test_universal_eye():
+    I = lo.opEye()
+    v = jnp.arange(5.0)
+    assert I @ v is v
+    A = simple_matrix(np.float64, 3, 3)
+    op = lo.LinearOperator(A)
+    assert (I @ op) is op
+    assert (op @ I) is op
+    assert I.T is I and I.H is I
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_sized_eye(dtype):
+    op = lo.opEye(5, dtype=dtype)
+    v = simple_vector(dtype, 5)
+    assert_close(op @ v, v)
+    assert op.symmetric and op.hermitian
+    # rectangular: zero-fills the tail (reference: src/special-operators.jl:36-44)
+    op2 = lo.opEye(6, 4, dtype=dtype)
+    v4 = simple_vector(dtype, 4)
+    expected = np.zeros(6, dtype)
+    expected[:4] = np.asarray(v4)
+    assert_close(op2 @ v4, expected)
+    assert not op2.symmetric
+    v6 = simple_vector(dtype, 6)
+    assert_close(op2.T @ v6, np.asarray(v6)[:4])
+    assert_close(lo.to_dense(op2), np.eye(6, 4))
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_ones_zeros(dtype):
+    ones = lo.opOnes(4, 3, dtype=dtype)
+    v = simple_vector(dtype, 3)
+    assert_close(ones @ v, np.full(4, np.asarray(v).sum()))
+    u = simple_vector(dtype, 4)
+    assert_close(ones.T @ u, np.full(3, np.asarray(u).sum()))
+    zeros = lo.opZeros(4, 3, dtype=dtype)
+    assert_close(zeros @ v, np.zeros(4))
+    assert lo.opOnes(3, 3, dtype=dtype).symmetric
+    assert not ones.symmetric
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_diagonal_square(dtype, rng):
+    d = np.asarray(simple_vector(dtype, 5)) * np.linspace(1, 2, 5)
+    op = lo.opDiagonal(d)
+    v = simple_vector(dtype, 5)
+    assert_close(op @ v, d * np.asarray(v))
+    assert_close(op.T @ v, d * np.asarray(v))
+    assert_close(op.H @ v, d.conj() * np.asarray(v))
+    assert op.symmetric
+    assert op.hermitian == (dtype == np.float64)
+
+
+def test_diagonal_rect():
+    d = np.linspace(1.0, 2.0, 4)
+    D = np.zeros((6, 4))
+    np.fill_diagonal(D, d)
+    op = lo.opDiagonal(6, 4, d)
+    v = np.arange(1.0, 5.0)
+    assert_close(op @ v, D @ v)
+    u = np.arange(1.0, 7.0)
+    assert_close(op.T @ u, D.T @ u)
+    assert not op.symmetric
+    # wide
+    D2 = np.zeros((3, 5))
+    np.fill_diagonal(D2, d[:3])
+    op2 = lo.opDiagonal(3, 5, d)
+    w = np.arange(1.0, 6.0)
+    assert_close(op2 @ w, D2 @ w)
+    # square rect-form truncates (reference: src/special-operators.jl:159)
+    op3 = lo.opDiagonal(3, 3, d)
+    assert op3.shape == (3, 3)
+    assert op3.symmetric
+
+
+def test_restriction_extension():
+    idx = np.array([0, 2, 4])
+    R = lo.opRestriction(idx, 6)
+    v = np.arange(10.0, 16.0)
+    assert_close(R @ v, v[idx])
+    u = np.array([1.0, 2.0, 3.0])
+    scattered = np.zeros(6)
+    scattered[idx] = u
+    assert_close(R.T @ u, scattered)
+    E = lo.opExtension(idx, 6)
+    assert_close(E @ u, scattered)
+    assert_close(E.T @ v, v[idx])
+    # int index alias
+    Rk = lo.opRestriction(2, 6)
+    assert Rk.shape == (1, 6)
+    assert_close(Rk @ v, [v[2]])
+    # bounds check
+    with pytest.raises(lo.LinearOperatorException):
+        lo.opRestriction(np.array([7]), 6)
+    # colon
+    assert lo.opRestriction(slice(None), 4).shape == (4, 4)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_getindex_slicing(dtype, rng):
+    A = simple_matrix(dtype, 6, 5, rng)
+    op = lo.LinearOperator(A)
+    sub = op[1:4, 0:3]
+    assert isinstance(sub, lo.AbstractLinearOperator)
+    assert sub.shape == (3, 3)
+    assert_close(lo.to_dense(sub), A[1:4, 0:3], rtol=10 * RTOL)
+    # integer and colon indexing still give operators
+    row = op[2, :]
+    assert row.shape == (1, 5)
+    assert_close(lo.to_dense(row), A[2:3, :], rtol=10 * RTOL)
+    col = op[:, 3]
+    assert col.shape == (6, 1)
+    assert_close(lo.to_dense(col), A[:, 3:4], rtol=10 * RTOL)
+    fancy = op[np.array([0, 5]), np.array([1, 2, 4])]
+    assert_close(lo.to_dense(fancy), A[np.ix_([0, 5], [1, 2, 4])], rtol=10 * RTOL)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_block_diagonal(dtype, rng):
+    A = simple_matrix(dtype, 3, 3, rng)
+    B = simple_matrix(dtype, 2, 4, rng)
+    C = simple_matrix(dtype, 2, 2, rng, symmetric=True)
+    op = lo.BlockDiagonalOperator(lo.LinearOperator(A), jnp.asarray(B), lo.LinearOperator(C))
+    import scipy.linalg as sla
+
+    D = sla.block_diag(A, B, C)
+    assert op.shape == (7, 9)
+    v = simple_vector(dtype, 9)
+    assert_close(op @ v, D @ v, rtol=10 * RTOL)
+    u = simple_vector(dtype, 7)
+    assert_close(op.T @ u, D.T @ u, rtol=10 * RTOL)
+    assert_close(op.H @ u, D.conj().T @ u, rtol=10 * RTOL)
+    # flags AND over blocks
+    S1 = lo.LinearOperator(simple_matrix(np.float64, 2, 2, rng, symmetric=True), symmetric=True, hermitian=True)
+    S2 = lo.LinearOperator(simple_matrix(np.float64, 3, 3, rng, symmetric=True), symmetric=True, hermitian=True)
+    assert lo.BlockDiagonalOperator(S1, S2).symmetric
+    assert not op.symmetric
