@@ -58,6 +58,14 @@ from .ops.linalg_ops import (
 )
 from .ops.timed import TimedOperator
 
+from .qn import (
+    LBFGSState,
+    LBFGSOperator,
+    InverseLBFGSOperator,
+    LSR1State,
+    LSR1Operator,
+)
+
 from .utils.norm import normest, estimate_opnorm
 from .utils.checks import check_ctranspose, check_hermitian, check_positive_definite
 
@@ -118,6 +126,11 @@ __all__ = [
     "opHouseholder",
     "opHermitian",
     "TimedOperator",
+    "LBFGSState",
+    "LBFGSOperator",
+    "InverseLBFGSOperator",
+    "LSR1State",
+    "LSR1Operator",
     "normest",
     "estimate_opnorm",
     "check_ctranspose",

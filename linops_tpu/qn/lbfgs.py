@@ -1,0 +1,441 @@
+"""Limited-memory BFGS operators with device-resident ring-buffer state.
+
+TPU-native redesign of the reference L-BFGS operators
+(reference: src/lbfgs.jl). Differences, on purpose (SURVEY.md §7 design
+stance 2):
+
+- The {s, y} memory is NOT a Vector-of-Vectors (reference src/lbfgs.jl:12-13)
+  but stacked device arrays of shape ``(mem, n)`` living in an immutable
+  pytree ``LBFGSState``. The ring-buffer insert position is a traced int32
+  scalar, so ``push`` compiles ONCE and every subsequent push is a cached
+  jit call (the TPU analogue of the reference's zero-allocation push,
+  reference test/test_lbfgs.jl:208-217).
+- The forward product ``B v = v/γ + Σ bᵢ(bᵢᵀv) − aᵢ(aᵢᵀv)``
+  (Nocedal & Wright Procedure 7.6; reference src/lbfgs.jl:173-202) is two
+  ``(mem, n)`` mat-vecs — fully parallel on the MXU/VPU, no sequential loop.
+- The inverse two-loop recursion (Procedure 7.4; reference
+  src/lbfgs.jl:117-154) has an inherent loop-carried scalar dependence; it is
+  a ``lax.fori_loop`` over ``mem`` steps of one dot + one axpy each, which
+  XLA fuses into a single compiled loop kernel (no per-step dispatch).
+- The O(mem²·n) recomputation of the forward-form ``a`` vectors on push
+  (reference src/lbfgs.jl:236-250) is expressed as ``mem`` steps of batched
+  ``(mem, n)`` mat-vecs over the chronologically-gathered memory.
+- Empty ring slots are handled by masking (ρ = 0 ⇒ the slot contributes
+  nothing), mirroring the reference's ``ys[k] != 0`` guards
+  (src/lbfgs.jl:132, 191) without dynamic shapes.
+
+Semantics preserved exactly: curvature rejection ``ys ≤ eps``
+(src/lbfgs.jl:281-284), Powell damping with σ₂/σ₃ thresholds for both forms
+(src/lbfgs.jl:289-357), scaling γ = ys/yᵀy (src/lbfgs.jl:223-227), the
+incrementally-tracked operator-norm upper bound (src/lbfgs.jl:11,224-234),
+forward-only ``diag`` (src/lbfgs.jl:374-395), and ``reset``
+(src/lbfgs.jl:401-427).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.base import LinearOperator, LinearOperatorException, register_operator
+
+__all__ = ["LBFGSState", "LBFGSOperator", "InverseLBFGSOperator"]
+
+
+class LBFGSState(NamedTuple):
+    """Device pytree holding the L-BFGS memory (reference LBFGSData,
+    src/lbfgs.jl:4-24). All ring indices are 0-based."""
+
+    S: jax.Array  # (mem, n) step history
+    Y: jax.Array  # (mem, n) gradient-difference history
+    ys: jax.Array  # (mem,)  curvatures <y, s>; 0 marks an empty slot
+    A: jax.Array  # (mem, n) forward-form 'a' vectors ((0, n) for inverse)
+    B: jax.Array  # (mem, n) forward-form 'b' vectors ((0, n) for inverse)
+    norm_b2: jax.Array  # (mem,) ‖bᵢ‖² for the opnorm bound ((0,) for inverse)
+    gamma: jax.Array  # () scaling factor γ (1 when scaling disabled)
+    insert: jax.Array  # () int32 next ring slot, 0-based
+    opnorm_ub: jax.Array  # () upper bound on ‖B‖₂ (forward form)
+
+
+def _init_state(n: int, mem: int, dtype, inverse: bool) -> LBFGSState:
+    rdt = jnp.finfo(dtype).dtype if jnp.issubdtype(dtype, jnp.complexfloating) else dtype
+    fmem = 0 if inverse else mem
+    return LBFGSState(
+        S=jnp.zeros((mem, n), dtype),
+        Y=jnp.zeros((mem, n), dtype),
+        ys=jnp.zeros((mem,), dtype),
+        A=jnp.zeros((fmem, n), dtype),
+        B=jnp.zeros((fmem, n), dtype),
+        norm_b2=jnp.zeros((fmem,), rdt),
+        gamma=jnp.ones((), dtype),
+        insert=jnp.zeros((), jnp.int32),
+        opnorm_ub=jnp.ones((), rdt),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Pure applies
+# ----------------------------------------------------------------------------
+
+
+def _safe_inv(x):
+    return jnp.where(x != 0, 1.0 / jnp.where(x != 0, x, 1.0), 0.0)
+
+
+def inverse_apply(state: LBFGSState, x):
+    """Two-loop recursion, H v (Nocedal & Wright Procedure 7.4; reference
+    src/lbfgs.jl:117-154). Empty slots have ρ = 0 and drop out."""
+    mem = state.S.shape[0]
+    rho = _safe_inv(state.ys)
+    q0 = x.astype(jnp.result_type(x.dtype, state.S.dtype))
+
+    def loop1(i, carry):
+        q, alph = carry
+        k = jnp.mod(state.insert - i - 1, mem)
+        ak = rho[k] * jnp.dot(state.S[k], q)
+        q = q - ak * state.Y[k]
+        return q, alph.at[k].set(ak)
+
+    q, alph = lax.fori_loop(0, mem, loop1, (q0, jnp.zeros((mem,), q0.dtype)))
+    q = q * state.gamma
+
+    def loop2(i, q):
+        k = jnp.mod(state.insert + i, mem)
+        beta = alph[k] - rho[k] * jnp.dot(state.Y[k], q)
+        return q + beta * state.S[k]
+
+    return lax.fori_loop(0, mem, loop2, q)
+
+
+def forward_apply(state: LBFGSState, x):
+    """B v = v/γ + Bᵀ(B v) − Aᵀ(A v) as batched (mem, n) mat-vecs
+    (reference src/lbfgs.jl:173-202; empty slots hold zero rows)."""
+    q = x / state.gamma
+    bx = state.B @ x
+    ax = state.A @ x
+    return q + state.B.T @ bx - state.A.T @ ax
+
+
+def forward_apply_matrix(state: LBFGSState, X):
+    """Multi-RHS forward product: (n, k) block in two MXU matmuls."""
+    return X / state.gamma + state.B.T @ (state.B @ X) - state.A.T @ (state.A @ X)
+
+
+def forward_diag(state: LBFGSState):
+    """diag(B) = 1/γ + Σ bᵢ² − aᵢ² (reference src/lbfgs.jl:379-395)."""
+    return 1.0 / state.gamma + jnp.sum(state.B**2 - state.A**2, axis=0)
+
+
+# ----------------------------------------------------------------------------
+# Pure push
+# ----------------------------------------------------------------------------
+
+
+def _chrono_order(insert, mem: int):
+    """Slot indices oldest → newest given that the newest pair was just
+    written at ``insert`` (reference iteration k = mod(insert+i-1, mem)+1,
+    src/lbfgs.jl:236-237)."""
+    return jnp.mod(insert + 1 + jnp.arange(mem), mem)
+
+
+def _recompute_ab(S, ys, b_insert_row, B_old, insert, gamma, mem: int):
+    """Recompute the forward-form a-vectors for every occupied slot in
+    chronological order (reference src/lbfgs.jl:229-251). Each step is two
+    batched (mem, n) mat-vecs instead of the reference's double scalar loop."""
+    B_new = B_old.at[insert].set(b_insert_row)
+    order = _chrono_order(insert, mem)
+    S_ord = S[order]
+    B_ord = B_new[order]
+    valid = ys[order] != 0
+    idx = jnp.arange(mem)
+
+    def body(i, A_ord):
+        s_i = S_ord[i]
+        mask = (idx < i) & valid
+        bs = jnp.where(mask, B_ord @ s_i, 0.0)
+        as_ = jnp.where(mask, A_ord @ s_i, 0.0)
+        a = s_i / gamma + B_ord.T @ bs - A_ord.T @ as_
+        denom = jnp.sqrt(jnp.dot(s_i, a))
+        a = a / jnp.where(denom != 0, denom, 1.0)
+        return A_ord.at[i].set(jnp.where(valid[i], a, jnp.zeros_like(a)))
+
+    A_ord = lax.fori_loop(0, mem, body, jnp.zeros_like(B_ord))
+    A_new = jnp.zeros_like(A_ord).at[order].set(A_ord)
+    return A_new, B_new
+
+
+def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool) -> LBFGSState:
+    """Insert an accepted pair (reference push_common!, src/lbfgs.jl:210-255)."""
+    mem = state.S.shape[0]
+    ins = state.insert
+    S = state.S.at[ins].set(s)
+    Y = state.Y.at[ins].set(y)
+    ysv = state.ys.at[ins].set(ys)
+
+    gamma = state.gamma
+    ub = state.opnorm_ub
+    if scaling:
+        ub = ub - _safe_inv(gamma).real
+        gamma = ys / jnp.dot(y, y)
+        ub = ub + _safe_inv(gamma).real
+
+    if inverse:
+        A, B, nb2 = state.A, state.B, state.norm_b2
+    else:
+        b_row = y / jnp.sqrt(ys)
+        nb2_new = jnp.real(jnp.dot(b_row, b_row))
+        ub = ub - state.norm_b2[ins] + nb2_new
+        nb2 = state.norm_b2.at[ins].set(nb2_new)
+        A, B = _recompute_ab(S, ysv, b_row, state.B, ins, gamma, mem)
+
+    return LBFGSState(
+        S=S,
+        Y=Y,
+        ys=ysv,
+        A=A,
+        B=B,
+        norm_b2=nb2,
+        gamma=gamma,
+        insert=jnp.mod(ins + 1, mem).astype(jnp.int32),
+        opnorm_ub=ub,
+    )
+
+
+def _select_state(accept, new: LBFGSState, old: LBFGSState) -> LBFGSState:
+    return jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, old)
+
+
+@functools.partial(jax.jit, static_argnames=("scaling", "inverse"))
+def _push_plain(state, s, y, *, scaling, inverse):
+    """Undamped push with curvature rejection ys ≤ eps
+    (reference src/lbfgs.jl:269-287)."""
+    ys = jnp.dot(y, s)
+    eps = jnp.finfo(state.S.dtype).eps
+    new = _push_common(state, s, y, ys, scaling=scaling, inverse=inverse)
+    return _select_state(ys > eps, new, state)
+
+
+def _powell_blend(s, y, ys, Bs, sigma2, sigma3):
+    """Powell's damped update strategy (reference src/lbfgs.jl:304-318)."""
+    sBs = jnp.dot(s, Bs)
+    lo = ys < (1 - sigma2) * sBs
+    hi = ys > (1 + sigma3) * sBs
+    theta = jnp.where(
+        lo,
+        sigma2 * sBs / jnp.where(sBs - ys != 0, sBs - ys, 1.0),
+        jnp.where(hi, sigma3 * sBs / jnp.where(ys - sBs != 0, ys - sBs, 1.0), 1.0),
+    )
+    damp = lo | hi
+    y_d = jnp.where(damp, theta * y + (1 - theta) * Bs, y)
+    ys_d = jnp.where(damp, theta * ys + (1 - theta) * sBs, ys)
+    return y_d, ys_d
+
+
+@functools.partial(jax.jit, static_argnames=("scaling",))
+def _push_damped_forward(state, s, y, sigma2, sigma3, *, scaling):
+    """Damped forward push: Bs = B s, Powell blend, always insert
+    (reference src/lbfgs.jl:289-321)."""
+    Bs = forward_apply(state, s)
+    y_d, ys_d = _powell_blend(s, y, jnp.dot(y, s), Bs, sigma2, sigma3)
+    return _push_common(state, s, y_d, ys_d, scaling=scaling, inverse=False)
+
+
+@functools.partial(jax.jit, static_argnames=("scaling",))
+def _push_damped_inverse(state, s, y, alpha, g, sigma2, sigma3, *, scaling):
+    """Damped inverse push: Bs = −α g, Powell blend, always insert
+    (reference src/lbfgs.jl:323-357)."""
+    Bs = -alpha * g
+    y_d, ys_d = _powell_blend(s, y, jnp.dot(y, s), Bs, sigma2, sigma3)
+    return _push_common(state, s, y_d, ys_d, scaling=scaling, inverse=True)
+
+
+# ----------------------------------------------------------------------------
+# Operator classes
+# ----------------------------------------------------------------------------
+
+
+class LBFGSOperator(LinearOperator):
+    """Limited-memory BFGS approximation (forward form by default; reference
+    src/lbfgs.jl:62-104,168-206).
+
+    ``LBFGSOperator(n, mem=5, scaling=True, damped=False)`` or
+    ``LBFGSOperator(dtype, n, ...)``. Symmetric and positive definite by
+    construction. Mutable host wrapper over an immutable device pytree: every
+    ``push``/``reset`` swaps ``self.state`` for a new pytree produced by one
+    cached jit call.
+    """
+
+    _fields_children = ("state",)
+    _fields_aux = ("_n", "_mem", "_scaling", "_damped", "_inverse", "_dtype_name", "_sigma2", "_sigma3")
+
+    _is_inverse_ctor = False
+
+    def __init__(self, *args, mem: int = 5, scaling: bool = True, damped: bool = False,
+                 sigma2: float = 0.99, sigma3: float = 10.0, dtype=None):
+        super().__init__()
+        # reference-style (T, n) or (n,) positional forms (src/lbfgs.jl:112,168)
+        if len(args) == 2:
+            dt, n = args
+        elif len(args) == 1:
+            dt, n = (dtype if dtype is not None else jnp.float64), args[0]
+        else:
+            raise TypeError("LBFGSOperator(n) or LBFGSOperator(dtype, n)")
+        self._n = int(n)
+        self._mem = max(int(mem), 1)
+        self._scaling = bool(scaling)
+        self._damped = bool(damped)
+        self._inverse = bool(type(self)._is_inverse_ctor)
+        self._dtype_name = jnp.dtype(dt).name
+        self._sigma2 = float(sigma2)
+        self._sigma3 = float(sigma3)
+        self.state = _init_state(self._n, self._mem, jnp.dtype(dt), self._inverse)
+
+    # --- metadata ---
+    @property
+    def nrow(self):
+        return self._n
+
+    @property
+    def ncol(self):
+        return self._n
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self._dtype_name)
+
+    @property
+    def symmetric(self):
+        return True
+
+    @property
+    def hermitian(self):
+        return True
+
+    @property
+    def mem(self):
+        return self._mem
+
+    @property
+    def inverse(self):
+        return self._inverse
+
+    @property
+    def damped(self):
+        return self._damped
+
+    @property
+    def scaling(self):
+        return self._scaling
+
+    @property
+    def insert(self) -> int:
+        """0-based ring-buffer insert position (reference data.insert is
+        1-based; src/lbfgs.jl:19)."""
+        return int(self.state.insert)
+
+    @property
+    def scaling_factor(self) -> float:
+        return float(self.state.gamma.real)
+
+    @property
+    def opnorm_upper_bound(self) -> float:
+        """Incrementally-tracked upper bound for ‖Bₖ‖₂ (reference
+        src/lbfgs.jl:11)."""
+        return float(self.state.opnorm_ub)
+
+    # --- apply ---
+    def _prod(self, v):
+        if self._inverse:
+            return inverse_apply(self.state, v)
+        return forward_apply(self.state, v)
+
+    def apply_matrix(self, M, mode: str = "N"):
+        if not self._inverse:
+            return forward_apply_matrix(self.state, M)
+        return super().apply_matrix(M, mode)
+
+    # --- state updates ---
+    def push(self, s, y, *args):
+        """Insert a {s, y} pair (reference push!, src/lbfgs.jl:257-367).
+
+        Forms: ``push(s, y)``; damped forward also accepts ``push(s, y, Bs)``
+        (Bs recomputed on device — kept for call-form parity); damped inverse
+        requires ``push(s, y, alpha, g[, Bs])``.
+        """
+        dt = self.dtype
+        s = jnp.asarray(s, dt)
+        y = jnp.asarray(y, dt)
+        if len(args) == 0:
+            if self._damped:
+                if self._inverse:
+                    raise ValueError(
+                        "damped inverse L-BFGS requires push(s, y, alpha, g)"
+                    )
+                self.state = _push_damped_forward(
+                    self.state, s, y, dt.type(self._sigma2), dt.type(self._sigma3),
+                    scaling=self._scaling,
+                )
+            else:
+                self.state = _push_plain(
+                    self.state, s, y, scaling=self._scaling, inverse=self._inverse
+                )
+        elif len(args) == 1:
+            # push(s, y, Bs): damped forward form (reference src/lbfgs.jl:289-299)
+            if not self._damped:
+                raise ValueError("push(s, y, Bs) requires a damped operator")
+            if self._inverse:
+                raise ValueError("push(s, y, Bs) is for forward operators; use push(s, y, alpha, g)")
+            self.state = _push_damped_forward(
+                self.state, s, y, dt.type(self._sigma2), dt.type(self._sigma3),
+                scaling=self._scaling,
+            )
+        elif len(args) in (2, 3):
+            # push(s, y, alpha, g[, Bs]): damped inverse (reference src/lbfgs.jl:323-367)
+            if not self._damped:
+                raise ValueError("push(s, y, alpha, g) requires a damped operator")
+            if not self._inverse:
+                raise ValueError("push(s, y, alpha, g) is for inverse operators; use push(s, y, Bs)")
+            alpha = jnp.asarray(args[0], dt)
+            g = jnp.asarray(args[1], dt)
+            self.state = _push_damped_inverse(
+                self.state, s, y, alpha, g, dt.type(self._sigma2), dt.type(self._sigma3),
+                scaling=self._scaling,
+            )
+        else:
+            raise TypeError("push(s, y[, Bs] | [, alpha, g[, Bs]])")
+        return self
+
+    def diag(self):
+        """Diagonal of a forward L-BFGS approximation (reference
+        src/lbfgs.jl:369-395)."""
+        if self._inverse:
+            raise LinearOperatorException(
+                "only the diagonal of a forward L-BFGS approximation is available"
+            )
+        return forward_diag(self.state)
+
+    def reset(self):
+        """Zero the memory and counters (reference reset!, src/lbfgs.jl:397-427)."""
+        self.state = _init_state(self._n, self._mem, self.dtype, self._inverse)
+        self.reset_counters()
+        return self
+
+    def _name(self):
+        return ("Inverse " if self._inverse else "") + "LBFGS operator"
+
+
+register_operator(LBFGSOperator)
+
+
+class InverseLBFGSOperator(LBFGSOperator):
+    """Inverse-form limited-memory BFGS (two-loop recursion; reference
+    src/lbfgs.jl:106-160)."""
+
+    _is_inverse_ctor = True
+
+
+register_operator(InverseLBFGSOperator)

