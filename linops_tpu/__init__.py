@@ -64,6 +64,23 @@ from .qn import (
     InverseLBFGSOperator,
     LSR1State,
     LSR1Operator,
+    DiagonalQNOperator,
+    DiagonalPSB,
+    DiagonalAndrei,
+    SpectralGradient,
+    DiagonalBFGS,
+    solve_shifted_system,
+    ldiv,
+)
+
+from .sparse import (
+    COO,
+    CSR,
+    BSR,
+    COOOperator,
+    CSROperator,
+    BSROperator,
+    opSparse,
 )
 
 from .utils.norm import normest, estimate_opnorm
@@ -131,6 +148,20 @@ __all__ = [
     "InverseLBFGSOperator",
     "LSR1State",
     "LSR1Operator",
+    "DiagonalQNOperator",
+    "DiagonalPSB",
+    "DiagonalAndrei",
+    "SpectralGradient",
+    "DiagonalBFGS",
+    "solve_shifted_system",
+    "ldiv",
+    "COO",
+    "CSR",
+    "BSR",
+    "COOOperator",
+    "CSROperator",
+    "BSROperator",
+    "opSparse",
     "normest",
     "estimate_opnorm",
     "check_ctranspose",

@@ -1,0 +1,17 @@
+"""Distributed operator layer: device meshes, sharded operators, and
+partitioned apply (SURVEY.md §2.3 — new first-class component with no
+reference counterpart)."""
+
+from .mesh import make_mesh, replicated, row_sharding, P, NamedSharding, Mesh
+from .sharded import shard_operator, operator_sharding_rule
+
+__all__ = [
+    "make_mesh",
+    "replicated",
+    "row_sharding",
+    "P",
+    "NamedSharding",
+    "Mesh",
+    "shard_operator",
+    "operator_sharding_rule",
+]

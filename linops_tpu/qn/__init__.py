@@ -4,6 +4,14 @@ approximations, all with device-resident functional state (SURVEY.md §2.3
 
 from .lbfgs import LBFGSState, LBFGSOperator, InverseLBFGSOperator
 from .lsr1 import LSR1State, LSR1Operator
+from .diagonal import (
+    DiagonalQNOperator,
+    DiagonalPSB,
+    DiagonalAndrei,
+    SpectralGradient,
+    DiagonalBFGS,
+)
+from .shifted_solve import solve_shifted_system, ldiv
 
 __all__ = [
     "LBFGSState",
@@ -11,4 +19,11 @@ __all__ = [
     "InverseLBFGSOperator",
     "LSR1State",
     "LSR1Operator",
+    "DiagonalQNOperator",
+    "DiagonalPSB",
+    "DiagonalAndrei",
+    "SpectralGradient",
+    "DiagonalBFGS",
+    "solve_shifted_system",
+    "ldiv",
 ]

@@ -1,0 +1,263 @@
+"""Sparse linear operators over COO / CSR / BSR device storage.
+
+The reference has no sparse kernels of its own — it wraps
+``SparseMatrixCSC`` mul! in closures (reference: src/constructors.jl:25-27,
+test/test_linop.jl uses sparse wrappers throughout). Here the operator owns
+the format (SURVEY.md §2.3):
+
+- COO/CSR apply = gather + ``jax.ops.segment_sum`` — a single fused XLA
+  computation; ``indices_are_sorted`` is exploited for CSR (row-major
+  build order).
+- BSR apply = one batched dense contraction over (bm, bn) blocks — MXU
+  work with block-level indexing only; zero pad-blocks contribute nothing.
+
+Adjoint/transpose products reuse the same storage with roles of
+rows/cols swapped (no transposed copy is materialized); hermitian applies
+conjugate values on the fly, mirroring the reference's conj-trick lattice
+(reference: src/adjtrans.jl:90-137).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.base import LinearOperator, register_operator
+from .formats import (
+    BSR,
+    COO,
+    CSR,
+    bsr_from_dense,
+    coo_from_dense,
+    csr_from_dense,
+    csr_from_parts,
+)
+
+__all__ = [
+    "COOOperator",
+    "CSROperator",
+    "BSROperator",
+    "opSparse",
+]
+
+
+def _conj(x):
+    return jnp.conj(x) if jnp.iscomplexobj(x) else x
+
+
+# ----------------------------------------------------------------------------
+# Pure apply kernels
+# ----------------------------------------------------------------------------
+
+
+def coo_matvec(vals, rows, cols, nrow, x, sorted_rows=False):
+    """y[r] = Σ vals[k]·x[cols[k]] over k with rows[k]=r."""
+    return jax.ops.segment_sum(
+        vals * x[cols], rows, num_segments=nrow, indices_are_sorted=sorted_rows
+    )
+
+
+def coo_matmat(vals, rows, cols, nrow, X, sorted_rows=False):
+    return jax.ops.segment_sum(
+        vals[:, None] * X[cols], rows, num_segments=nrow, indices_are_sorted=sorted_rows
+    )
+
+
+def bsr_matvec(blocks, block_cols, x_padded_blocks):
+    """y-blocks = Σ_k blocks[r,k] @ x_blocks[block_cols[r,k]] — one batched
+    contraction (nbrow·kmax small matvecs fused by XLA onto the MXU)."""
+    xg = x_padded_blocks[block_cols]  # (nbrow, kmax, bn)
+    return jnp.einsum(
+        "rkmn,rkn->rm", blocks, xg, preferred_element_type=blocks.dtype
+    )
+
+
+def bsr_rmatvec(blocks, block_cols, u_blocks, nbcol):
+    """Transpose apply: scatter blockᵀ·u contributions to column blocks."""
+    contrib = jnp.einsum(
+        "rkmn,rm->rkn", blocks, u_blocks, preferred_element_type=blocks.dtype
+    )  # (nbrow, kmax, bn)
+    kflat = contrib.reshape(-1, contrib.shape[-1])
+    ids = block_cols.reshape(-1)
+    return jax.ops.segment_sum(kflat, ids, num_segments=nbcol)
+
+
+# ----------------------------------------------------------------------------
+# Operator classes
+# ----------------------------------------------------------------------------
+
+
+class _SparseBase(LinearOperator):
+    _fields_children = ("data",)
+    _fields_aux = ("_symmetric", "_hermitian")
+
+    def __init__(self, data, symmetric: bool = False, hermitian: bool = False):
+        super().__init__()
+        self.data = data
+        self._symmetric = bool(symmetric)
+        self._hermitian = bool(hermitian)
+
+    @property
+    def nrow(self):
+        return self.data.shape[0]
+
+    @property
+    def ncol(self):
+        return self.data.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.vals.dtype if hasattr(self.data, "vals") else self.data.blocks.dtype
+
+    @property
+    def symmetric(self):
+        return self._symmetric
+
+    @property
+    def hermitian(self):
+        return self._hermitian
+
+    @property
+    def nnz(self):
+        return self.data.nnz
+
+
+class COOOperator(_SparseBase):
+    """Sparse operator over COO storage."""
+
+    def _prod(self, v):
+        d = self.data
+        return coo_matvec(d.vals, d.rows, d.cols, d.shape[0], v)
+
+    def _tprod(self, u):
+        d = self.data
+        return coo_matvec(d.vals, d.cols, d.rows, d.shape[1], u)
+
+    def _ctprod(self, w):
+        d = self.data
+        return coo_matvec(_conj(d.vals), d.cols, d.rows, d.shape[1], w)
+
+    def apply_matrix(self, M, mode: str = "N"):
+        d = self.data
+        if mode in ("N", "C"):
+            vals = d.vals if mode == "N" else _conj(d.vals)
+            out = coo_matmat(vals, d.rows, d.cols, d.shape[0], M if mode == "N" else _conj(M))
+            return _conj(out) if mode == "C" else out
+        vals = d.vals if mode == "T" else _conj(d.vals)
+        return coo_matmat(vals, d.cols, d.rows, d.shape[1], M)
+
+
+class CSROperator(_SparseBase):
+    """Sparse operator over CSR storage (sorted row ids → faster
+    segment_sum on the forward apply)."""
+
+    def _prod(self, v):
+        d = self.data
+        return coo_matvec(d.vals, d.rows, d.cols, d.shape[0], v, sorted_rows=True)
+
+    def _tprod(self, u):
+        d = self.data
+        return coo_matvec(d.vals, d.cols, d.rows, d.shape[1], u)
+
+    def _ctprod(self, w):
+        d = self.data
+        return coo_matvec(_conj(d.vals), d.cols, d.rows, d.shape[1], w)
+
+    def apply_matrix(self, M, mode: str = "N"):
+        d = self.data
+        if mode in ("N", "C"):
+            vals = d.vals if mode == "N" else _conj(d.vals)
+            out = coo_matmat(vals, d.rows, d.cols, d.shape[0], M if mode == "N" else _conj(M), sorted_rows=True)
+            return _conj(out) if mode == "C" else out
+        vals = d.vals if mode == "T" else _conj(d.vals)
+        return coo_matmat(vals, d.cols, d.rows, d.shape[1], M)
+
+
+class BSROperator(_SparseBase):
+    """Block-sparse-row operator — the TPU-native format: apply is a batched
+    dense block contraction (MXU), indexing is per 8×128 (or larger) block.
+    """
+
+    def _pad_in(self, v, dim_blocks, bsize):
+        need = dim_blocks * bsize
+        if v.shape[0] < need:
+            v = jnp.pad(v, (0, need - v.shape[0]))
+        return v
+
+    def _prod(self, v):
+        d = self.data
+        bm, bn = d.block_shape
+        nbrow = d.blocks.shape[0]
+        nbcol = -(-d.shape[1] // bn)
+        xb = self._pad_in(v, nbcol, bn).reshape(nbcol, bn)
+        y = bsr_matvec(d.blocks, d.block_cols, xb).reshape(nbrow * bm)
+        return y[: d.shape[0]]
+
+    def _tprod(self, u):
+        d = self.data
+        bm, bn = d.block_shape
+        nbrow = d.blocks.shape[0]
+        nbcol = -(-d.shape[1] // bn)
+        ub = self._pad_in(u, nbrow, bm).reshape(nbrow, bm)
+        x = bsr_rmatvec(d.blocks, d.block_cols, ub, nbcol).reshape(nbcol * bn)
+        return x[: d.shape[1]]
+
+    def _ctprod(self, w):
+        d = self.data
+        if not jnp.iscomplexobj(d.blocks):
+            return self._tprod(w)
+        bm, bn = d.block_shape
+        nbrow = d.blocks.shape[0]
+        nbcol = -(-d.shape[1] // bn)
+        wb = self._pad_in(w, nbrow, bm).reshape(nbrow, bm)
+        x = bsr_rmatvec(jnp.conj(d.blocks), d.block_cols, wb, nbcol).reshape(nbcol * bn)
+        return x[: d.shape[1]]
+
+
+for _cls in (COOOperator, CSROperator, BSROperator):
+    register_operator(_cls)
+
+
+# ----------------------------------------------------------------------------
+# Factory
+# ----------------------------------------------------------------------------
+
+
+def opSparse(
+    A,
+    format: str = "csr",
+    block_shape: Tuple[int, int] = (8, 128),
+    symmetric: bool = False,
+    hermitian: bool = False,
+    tol: float = 0.0,
+) -> _SparseBase:
+    """Build a sparse operator from a dense array, a scipy sparse matrix, or
+    a prebuilt COO/CSR/BSR pytree. ``format`` in {'coo', 'csr', 'bsr'}."""
+    if isinstance(A, COO):
+        return COOOperator(A, symmetric, hermitian)
+    if isinstance(A, CSR):
+        return CSROperator(A, symmetric, hermitian)
+    if isinstance(A, BSR):
+        return BSROperator(A, symmetric, hermitian)
+
+    # scipy sparse?
+    if hasattr(A, "tocsr") and not hasattr(A, "ndim"):
+        sp = A.tocsr()
+        if format == "csr":
+            data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
+            return CSROperator(data, symmetric, hermitian)
+        A = sp.toarray()
+    elif hasattr(A, "tocsr") and getattr(A, "format", None) is not None:
+        A = A.toarray()
+
+    A = np.asarray(A)
+    if format == "coo":
+        return COOOperator(coo_from_dense(A, tol), symmetric, hermitian)
+    if format == "csr":
+        return CSROperator(csr_from_dense(A, tol), symmetric, hermitian)
+    if format == "bsr":
+        return BSROperator(bsr_from_dense(A, block_shape, tol), symmetric, hermitian)
+    raise ValueError(f"unknown sparse format {format!r}")

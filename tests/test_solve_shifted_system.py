@@ -1,0 +1,71 @@
+"""Shifted L-BFGS system solver tests
+(reference: test/test_solve_shifted_system.jl)."""
+
+import numpy as np
+import pytest
+
+from linops_tpu.qn import LBFGSOperator, InverseLBFGSOperator
+from linops_tpu.qn.shifted_solve import solve_shifted_system, ldiv
+
+
+def setup_test_val(rng, mem=5, n=100, scaling=False, sigma=0.1):
+    """reference setup (test/test_solve_shifted_system.jl:6-21)."""
+    B = LBFGSOperator(n, mem=mem, scaling=scaling)
+    H = InverseLBFGSOperator(n, mem=mem, scaling=False)
+    for _ in range(10):
+        s = rng.random(n)
+        y = rng.random(n)
+        B.push(s, y)
+        H.push(s, y)
+    x = rng.standard_normal(n)
+    b = np.asarray(B * x) + sigma * x  # true answer is x
+    return B, H, b, sigma, x
+
+
+def test_default_setup(rng):
+    B, _, b, sigma, x_true = setup_test_val(rng, n=100, mem=5)
+    x_sol = np.asarray(solve_shifted_system(B, b, sigma))
+    assert x_sol.shape == b.shape
+    assert np.isfinite(x_sol).all()
+    np.testing.assert_allclose(x_sol, x_true, atol=1e-6, rtol=1e-6)
+
+
+def test_scaled_operator(rng):
+    B, _, b, sigma, x_true = setup_test_val(rng, n=60, mem=5, scaling=True)
+    x_sol = np.asarray(solve_shifted_system(B, b, sigma))
+    np.testing.assert_allclose(x_sol, x_true, atol=1e-6, rtol=1e-6)
+
+
+def test_negative_sigma_raises(rng):
+    B, _, b, _, _ = setup_test_val(rng, n=100, mem=5)
+    with pytest.raises(ValueError):
+        solve_shifted_system(B, b, -0.1)
+
+
+def test_inverse_operator_rejected(rng):
+    H = InverseLBFGSOperator(10, mem=3)
+    with pytest.raises(ValueError):
+        solve_shifted_system(H, np.ones(10), 0.1)
+
+
+def test_ldiv(rng):
+    """ldiv solves Bx = b; consistent with H = B⁻¹ applied to b
+    (reference test/test_solve_shifted_system.jl:50-62)."""
+    B, H, b, _, x_true = setup_test_val(rng, n=100, mem=5, sigma=0.0)
+    x_sol = np.asarray(ldiv(B, b))
+    x_H = np.asarray(H * b)
+    np.testing.assert_allclose(x_sol, x_H, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(x_sol, x_true, atol=1e-6, rtol=1e-6)
+
+
+def test_partial_memory(rng):
+    """Solver is correct when the ring buffer is not yet full."""
+    n, mem = 30, 8
+    B = LBFGSOperator(n, mem=mem, scaling=False)
+    for _ in range(3):  # fewer pushes than mem
+        B.push(rng.random(n), rng.random(n))
+    x = rng.standard_normal(n)
+    sigma = 0.25
+    b = np.asarray(B * x) + sigma * x
+    x_sol = np.asarray(solve_shifted_system(B, b, sigma))
+    np.testing.assert_allclose(x_sol, x, atol=1e-6, rtol=1e-6)

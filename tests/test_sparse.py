@@ -1,0 +1,124 @@
+"""Sparse operator tests: COO/CSR/BSR against dense oracles (reference
+test strategy: test/test_linop.jl sparse-wrapper oracles, SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from helpers import assert_close
+
+import linops_tpu as lo
+from linops_tpu.sparse import opSparse, csr_from_dense, bsr_from_dense
+
+
+def sprand(rng, m, n, density=0.1, complex_=False):
+    A = rng.standard_normal((m, n))
+    if complex_:
+        A = A + 1j * rng.standard_normal((m, n))
+    mask = rng.random((m, n)) < density
+    return A * mask
+
+
+@pytest.mark.parametrize("fmt", ["coo", "csr", "bsr"])
+@pytest.mark.parametrize("shape", [(40, 40), (30, 50), (50, 30)])
+def test_sparse_matvec_oracle(fmt, shape, rng):
+    m, n = shape
+    A = sprand(rng, m, n, 0.15)
+    op = opSparse(A, format=fmt, block_shape=(8, 16))
+    assert op.shape == (m, n)
+    v = rng.standard_normal(n)
+    u = rng.standard_normal(m)
+    assert_close(op * v, A @ v)
+    assert_close(op.T * u, A.T @ u)
+    assert_close(op.H * u, A.T @ u)
+    assert_close(op.to_dense(), A, rtol=1e-12)
+
+
+@pytest.mark.parametrize("fmt", ["coo", "csr"])
+def test_sparse_complex(fmt, rng):
+    m, n = 25, 35
+    A = sprand(rng, m, n, 0.2, complex_=True)
+    op = opSparse(A, format=fmt)
+    v = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    u = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    assert_close(op * v, A @ v)
+    assert_close(op.T * u, A.T @ u)
+    assert_close(op.H * u, A.conj().T @ u)
+
+
+def test_bsr_complex(rng):
+    m = n = 32
+    A = sprand(rng, m, n, 0.2, complex_=True)
+    op = opSparse(A, format="bsr", block_shape=(8, 8))
+    u = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    assert_close(op.H * u, A.conj().T @ u)
+
+
+def test_sparse_matmat(rng):
+    m, n, k = 30, 40, 7
+    A = sprand(rng, m, n, 0.2)
+    X = rng.standard_normal((n, k))
+    for fmt in ("coo", "csr"):
+        op = opSparse(A, format=fmt)
+        assert_close(op.matmat(X), A @ X)
+        assert_close(op.matmat(rng.standard_normal((m, k)) * 0 + 1.0, mode="T"), A.T @ np.ones((m, k)))
+
+
+def test_sparse_in_algebra(rng):
+    """Sparse operators participate in the lazy algebra graph."""
+    n = 48
+    A = sprand(rng, n, n, 0.1)
+    B = sprand(rng, n, n, 0.1)
+    opA = opSparse(A, format="csr")
+    opB = opSparse(B, format="bsr", block_shape=(8, 16))
+    chain = 2.0 * (opA @ opB) + opA.T - lo.opEye(n)
+    dense = 2.0 * (A @ B) + A.T - np.eye(n)
+    v = rng.standard_normal(n)
+    assert_close(chain * v, dense @ v)
+
+
+def test_sparse_symmetric_flags(rng):
+    n = 20
+    A = sprand(rng, n, n, 0.3)
+    A = (A + A.T) / 2
+    op = opSparse(A, format="csr", symmetric=True, hermitian=True)
+    assert op.symmetric and op.hermitian
+    assert lo.check_hermitian(op)
+
+
+def test_scipy_interop(rng):
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    m, n = 30, 40
+    A = sprand(rng, m, n, 0.2)
+    S = scipy_sparse.csr_matrix(A)
+    op = opSparse(S)
+    v = rng.standard_normal(n)
+    assert_close(op * v, A @ v)
+    assert op.nnz == S.nnz
+
+
+def test_bsr_padding_alignment(rng):
+    """BSR pads ragged dims with zero blocks; logical shape preserved."""
+    m, n = 37, 53  # deliberately unaligned
+    A = sprand(rng, m, n, 0.3)
+    op = opSparse(A, format="bsr", block_shape=(8, 16))
+    assert op.shape == (m, n)
+    v = rng.standard_normal(n)
+    assert_close(op * v, A @ v)
+    u = rng.standard_normal(m)
+    assert_close(op.T * u, A.T @ u)
+
+
+def test_sparse_no_recompile(rng):
+    n = 64
+    A1 = sprand(rng, n, n, 0.1)
+    op = opSparse(A1, format="csr")
+    v = rng.standard_normal(n)
+    op.matvec(v)
+    before = lo.apply_cache_sizes()
+    # same structure (same nnz), new values -> cache hit
+    op2 = opSparse(np.where(A1 != 0, A1 * 2.0, 0.0), format="csr")
+    assert op2.nnz == op.nnz
+    op2.matvec(v)
+    op.matvec(v)
+    assert lo.apply_cache_sizes() == before
