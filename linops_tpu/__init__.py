@@ -30,6 +30,7 @@ from .core.adjoint import (
     conj,
 )
 from .core.apply import matvec, matmat, mul, to_dense, apply_cache_sizes
+from .core.ad import apply_linear
 
 from .ops.eye import Eye, UniversalEye, Ones, Zeros, opEye, opOnes, opZeros
 from .ops.diagonal import DiagonalOperator, opDiagonal
@@ -111,6 +112,7 @@ __all__ = [
     "mul",
     "to_dense",
     "apply_cache_sizes",
+    "apply_linear",
     "Eye",
     "UniversalEye",
     "Ones",
