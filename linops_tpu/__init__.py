@@ -85,6 +85,8 @@ from .sparse import (
 )
 
 from .utils.norm import normest, estimate_opnorm
+from .utils.krylov import matvec_chain, cg, power_iteration
+from .utils.checkpoint import save_operator, load_operator_state, op_state
 from .utils.checks import check_ctranspose, check_hermitian, check_positive_definite
 
 __version__ = "0.1.0"
@@ -165,6 +167,12 @@ __all__ = [
     "BSROperator",
     "opSparse",
     "normest",
+    "matvec_chain",
+    "cg",
+    "power_iteration",
+    "save_operator",
+    "load_operator_state",
+    "op_state",
     "estimate_opnorm",
     "check_ctranspose",
     "check_hermitian",

@@ -1,0 +1,115 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The compute path is JAX/XLA/Pallas; host-side format conversion and graph
+reordering — pure pointer-chasing the reference delegates to SparseArrays'
+C routines — is C++ here (SURVEY.md §2.1: driven by the build plan, not by
+reference native code, since the reference has none).
+
+The shared library is built from ``bsr_pack.cpp`` with g++ on first use and
+cached next to the source; everything degrades gracefully to the numpy
+fallbacks in sparse/formats.py if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["bsr_pack_csr", "rcm_permutation", "native_available"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "bsr_pack.cpp")
+_SO = os.path.join(_HERE, "_libbsrpack.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+            lib.bsr_count.restype = ctypes.c_int32
+            lib.bsr_count.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32,
+                                      ctypes.c_int32, i32p]
+            lib.bsr_fill_f32.restype = None
+            lib.bsr_fill_f32.argtypes = [f32p, i32p, i32p, ctypes.c_int64,
+                                         ctypes.c_int32, ctypes.c_int32,
+                                         ctypes.c_int32, f32p, i32p]
+            lib.bsr_fill_f64.restype = None
+            lib.bsr_fill_f64.argtypes = [f64p, i32p, i32p, ctypes.c_int64,
+                                         ctypes.c_int32, ctypes.c_int32,
+                                         ctypes.c_int32, f64p, i32p]
+            lib.rcm_order.restype = None
+            lib.rcm_order.argtypes = [i32p, i32p, ctypes.c_int64, i32p]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def bsr_pack_csr(vals, cols, indptr, nrow, ncol, block_shape=(8, 128), pad_rows_to=1):
+    """CSR → (blocks, block_cols) BSR arrays via the native packer.
+
+    ``pad_rows_to``: round nbrow up to a multiple (the Pallas kernel needs
+    a multiple of 8). Returns numpy arrays (caller moves them to device).
+    Raises RuntimeError if the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native packer unavailable (g++ build failed)")
+    bm, bn = block_shape
+    vals = np.ascontiguousarray(vals)
+    cols = np.ascontiguousarray(cols, np.int32)
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    nbrow = -(-nrow // bm)
+    nbrow_padded = -(-nbrow // pad_rows_to) * pad_rows_to
+    counts = np.zeros(nbrow, np.int32)
+    kmax = max(int(lib.bsr_count(cols, indptr, nrow, bm, bn, counts)), 1)
+
+    blocks = np.zeros((nbrow_padded, kmax, bm, bn), dtype=vals.dtype)
+    block_cols = np.zeros((nbrow_padded, kmax), np.int32)
+    fill = lib.bsr_fill_f32 if vals.dtype == np.float32 else lib.bsr_fill_f64
+    if vals.dtype not in (np.float32, np.float64):
+        raise TypeError(f"native packer supports f32/f64, got {vals.dtype}")
+    fill(vals, cols, indptr, nrow, bm, bn, kmax,
+         blocks[:nbrow].reshape(-1), block_cols[:nbrow].reshape(-1))
+    return blocks, block_cols
+
+
+def rcm_permutation(cols, indptr, n) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering of the symmetrized CSR pattern —
+    reduces bandwidth so BSR rows touch fewer block-columns and
+    row-partitions have thinner halos. Returns perm with
+    ``A_reordered = A[perm][:, perm]``."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    cols = np.ascontiguousarray(cols, np.int32)
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    perm = np.zeros(n, np.int32)
+    lib.rcm_order(cols, indptr, n, perm)
+    return perm

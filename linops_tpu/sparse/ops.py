@@ -244,14 +244,30 @@ def opSparse(
         return BSROperator(A, symmetric, hermitian)
 
     # scipy sparse?
-    if hasattr(A, "tocsr") and not hasattr(A, "ndim"):
+    if hasattr(A, "tocsr"):
         sp = A.tocsr()
         if format == "csr":
             data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
             return CSROperator(data, symmetric, hermitian)
+        if format == "bsr":
+            # native packer: no dense materialization (falls back below)
+            try:
+                from ..native import bsr_pack_csr
+
+                blocks, bcols = bsr_pack_csr(
+                    sp.data, sp.indices, sp.indptr, sp.shape[0], sp.shape[1],
+                    block_shape, pad_rows_to=8,
+                )
+                import jax.numpy as _jnp
+
+                return BSROperator(
+                    BSR(_jnp.asarray(blocks), _jnp.asarray(bcols), tuple(sp.shape)),
+                    symmetric,
+                    hermitian,
+                )
+            except Exception:
+                pass
         A = sp.toarray()
-    elif hasattr(A, "tocsr") and getattr(A, "format", None) is not None:
-        A = A.toarray()
 
     A = np.asarray(A)
     if format == "coo":

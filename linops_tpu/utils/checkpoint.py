@@ -1,0 +1,71 @@
+"""Checkpoint / resume for operator state.
+
+The reference has no checkpointing (SURVEY.md §5: closest is ``reset!``);
+here every operator is a pytree, so its state — quasi-Newton ring buffers,
+sparse storage, dense blocks — serializes directly. This is the capability
+upgrade called out in SURVEY.md §5: a device-resident L-BFGS memory can be
+saved mid-run and restored bit-exactly.
+
+Uses numpy's npz container (no external deps); orbax users can instead pass
+``op_state(op)`` pytrees to their checkpointer directly.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.base import LinearOperator
+
+__all__ = ["save_operator", "load_operator_state", "op_state"]
+
+
+def op_state(op: LinearOperator):
+    """The operator's dynamic state as a pytree (for orbax etc.)."""
+    return {f: getattr(op, f) for f in type(op)._fields_children}
+
+
+def save_operator(path: str, op: LinearOperator) -> None:
+    """Serialize an operator's dynamic leaves (+ a structure fingerprint)
+    to ``path`` (.npz)."""
+    leaves, treedef = jax.tree_util.tree_flatten(op)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    meta = {
+        "class": type(op).__name__,
+        "treedef": str(treedef),
+        "n_leaves": len(leaves),
+    }
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=json.dumps(meta), **arrays)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)  # atomic
+
+
+def load_operator_state(path: str, op: LinearOperator) -> LinearOperator:
+    """Restore saved leaves into an operator of the same structure
+    (built the same way as the one saved). Returns ``op`` mutated in place
+    (host wrapper semantics, like the reference's ``reset!`` family)."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["__meta__"]))
+        if meta["class"] != type(op).__name__:
+            raise ValueError(
+                f"checkpoint holds {meta['class']}, target is {type(op).__name__}"
+            )
+        leaves, treedef = jax.tree_util.tree_flatten(op)
+        if meta["n_leaves"] != len(leaves):
+            raise ValueError("checkpoint structure mismatch")
+        if meta["treedef"] != str(treedef):
+            raise ValueError("checkpoint structure mismatch")
+        new_leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(leaves))]
+    restored = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    for f in type(op)._fields_children:
+        setattr(op, f, getattr(restored, f))
+    return op
