@@ -1,0 +1,114 @@
+"""Adjoint/transpose/conjugate wrapper contract
+(reference: test/test_adjtrans.jl)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from helpers import assert_close
+
+import linops_tpu as lo
+
+
+@pytest.fixture
+def complex_op(rng):
+    A = rng.random((5, 3)) + 1j * rng.random((5, 3))
+    return A, lo.LinearOperator(jnp.asarray(A))
+
+
+def test_wrapper_densification(complex_op):
+    """Matrix(fop) == foo(A) for all three wrappers, including scaled and
+    negated forms (reference :11-20)."""
+    A, opA = complex_op
+    for foo, fop in [
+        (lambda M: M.conj().T, opA.H),
+        (np.conj, opA.conj()),
+        (lambda M: M.T, opA.T),
+    ]:
+        assert_close(fop.to_dense(), foo(A))
+        assert_close((-fop).to_dense(), foo(-A))
+        assert_close(((2 + 3j) * fop).to_dense(), (2 + 3j) * foo(A))
+        assert_close((fop * (2 + 3j)).to_dense(), foo(A) * (2 + 3j))
+
+
+def test_involution_group(complex_op):
+    """The 6-way involution rules collapse symbolically — no wrapper towers
+    (reference :22-27, src/adjtrans.jl:32-44)."""
+    _, opA = complex_op
+    aopA, copA, topA = opA.H, opA.conj(), opA.T
+
+    assert aopA.H is opA
+    assert topA.T is opA
+    assert copA.conj() is opA
+
+    def same_kind(x, y):
+        return type(x) is type(y)
+
+    assert same_kind(topA.H, copA)  # adjoint(transpose) = conj
+    assert same_kind(copA.H, topA)  # adjoint(conj) = transpose
+    assert same_kind(aopA.conj(), topA)  # conj(adjoint) = transpose
+    assert same_kind(topA.conj(), aopA)
+    assert same_kind(copA.T, aopA)  # transpose(conj) = adjoint
+    assert same_kind(aopA.T, copA)
+
+
+def test_wrapper_applies(complex_op, rng):
+    A, opA = complex_op
+    v5c = rng.random(5) + 1j * rng.random(5)
+    v5r = rng.random(5)
+    assert_close(opA.H * v5c, A.conj().T @ v5c)
+    assert_close(opA.T * v5c, A.T @ v5c)
+    assert_close(opA.H * v5r, A.conj().T @ v5r)
+    assert_close(opA.T * v5r, A.T @ v5r)
+    v3c = rng.random(3) + 1j * rng.random(3)
+    v3r = rng.random(3)
+    assert_close(opA.conj() * v3c, np.conj(A) @ v3c)
+    assert_close(opA.conj() * v3r, np.conj(A) @ v3r)
+
+
+def test_derived_adjoint_from_tprod(rng):
+    """Function operator with only prod+tprod: the adjoint is derived via
+    the conj trick (reference test_derived_adjoint, :44-100)."""
+    A = rng.random((5, 3)) + 1j * rng.random((5, 3))
+    Aj = jnp.asarray(A)
+    op = lo.FunctionOperator(
+        5, 3, lambda x: Aj @ x, lambda y: Aj.T @ y, None, dtype=jnp.complex128
+    )
+    for foo, fop in [
+        (lambda M: M.conj().T, op.H),
+        (np.conj, op.conj()),
+        (lambda M: M.T, op.T),
+    ]:
+        assert_close(fop.to_dense(), foo(A))
+    v = rng.random(5) + 1j * rng.random(5)
+    assert_close(op.H * v, A.conj().T @ v)
+    assert_close(op.T * v, A.T @ v)
+
+
+def test_derived_transpose_from_ctprod(rng):
+    """Function operator with only prod+ctprod: transpose derived
+    (reference test_derived_transpose)."""
+    A = rng.random((5, 3)) + 1j * rng.random((5, 3))
+    Aj = jnp.asarray(A)
+    op = lo.FunctionOperator(
+        5, 3, lambda x: Aj @ x, None, lambda y: Aj.conj().T @ y, dtype=jnp.complex128
+    )
+    v = rng.random(5) + 1j * rng.random(5)
+    assert_close(op.T * v, A.T @ v)
+    assert_close(op.H * v, A.conj().T @ v)
+    assert_close(op.T.to_dense(), A.T)
+
+
+def test_wrapper_counters(complex_op, rng):
+    """Counter cross-mapping: adjoint apply bumps the parent's nctprod
+    (reference src/adjtrans.jl:46-58)."""
+    A, opA = complex_op
+    opA.reset_counters()
+    v = rng.random(5) + 1j * rng.random(5)
+    _ = opA.H * v
+    assert opA.nctprod == 1 and opA.nprod == 0
+    _ = opA.T * v
+    assert opA.ntprod == 1
+    w = rng.random(3) + 1j * rng.random(3)
+    _ = opA.conj() * w
+    assert opA.nprod == 1
