@@ -100,3 +100,44 @@ def test_timed_operator(rng):
     assert isinstance(op.H, lo.TimedOperator)
     r = repr(op)
     assert "ncalls" in r
+
+
+# ---------------------------------------------------------------------------
+# Sparse factorization (host-callback solves; reference opLDL ext)
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_inverse(rng):
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    import numpy as np
+    from linops_tpu.ops.sparse_factor import opSparseInverse, opSparseLDL
+
+    n = 40
+    A = scipy_sparse.random(n, n, density=0.2, random_state=3) + scipy_sparse.eye(n) * n
+    A = A.tocsc()
+    op = opSparseInverse(A)
+    b = rng.standard_normal(n)
+    x = np.asarray(op * b)
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-10
+    xt = np.asarray(op.T * b)
+    assert np.linalg.norm(A.T @ xt - b) / np.linalg.norm(b) < 1e-10
+
+    # symmetric quasi-definite LDL route
+    S = (A + A.T) / 2
+    opl = opSparseLDL(S, check=True)
+    xs = np.asarray(opl * b)
+    assert np.linalg.norm(S @ xs - b) / np.linalg.norm(b) < 1e-10
+
+    # inside a jitted graph
+    import jax
+    y = jax.jit(lambda v: op.apply(v, "N"))(b)
+    assert np.linalg.norm(A @ np.asarray(y) - b) / np.linalg.norm(b) < 1e-10
+
+
+def test_sparse_ldl_asymmetric_check(rng):
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    from linops_tpu.ops.sparse_factor import opSparseLDL
+
+    A = scipy_sparse.random(10, 10, density=0.5, random_state=1).tocsc() + scipy_sparse.eye(10)
+    with pytest.raises(lo.LinearOperatorException):
+        opSparseLDL(A, check=True)
