@@ -174,6 +174,10 @@ class LinearOperator(abc.ABC):
     _fields_children: Tuple[str, ...] = ()
     _fields_aux: Tuple[str, ...] = ()
 
+    # Make numpy defer binary ops (u @ op, x * op, ...) to our reflected
+    # methods instead of trying elementwise semantics.
+    __array_ufunc__ = None
+
     # --- attributes every subclass must provide (as fields or properties) ---
     nrow: int
     ncol: int
@@ -458,6 +462,11 @@ class LinearOperator(abc.ABC):
         return self.__mul__(other)
 
     def __rmatmul__(self, other):
+        # u @ op == transpose(op) * u, the reference's row-vector form
+        # ``transpose(u) * op`` (reference: src/operations.jl:50-77) in
+        # numpy convention (1-D arrays carry no row/column orientation).
+        if hasattr(other, "ndim") and getattr(other, "ndim", None) == 1:
+            return self.matvec(other, mode="T")
         return self.__rmul__(other)
 
     def __truediv__(self, x):

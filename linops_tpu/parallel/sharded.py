@@ -58,9 +58,15 @@ def _place_leaf(arr, mesh, axis, spec_fn, qn: bool = False):
     if arr is None or not hasattr(arr, "ndim"):
         return arr
     if qn:
-        # (mem, n) memories: split the operator dimension n, replicate the
-        # small per-pair scalars.
-        spec = P(None, axis) if arr.ndim == 2 else P()
+        # (mem, n) memories: split the operator dimension n; replicate the
+        # small per-pair scalars and the (mem, mem) Gram matrices.
+        n_dev = mesh.shape[axis]
+        shard_it = (
+            arr.ndim == 2
+            and arr.shape[1] != arr.shape[0]
+            and arr.shape[1] % n_dev == 0
+        )
+        spec = P(None, axis) if shard_it else P()
     else:
         spec = spec_fn(arr, axis)
     return jax.device_put(arr, NamedSharding(mesh, spec))

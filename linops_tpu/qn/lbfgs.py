@@ -48,7 +48,10 @@ __all__ = ["LBFGSState", "LBFGSOperator", "InverseLBFGSOperator"]
 
 class LBFGSState(NamedTuple):
     """Device pytree holding the L-BFGS memory (reference LBFGSData,
-    src/lbfgs.jl:4-24). All ring indices are 0-based."""
+    src/lbfgs.jl:4-24). All ring indices are 0-based.
+
+    ``SY``/``YY`` are the Gram matrices SᵀY and YᵀY (slot order),
+    maintained incrementally on push for the compact-form inverse apply."""
 
     S: jax.Array  # (mem, n) step history
     Y: jax.Array  # (mem, n) gradient-difference history
@@ -56,6 +59,8 @@ class LBFGSState(NamedTuple):
     A: jax.Array  # (mem, n) forward-form 'a' vectors ((0, n) for inverse)
     B: jax.Array  # (mem, n) forward-form 'b' vectors ((0, n) for inverse)
     norm_b2: jax.Array  # (mem,) ‖bᵢ‖² for the opnorm bound ((0,) for inverse)
+    SY: jax.Array  # (mem, mem) Gram SᵀY: SY[i, j] = <sᵢ, yⱼ>
+    YY: jax.Array  # (mem, mem) Gram YᵀY
     gamma: jax.Array  # () scaling factor γ (1 when scaling disabled)
     insert: jax.Array  # () int32 next ring slot, 0-based
     opnorm_ub: jax.Array  # () upper bound on ‖B‖₂ (forward form)
@@ -71,6 +76,8 @@ def _init_state(n: int, mem: int, dtype, inverse: bool) -> LBFGSState:
         A=jnp.zeros((fmem, n), dtype),
         B=jnp.zeros((fmem, n), dtype),
         norm_b2=jnp.zeros((fmem,), rdt),
+        SY=jnp.zeros((mem, mem), dtype),
+        YY=jnp.zeros((mem, mem), dtype),
         gamma=jnp.ones((), dtype),
         insert=jnp.zeros((), jnp.int32),
         opnorm_ub=jnp.ones((), rdt),
@@ -109,6 +116,53 @@ def inverse_apply(state: LBFGSState, x):
         return q + beta * state.S[k]
 
     return lax.fori_loop(0, mem, loop2, q)
+
+
+def inverse_apply_compact(state: LBFGSState, x):
+    """Compact-representation inverse apply (Byrd-Nocedal-Schnabel 1994):
+
+      H v = γv + [S γY] [[R⁻ᵀ(D+γYᵀY)R⁻¹, −R⁻ᵀ], [−R⁻¹, 0]] [Sᵀ; γYᵀ] v
+
+    with R the upper triangle of SᵀY in chronological order and D its
+    diagonal. Numerically identical to the two-loop recursion but expressed
+    as TWO (2·mem, n) passes plus O(mem²) small ops — no sequential
+    loop over memory, so it runs at the 2-pass HBM roofline (the TPU-native
+    form of reference src/lbfgs.jl:117-154; SURVEY.md §7 hard part 1)."""
+    mem = state.S.shape[0]
+    # state.insert is the NEXT slot to write, so the oldest surviving pair
+    # lives at `insert` itself (unlike push-time recompute, where insert is
+    # the slot just written).
+    order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
+    valid = state.ys[order] != 0
+
+    S_o = state.S[order]
+    Y_o = state.Y[order]
+    SY_o = state.SY[order][:, order]
+    YY_o = state.YY[order][:, order]
+    gamma = state.gamma
+
+    vmask2 = valid[:, None] & valid[None, :]
+    tri = jnp.triu(jnp.ones((mem, mem), dtype=bool))
+    # R: upper triangle of SᵀY (chrono); unit diagonal on empty slots keeps
+    # the solves well-posed, their coordinates stay exactly zero.
+    R = jnp.where(tri & vmask2, SY_o, 0.0) + jnp.diag(jnp.where(valid, 0.0, 1.0))
+    D = jnp.where(valid, jnp.diag(SY_o), 0.0)
+    YYm = jnp.where(vmask2, YY_o, 0.0)
+
+    # one pass: [Sᵀv; Yᵀv]
+    W = jnp.concatenate([S_o, Y_o], axis=0)  # (2mem, n)
+    pq = W @ x
+    p, q = pq[:mem], pq[mem:]
+
+    from jax.scipy.linalg import solve_triangular
+
+    w1 = solve_triangular(R, p, lower=False)
+    u = D * w1 + gamma * (YYm @ w1) - gamma * q
+    w2 = solve_triangular(R, u, lower=False, trans=1)
+
+    # second pass: γv + Sᵀ·w2 − γYᵀ·w1 as one (n, 2mem)-style contraction
+    coeff = jnp.concatenate([w2, -gamma * w1])
+    return gamma * x + W.T @ coeff
 
 
 def forward_apply(state: LBFGSState, x):
@@ -176,6 +230,13 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool) -
     Y = state.Y.at[ins].set(y)
     ysv = state.ys.at[ins].set(ys)
 
+    # Gram maintenance for the compact inverse form: one row+column each of
+    # SᵀY and YᵀY — three (mem, n) matvecs (O(mem·n), same order as the
+    # vector writes above).
+    SY = state.SY.at[ins, :].set(Y @ s).at[:, ins].set(S @ y)
+    yy_vec = Y @ y
+    YY = state.YY.at[ins, :].set(yy_vec).at[:, ins].set(yy_vec)
+
     gamma = state.gamma
     ub = state.opnorm_ub
     if scaling:
@@ -199,6 +260,8 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool) -
         A=A,
         B=B,
         norm_b2=nb2,
+        SY=SY,
+        YY=YY,
         gamma=gamma,
         insert=jnp.mod(ins + 1, mem).astype(jnp.int32),
         opnorm_ub=ub,
@@ -350,7 +413,8 @@ class LBFGSOperator(LinearOperator):
     # --- apply ---
     def _prod(self, v):
         if self._inverse:
-            return inverse_apply(self.state, v)
+            # compact (BNS) form: two (2mem, n) passes, no sequential loop
+            return inverse_apply_compact(self.state, v)
         return forward_apply(self.state, v)
 
     def apply_matrix(self, M, mode: str = "N"):

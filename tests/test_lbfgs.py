@@ -297,3 +297,25 @@ def test_lbfgs_operator_algebra(rng):
     ).T
     v = rng.standard_normal(n)
     assert_close(chain * v, dense @ v)
+
+
+def test_compact_inverse_equals_two_loop(rng):
+    """The compact (BNS) inverse apply is numerically identical to the
+    two-loop recursion — partial, full, and wrapped ring buffers."""
+    from linops_tpu.qn.lbfgs import inverse_apply, inverse_apply_compact
+
+    n, mem = 30, 6
+    for scaling in (False, True):
+        for pushes in (0, 2, mem, mem + 3):
+            H = InverseLBFGSOperator(n, mem=mem, scaling=scaling)
+            for _ in range(pushes):
+                s = rng.standard_normal(n)
+                y = s + 0.2 * rng.standard_normal(n)
+                H.push(s, y)
+            v = rng.standard_normal(n)
+            two_loop = np.asarray(inverse_apply(H.state, jnp.asarray(v)))
+            compact = np.asarray(inverse_apply_compact(H.state, jnp.asarray(v)))
+            np.testing.assert_allclose(
+                compact, two_loop, rtol=1e-11, atol=1e-11,
+                err_msg=f"scaling={scaling} pushes={pushes}",
+            )

@@ -299,3 +299,16 @@ def test_matmat(rng):
     assert_close(op.matmat(M), A @ M)
     U = simple_matrix(np.float64, 5, 2, rng)
     assert_close(op.matmat(U, mode="T"), A.T @ U)
+
+
+def test_row_vector_forms(rng):
+    """u @ op == opᵀu (reference u'*op / transpose(u)*op,
+    src/operations.jl:50-77; numpy 1-D convention)."""
+    A = simple_matrix(np.complex128, 5, 3, rng)
+    op = lo.LinearOperator(jnp.asarray(A))
+    u = rng.standard_normal(5) + 1j * rng.standard_normal(5)
+    assert_close(u @ op, A.T @ u)
+    # the adjoint row form u' * op = (op' u)' -> conj(opᴴ u)
+    assert_close(np.conj(u) @ op, A.T @ np.conj(u))
+    w = rng.standard_normal(3) + 1j * rng.standard_normal(3)
+    assert_close(np.asarray(op.H.T * w), np.conj(A) @ w)
