@@ -61,6 +61,7 @@ class LBFGSState(NamedTuple):
     norm_b2: jax.Array  # (mem,) ‖bᵢ‖² for the opnorm bound ((0,) for inverse)
     SY: jax.Array  # (mem, mem) Gram SᵀY: SY[i, j] = <sᵢ, yⱼ>
     YY: jax.Array  # (mem, mem) Gram YᵀY
+    SS: jax.Array  # (mem, mem) Gram SᵀS (forward compact / shifted solves)
     gamma: jax.Array  # () scaling factor γ (1 when scaling disabled)
     insert: jax.Array  # () int32 next ring slot, 0-based
     opnorm_ub: jax.Array  # () upper bound on ‖B‖₂ (forward form)
@@ -78,6 +79,7 @@ def _init_state(n: int, mem: int, dtype, inverse: bool) -> LBFGSState:
         norm_b2=jnp.zeros((fmem,), rdt),
         SY=jnp.zeros((mem, mem), dtype),
         YY=jnp.zeros((mem, mem), dtype),
+        SS=jnp.zeros((mem, mem), dtype),
         gamma=jnp.ones((), dtype),
         insert=jnp.zeros((), jnp.int32),
         opnorm_ub=jnp.ones((), rdt),
@@ -236,6 +238,8 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool) -
     SY = state.SY.at[ins, :].set(Y @ s).at[:, ins].set(S @ y)
     yy_vec = Y @ y
     YY = state.YY.at[ins, :].set(yy_vec).at[:, ins].set(yy_vec)
+    ss_vec = S @ s
+    SS = state.SS.at[ins, :].set(ss_vec).at[:, ins].set(ss_vec)
 
     gamma = state.gamma
     ub = state.opnorm_ub
@@ -262,6 +266,7 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool) -
         norm_b2=nb2,
         SY=SY,
         YY=YY,
+        SS=SS,
         gamma=gamma,
         insert=jnp.mod(ins + 1, mem).astype(jnp.int32),
         opnorm_ub=ub,

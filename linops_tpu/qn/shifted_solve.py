@@ -4,13 +4,20 @@ TPU-native implementation of the Erway-Jain-Marcia recursive
 Sherman-Morrison-Woodbury method (reference: src/utilities.jl:151-289;
 "Shifted L-BFGS Systems", Optim. Methods Softw. 29(5), 2014).
 
-The 2·mem sequential rank-1 corrections (alternating over the forward form's
-a/b vectors) have a loop-carried dependence; each step's inner
-Gram-Schmidt-like correction over previous p-vectors is batched as one
-``(2mem, n)`` mat-vec, so the whole solve is a single ``fori_loop`` of
-2·mem steps compiled into one XLA loop kernel — no per-step dispatch
-(SURVEY.md §7 hard part 1). The reference's preallocated ``shifted_p/v/u``
-workspaces (src/lbfgs.jl:21-23) become loop-carried values.
+Two methods:
+
+- ``compact`` (default): Woodbury on the forward compact (BNS)
+  representation — two (2·mem, n) passes + one small dense solve, fully
+  batched. Exact for every σ ≥ 0 including σ = 0 on partially-filled
+  rings.
+- ``ejm``: faithful EJM recursion; its 2·mem sequential rank-1 corrections
+  are a loop-carried ``fori_loop`` with the inner Gram-Schmidt-like
+  correction batched per step. NOTE: at σ = 0 with γ = 1 the recursion is
+  degenerate when the chronologically-oldest pair is processed first
+  (its ``a`` vector is unit-norm, so ``1 − x₀⟨a, p⟩ = 0``); the reference
+  sidesteps this only because its processing order starts one slot past
+  the insert position, which lands on the oldest pair only for
+  partially-filled buffers. Prefer ``compact``.
 """
 
 from __future__ import annotations
@@ -69,19 +76,71 @@ def _solve_shifted(state: LBFGSState, b, sigma):
     return x
 
 
-def solve_shifted_system(B: LBFGSOperator, b, sigma):
+@jax.jit
+def _solve_shifted_compact(state: LBFGSState, b, sigma):
+    """Woodbury solve on the forward compact (BNS) representation:
+
+      B = θI − U K⁻¹ Uᵀ,  U = [θS  Y],  K = [[θSᵀS, L], [Lᵀ, −D]]
+
+    (θ = 1/γ, L = strict lower triangle of SᵀY in chronological order,
+    D = diag(SᵀY)), so with c = θ + σ
+
+      (B + σI)⁻¹ b = b/c + U (cK − UᵀU)⁻¹ Uᵀb / c
+
+    — two (2·mem, n) passes + one (2·mem)² dense solve instead of the
+    EJM loop's 2·mem sequential rank-1 steps. Empty ring slots carry zero
+    U columns and unit K diagonal, contributing exactly nothing."""
+    mem, n = state.S.shape
+    dt = b.dtype
+    order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
+    valid = state.ys[order] != 0
+    vmask2 = valid[:, None] & valid[None, :]
+
+    theta = 1.0 / state.gamma
+    c = theta + sigma
+
+    SY_o = jnp.where(vmask2, state.SY[order][:, order], 0.0)
+    SS_o = jnp.where(vmask2, state.SS[order][:, order], 0.0)
+    YY_o = jnp.where(vmask2, state.YY[order][:, order], 0.0)
+    L = jnp.tril(SY_o, k=-1)
+    D = jnp.diag(jnp.diag(SY_o))
+
+    K = jnp.block([[theta * SS_o, L], [L.T, -D]])
+    UtU = jnp.block(
+        [[theta**2 * SS_o, theta * SY_o], [theta * SY_o.T, YY_o]]
+    )
+    M = c * K - UtU
+    # unit diagonal on empty coordinates keeps M nonsingular
+    valid2 = jnp.concatenate([valid, valid])
+    M = jnp.where(valid2[:, None] & valid2[None, :], M, 0.0) + jnp.diag(
+        jnp.where(valid2, 0.0, 1.0)
+    )
+
+    W = jnp.concatenate([theta * state.S[order], state.Y[order]], axis=0)  # U rows
+    Utb = W @ b
+    coef = jnp.linalg.solve(M, Utb)
+    return b / c + (W.T @ coef) / c
+
+
+def solve_shifted_system(B: LBFGSOperator, b, sigma, *, method: str = "compact"):
     """Solve ``(B + σI) x = b`` where B is a *forward* L-BFGS operator and
     σ ≥ 0 (reference solve_shifted_system!, src/utilities.jl:207-248).
 
-    Returns the solution vector (functional; the reference writes into a
-    preallocated ``x``)."""
+    ``method="compact"`` (default) uses the Woodbury/compact-form solve
+    (batched, TPU-native); ``method="ejm"`` runs the reference's
+    Erway-Jain-Marcia recursion. Returns the solution vector (functional;
+    the reference writes into a preallocated ``x``)."""
     if B.inverse:
         raise ValueError("solve_shifted_system requires a forward L-BFGS operator")
     sigma_f = float(sigma)
     if sigma_f < 0:
         raise ValueError("σ must be nonnegative")
     b = jnp.asarray(b, B.dtype)
-    return _solve_shifted(B.state, b, jnp.asarray(sigma_f, B.dtype))
+    if method == "compact":
+        return _solve_shifted_compact(B.state, b, jnp.asarray(sigma_f, B.dtype))
+    if method == "ejm":
+        return _solve_shifted(B.state, b, jnp.asarray(sigma_f, B.dtype))
+    raise ValueError(f"unknown method {method!r}")
 
 
 def ldiv(B: LBFGSOperator, b):

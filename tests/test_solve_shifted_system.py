@@ -69,3 +69,29 @@ def test_partial_memory(rng):
     b = np.asarray(B * x) + sigma * x
     x_sol = np.asarray(solve_shifted_system(B, b, sigma))
     np.testing.assert_allclose(x_sol, x, atol=1e-6, rtol=1e-6)
+
+
+def test_compact_equals_ejm_and_dense(rng):
+    """Woodbury/compact solve == EJM recursion == dense solve across
+    partial/full/wrapped rings, with and without scaling."""
+    n, mem = 40, 6
+    for scaling in (False, True):
+        for pushes in (2, mem, mem + 4):
+            B = LBFGSOperator(n, mem=mem, scaling=scaling)
+            for _ in range(pushes):
+                s = rng.standard_normal(n)
+                y = s + 0.3 * rng.standard_normal(n)
+                B.push(s, y)
+            b = rng.standard_normal(n)
+            for sigma in (0.0, 0.37):
+                x_c = np.asarray(solve_shifted_system(B, b, sigma))
+                Bd = np.asarray(B.to_dense())
+                x_d = np.linalg.solve(Bd + sigma * np.eye(n), b)
+                np.testing.assert_allclose(x_c, x_d, rtol=1e-9, atol=1e-9,
+                    err_msg=f"compact vs dense: scaling={scaling} pushes={pushes} sigma={sigma}")
+                # EJM is degenerate at sigma=0 on partially-filled rings
+                # (see shifted_solve.py docstring); compare elsewhere.
+                if sigma > 0 or pushes >= mem:
+                    x_e = np.asarray(solve_shifted_system(B, b, sigma, method="ejm"))
+                    np.testing.assert_allclose(x_e, x_d, rtol=1e-8, atol=1e-8,
+                        err_msg=f"ejm vs dense: scaling={scaling} pushes={pushes} sigma={sigma}")
