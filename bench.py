@@ -26,7 +26,7 @@ import numpy as np
 import linops_tpu as lo
 
 _ROOFLINE_GBPS = {"tpu": 819.0, "cpu": 50.0}
-I_SHORT, I_LONG = 10, 60
+I_SHORT, I_LONG = 50, 1050  # delta must dwarf per-call jitter (~30 ms)
 
 
 def _sync(out):
@@ -34,18 +34,22 @@ def _sync(out):
     np.asarray(leaf.ravel()[0])
 
 
-def _marginal_apply_time(op, v):
-    """Seconds per apply, net of per-call overhead."""
+def _marginal_apply_time(op, v, reps: int = 3):
+    """Seconds per apply: median of repeated (long - short) chain deltas,
+    which cancels per-call dispatch/relay overhead."""
     f = lo.matvec_chain
     _sync(f(op, v, I_SHORT))  # compile short
     _sync(f(op, v, I_LONG))  # compile long
-    t0 = time.perf_counter()
-    _sync(f(op, v, I_SHORT))
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _sync(f(op, v, I_LONG))
-    t_long = time.perf_counter() - t0
-    return max(t_long - t_short, 1e-9) / (I_LONG - I_SHORT)
+    deltas = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(f(op, v, I_SHORT))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(f(op, v, I_LONG))
+        t_long = time.perf_counter() - t0
+        deltas.append(t_long - t_short)
+    return max(float(np.median(deltas)), 1e-9) / (I_LONG - I_SHORT)
 
 
 def main():
@@ -106,7 +110,7 @@ def main():
                 "detail": {
                     "platform": platform,
                     "roofline_gbs": roofline,
-                    "timing": "marginal (60-10 chain iterations)",
+                    "timing": f"marginal ({I_LONG}-{I_SHORT} chain iterations, median of 3)",
                     "chain_gbs": round(chain_gbs, 2),
                     "chain_us_per_apply": round(t_chain * 1e6, 1),
                     "spmv_gnnz_per_s": round(spmv_gnnzs, 3),

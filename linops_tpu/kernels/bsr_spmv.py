@@ -1,16 +1,17 @@
 """Pallas TPU kernel: BSR SpMV (block-sparse matrix · vector).
 
 The XLA fallback (sparse/ops.py) materializes the gathered x-blocks
-``x[block_cols]`` — an (nbrow·kmax·bn) HBM round-trip — before the
-contraction. This kernel keeps x resident in VMEM and gathers block
+``x[block_cols]`` — an extra HBM round-trip proportional to nnz — before
+the contraction. This kernel keeps x resident in VMEM and gathers block
 segments on-chip, so HBM traffic is the block values once plus x once:
 the speed-of-light for SpMV (BASELINE.md: ≥80% roofline nnz/s).
 
-Layout: grid over groups of R=8 block-rows (to satisfy the (8, 128) tile
-constraint on the (nbrow, bm) output); ``block_cols`` rides the
-scalar-prefetch slot (pltpu.PrefetchScalarGridSpec) so block indices are in
-SMEM before the body runs; the (R, kmax, bm, bn) values tile is DMA'd by
-the pallas pipeline (double-buffered) while the previous tile computes.
+Layout: blocks are stored row-major *within a block-row group* as
+``(nbrow, bm, kmax, bn)`` ("m-first"), so one block-row's values flatten to
+a contiguous ``(bm, kmax·bn)`` matrix and the contraction is a single 2-D
+dot against the on-chip-gathered ``(kmax·bn,)`` segment vector. Grid over
+groups of R=8 block-rows (the (8, ·) output tile constraint);
+``block_cols`` rides the scalar-prefetch slot so indices live in SMEM.
 """
 
 from __future__ import annotations
@@ -22,44 +23,46 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bsr_matvec_pallas", "BSR_PALLAS_ROWS_PER_PROGRAM"]
+__all__ = ["bsr_matvec_pallas", "to_mfirst", "BSR_PALLAS_ROWS_PER_PROGRAM"]
 
 BSR_PALLAS_ROWS_PER_PROGRAM = 8  # R block-rows per grid step
 
 
+def to_mfirst(blocks):
+    """(nbrow, kmax, bm, bn) storage → (nbrow, bm, kmax, bn) kernel layout."""
+    return jnp.transpose(blocks, (0, 2, 1, 3))
+
+
 def _bsr_kernel(cols_ref, x_ref, blocks_ref, y_ref):
-    """R block-rows: y[r] = Σ_k blocks[r, k] @ x[cols[r, k]]."""
+    """R block-rows: y[r] = reshape(blocks[r], (bm, kmax·bn)) @ gather(x)."""
     i = pl.program_id(0)
-    R, kmax, bm, bn = blocks_ref.shape
+    R, bm, kmax, bn = blocks_ref.shape
 
-    def body(k, acc_rows):
-        new_rows = []
-        for r in range(R):  # static unroll over the row group
-            j = cols_ref[i * R + r, k]
-            xk = x_ref[j, :]  # (bn,) on-chip gather
-            new_rows.append(
-                acc_rows[r]
-                + jnp.dot(blocks_ref[r, k], xk, preferred_element_type=y_ref.dtype)
+    rows = []
+    for r in range(R):  # static unroll
+        acc = jnp.zeros((bm,), dtype=y_ref.dtype)
+        for k in range(kmax):  # static unroll; gathers stay in VMEM
+            xk = x_ref[cols_ref[i * R + r, k], :]
+            acc = acc + jnp.dot(
+                blocks_ref[r, :, k, :], xk, preferred_element_type=y_ref.dtype
             )
-        return tuple(new_rows)
-
-    acc0 = tuple(jnp.zeros((bm,), dtype=y_ref.dtype) for _ in range(R))
-    rows = jax.lax.fori_loop(0, kmax, body, acc0)
+        rows.append(acc)
     y_ref[:, :] = jnp.stack(rows)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def bsr_matvec_pallas(blocks, block_cols, x_blocks, *, interpret=False):
-    """y_blocks (nbrow, bm) = BSR(blocks, block_cols) @ x_blocks (nbcol, bn).
+def bsr_matvec_pallas(blocks_mfirst, block_cols, x_blocks, *, interpret=False):
+    """y_blocks (nbrow, bm) = BSR @ x_blocks (nbcol, bn), with blocks in
+    m-first layout (see ``to_mfirst``).
 
     Requires nbrow divisible by 8 (callers pad); ``x_blocks`` must fit VMEM
     (up to ~2M f32 entries) — callers fall back to the XLA path beyond that.
     """
-    nbrow, kmax, bm, bn = blocks.shape
+    nbrow, bm, kmax, bn = blocks_mfirst.shape
     R = BSR_PALLAS_ROWS_PER_PROGRAM
     if nbrow % R != 0:
         raise ValueError(f"nbrow={nbrow} must be a multiple of {R} (pad the BSR)")
-    dtype = jnp.result_type(blocks.dtype, x_blocks.dtype)
+    dtype = jnp.result_type(blocks_mfirst.dtype, x_blocks.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # block_cols -> SMEM
@@ -67,7 +70,7 @@ def bsr_matvec_pallas(blocks, block_cols, x_blocks, *, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident in VMEM
             pl.BlockSpec(
-                (R, kmax, bm, bn),
+                (R, bm, kmax, bn),
                 lambda i, cols: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -80,4 +83,4 @@ def bsr_matvec_pallas(blocks, block_cols, x_blocks, *, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbrow, bm), dtype),
         interpret=interpret,
-    )(block_cols, x_blocks.astype(dtype), blocks.astype(dtype))
+    )(block_cols, x_blocks.astype(dtype), blocks_mfirst.astype(dtype))

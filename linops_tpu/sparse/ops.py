@@ -179,7 +179,33 @@ class CSROperator(_SparseBase):
 class BSROperator(_SparseBase):
     """Block-sparse-row operator — the TPU-native format: apply is a batched
     dense block contraction (MXU), indexing is per 8×128 (or larger) block.
+
+    ``backend="pallas"`` uses the fused VMEM-gather kernel for the forward
+    apply (kernels/bsr_spmv.py) — requires TPU, x small enough for VMEM, and
+    pads nbrow to a multiple of 8; other modes and oversize inputs fall back
+    to the XLA path.
     """
+
+    _fields_children = ("data", "_mfirst")
+    _fields_aux = ("_symmetric", "_hermitian", "_backend")
+
+    def __init__(self, data, symmetric: bool = False, hermitian: bool = False,
+                 backend: str = "xla"):
+        super().__init__(data, symmetric, hermitian)
+        self._backend = backend
+        if backend == "pallas":
+            from ..kernels.bsr_spmv import to_mfirst, BSR_PALLAS_ROWS_PER_PROGRAM
+
+            R = BSR_PALLAS_ROWS_PER_PROGRAM
+            blocks, cols = data.blocks, data.block_cols
+            pad = (-blocks.shape[0]) % R
+            if pad:
+                blocks = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                cols = jnp.pad(cols, ((0, pad), (0, 0)))
+                self.data = BSR(blocks=blocks, block_cols=cols, shape=data.shape)
+            self._mfirst = to_mfirst(self.data.blocks)
+        else:
+            self._mfirst = None
 
     def _pad_in(self, v, dim_blocks, bsize):
         need = dim_blocks * bsize
@@ -193,7 +219,12 @@ class BSROperator(_SparseBase):
         nbrow = d.blocks.shape[0]
         nbcol = -(-d.shape[1] // bn)
         xb = self._pad_in(v, nbcol, bn).reshape(nbcol, bn)
-        y = bsr_matvec(d.blocks, d.block_cols, xb).reshape(nbrow * bm)
+        if self._mfirst is not None:
+            from ..kernels.bsr_spmv import bsr_matvec_pallas
+
+            y = bsr_matvec_pallas(self._mfirst, d.block_cols, xb).reshape(nbrow * bm)
+        else:
+            y = bsr_matvec(d.blocks, d.block_cols, xb).reshape(nbrow * bm)
         return y[: d.shape[0]]
 
     def _tprod(self, u):
@@ -233,6 +264,7 @@ def opSparse(
     symmetric: bool = False,
     hermitian: bool = False,
     tol: float = 0.0,
+    backend: str = "xla",
 ) -> _SparseBase:
     """Build a sparse operator from a dense array, a scipy sparse matrix, or
     a prebuilt COO/CSR/BSR pytree. ``format`` in {'coo', 'csr', 'bsr'}."""
@@ -241,7 +273,7 @@ def opSparse(
     if isinstance(A, CSR):
         return CSROperator(A, symmetric, hermitian)
     if isinstance(A, BSR):
-        return BSROperator(A, symmetric, hermitian)
+        return BSROperator(A, symmetric, hermitian, backend=backend)
 
     # scipy sparse?
     if hasattr(A, "tocsr"):
@@ -264,6 +296,7 @@ def opSparse(
                     BSR(_jnp.asarray(blocks), _jnp.asarray(bcols), tuple(sp.shape)),
                     symmetric,
                     hermitian,
+                    backend=backend,
                 )
             except Exception:
                 pass
@@ -275,5 +308,5 @@ def opSparse(
     if format == "csr":
         return CSROperator(csr_from_dense(A, tol), symmetric, hermitian)
     if format == "bsr":
-        return BSROperator(bsr_from_dense(A, block_shape, tol), symmetric, hermitian)
+        return BSROperator(bsr_from_dense(A, block_shape, tol), symmetric, hermitian, backend=backend)
     raise ValueError(f"unknown sparse format {format!r}")
