@@ -69,19 +69,27 @@ def main():
     chain_gbs = 4 * n * bpe / t_chain / 1e9  # d1, d2, v, out
 
     # --- (2) BSR SpMV chain ------------------------------------------------
+    # 128x128 blocks — the MXU-native tile; 1/16 density ≈ 67M nnz.
     from linops_tpu.sparse.formats import BSR
 
     ns = 65536
-    blocks = jnp.asarray(rng.standard_normal((ns // 8, 8, 8, 128)).astype(np.float32))
-    cols = jnp.asarray(
-        rng.integers(0, ns // 128, size=(ns // 8, 8)).astype(np.int32)
+    blocks = jnp.asarray(
+        rng.standard_normal((ns // 128, 4, 128, 128)).astype(np.float32)
     )
+    cols = jnp.asarray(rng.integers(0, ns // 128, size=(ns // 128, 4)).astype(np.int32))
     opB = lo.BSROperator(BSR(blocks=blocks, block_cols=cols, shape=(ns, ns)))
     vs = jnp.ones((ns,), dtype)
     t_spmv = _marginal_apply_time(opB, vs)
     nnz = int(blocks.size)
     spmv_gnnzs = nnz / t_spmv / 1e9
     spmv_gbs = nnz * bpe / t_spmv / 1e9
+
+    # fine-grained 8x128 variant (same nnz), reported in detail
+    blocks8 = jnp.asarray(rng.standard_normal((ns // 8, 8, 8, 128)).astype(np.float32))
+    cols8 = jnp.asarray(rng.integers(0, ns // 128, size=(ns // 8, 8)).astype(np.int32))
+    opB8 = lo.BSROperator(BSR(blocks=blocks8, block_cols=cols8, shape=(ns, ns)))
+    t_spmv8 = _marginal_apply_time(opB8, vs)
+    spmv8_gbs = blocks8.size * bpe / t_spmv8 / 1e9
 
     # --- (3) L-BFGS applies ------------------------------------------------
     mem = 16
@@ -99,6 +107,44 @@ def main():
     fwd_gbs = 2 * (2 * mem) * n * bpe / t_fwd / 1e9
     inv_gbs = 2 * (2 * mem) * n * bpe / t_inv / 1e9
 
+    # --- (4) operator-algebra stress: cat/blockdiag/restriction + SpMM -----
+    import jax.numpy as _jnp
+    from jax import lax as _lax
+
+    na = 8192
+    k_rhs = 8
+    Ad = jnp.asarray(rng.standard_normal((na, na)).astype(np.float32))
+    stress = (
+        2.0
+        * lo.hcat(lo.LinearOperator(Ad), lo.opDiagonal(jnp.abs(jnp.diag(Ad)) + 1.0))[
+            jnp.arange(na), jnp.arange(na)
+        ]
+        + lo.BlockDiagonalOperator(
+            lo.LinearOperator(Ad[: na // 2, : na // 2]),
+            lo.LinearOperator(Ad[na // 2 :, na // 2 :]),
+        )
+    )
+    X = jnp.ones((na, k_rhs), dtype)
+
+    @jax.jit
+    def _stress_chain(op, X, iters):
+        def body(_, M):
+            M2 = op.apply_matrix(M, "N")
+            return M2 / jnp.linalg.norm(M2)
+        return _lax.fori_loop(0, iters, body, X)
+
+    _sync(_stress_chain(stress, X, 50))
+    _sync(_stress_chain(stress, X, 450))
+    t0 = time.perf_counter()
+    _sync(_stress_chain(stress, X, 50))
+    ts1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sync(_stress_chain(stress, X, 450))
+    ts2 = time.perf_counter() - t0
+    t_stress = max(ts2 - ts1, 1e-9) / 400
+    # dominant traffic: the two dense blocks (na^2/2) + full dense (na^2), x k RHS
+    stress_gbs = 1.5 * na * na * bpe / t_stress / 1e9
+
     vs_ratio = spmv_gbs / roofline
     print(
         json.dumps(
@@ -115,10 +161,13 @@ def main():
                     "chain_us_per_apply": round(t_chain * 1e6, 1),
                     "spmv_gnnz_per_s": round(spmv_gnnzs, 3),
                     "spmv_us_per_apply": round(t_spmv * 1e6, 1),
+                    "spmv_8x128_gbs": round(spmv8_gbs, 2),
                     "lbfgs_fwd_gbs_2pass": round(fwd_gbs, 2),
                     "lbfgs_inv_gbs_2pass": round(inv_gbs, 2),
                     "lbfgs_fwd_us": round(t_fwd * 1e6, 1),
                     "lbfgs_inv_us": round(t_inv * 1e6, 1),
+                    "algebra_stress_spmm_gbs": round(stress_gbs, 2),
+                    "algebra_stress_us": round(t_stress * 1e6, 1),
                 },
             }
         )

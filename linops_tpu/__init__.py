@@ -71,6 +71,7 @@ from .qn import (
     SpectralGradient,
     DiagonalBFGS,
     solve_shifted_system,
+    solve_shifted_systems,
     ldiv,
 )
 
@@ -158,6 +159,7 @@ __all__ = [
     "SpectralGradient",
     "DiagonalBFGS",
     "solve_shifted_system",
+    "solve_shifted_systems",
     "ldiv",
     "COO",
     "CSR",

@@ -11,7 +11,7 @@ from .diagonal import (
     SpectralGradient,
     DiagonalBFGS,
 )
-from .shifted_solve import solve_shifted_system, ldiv
+from .shifted_solve import solve_shifted_system, solve_shifted_systems, ldiv
 
 __all__ = [
     "LBFGSState",
@@ -25,5 +25,6 @@ __all__ = [
     "SpectralGradient",
     "DiagonalBFGS",
     "solve_shifted_system",
+    "solve_shifted_systems",
     "ldiv",
 ]

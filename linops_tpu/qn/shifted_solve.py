@@ -30,7 +30,7 @@ from jax import lax
 
 from .lbfgs import LBFGSOperator, LBFGSState
 
-__all__ = ["solve_shifted_system", "ldiv"]
+__all__ = ["solve_shifted_system", "solve_shifted_systems", "ldiv"]
 
 
 @jax.jit
@@ -141,6 +141,21 @@ def solve_shifted_system(B: LBFGSOperator, b, sigma, *, method: str = "compact")
     if method == "ejm":
         return _solve_shifted(B.state, b, jnp.asarray(sigma_f, B.dtype))
     raise ValueError(f"unknown method {method!r}")
+
+
+def solve_shifted_systems(B: LBFGSOperator, b, sigmas):
+    """Solve ``(B + σᵢI) x = b`` for a whole batch of shifts at once —
+    ``vmap`` of the compact solve, sharing the two (2·mem, n) passes'
+    inputs across shifts. The trust-region use case (several σ per
+    subproblem) the reference handles with repeated sequential solves.
+    Returns an (len(sigmas), n) array."""
+    if B.inverse:
+        raise ValueError("solve_shifted_systems requires a forward L-BFGS operator")
+    sig = jnp.atleast_1d(jnp.asarray(sigmas, B.dtype))
+    if bool(jnp.any(sig < 0)):
+        raise ValueError("σ must be nonnegative")
+    b = jnp.asarray(b, B.dtype)
+    return jax.vmap(lambda s: _solve_shifted_compact(B.state, b, s))(sig)
 
 
 def ldiv(B: LBFGSOperator, b):

@@ -95,3 +95,23 @@ def test_compact_equals_ejm_and_dense(rng):
                     x_e = np.asarray(solve_shifted_system(B, b, sigma, method="ejm"))
                     np.testing.assert_allclose(x_e, x_d, rtol=1e-8, atol=1e-8,
                         err_msg=f"ejm vs dense: scaling={scaling} pushes={pushes} sigma={sigma}")
+
+
+def test_batched_sigmas(rng):
+    """vmapped multi-shift solve matches per-shift solves."""
+    from linops_tpu.qn.shifted_solve import solve_shifted_systems
+
+    n, mem = 30, 5
+    B = LBFGSOperator(n, mem=mem, scaling=True)
+    for _ in range(7):
+        s = rng.standard_normal(n)
+        B.push(s, s + 0.2 * rng.standard_normal(n))
+    b = rng.standard_normal(n)
+    sigmas = np.array([0.0, 0.1, 1.0, 10.0])
+    X = np.asarray(solve_shifted_systems(B, b, sigmas))
+    Bd = np.asarray(B.to_dense())
+    for i, sg in enumerate(sigmas):
+        ref = np.linalg.solve(Bd + sg * np.eye(n), b)
+        np.testing.assert_allclose(X[i], ref, rtol=1e-9, atol=1e-10)
+    with pytest.raises(ValueError):
+        solve_shifted_systems(B, b, [-0.1, 0.2])
