@@ -150,3 +150,34 @@ def test_block_diagonal(dtype, rng):
     S2 = lo.LinearOperator(simple_matrix(np.float64, 3, 3, rng, symmetric=True), symmetric=True, hermitian=True)
     assert lo.BlockDiagonalOperator(S1, S2).symmetric
     assert not op.symmetric
+
+
+def test_restriction_extension_identities(rng):
+    """P·Z = I on the index set; Z·P zeroes the complement
+    (reference test/test_linop.jl:457-460)."""
+    import jax.numpy as jnp
+    n = 10
+    v = rng.standard_normal(n)
+    for idx in (np.array([0, 1, 3, 6]), np.arange(2, 6), np.arange(0, 7, 2)):
+        P = lo.opRestriction(idx, n)
+        Z = lo.opExtension(idx, n)
+        w = v[idx]
+        vz = np.zeros(n)
+        vz[idx] = v[idx]
+        np.testing.assert_allclose(np.asarray(P * v), w)
+        np.testing.assert_allclose(np.asarray(P.H * w), vz)
+        np.testing.assert_allclose(np.asarray(Z * w), vz)
+        np.testing.assert_allclose(np.asarray(Z.H * v), w)
+        np.testing.assert_allclose(np.asarray((P @ Z) * w), w)
+        np.testing.assert_allclose(np.asarray((Z @ P) * v), vz)
+
+
+def test_integer_operator(rng):
+    """Integer-valued matrices wrap and pass the property checks
+    (reference test/test_linop.jl:429-435)."""
+    import jax.numpy as jnp
+    A = np.round(rng.standard_normal((6, 6)) * 3).astype(np.int64)
+    op = lo.LinearOperator(jnp.asarray(A))
+    assert lo.check_ctranspose(op)
+    assert lo.check_hermitian(op + op.H)
+    assert lo.check_positive_definite(op @ op.H + 20 * lo.opEye(6))
