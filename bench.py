@@ -142,8 +142,8 @@ def main():
     _sync(_stress_chain(stress, X, 450))
     ts2 = time.perf_counter() - t0
     t_stress = max(ts2 - ts1, 1e-9) / 400
-    # dominant traffic: the two dense blocks (na^2/2) + full dense (na^2), x k RHS
-    stress_gbs = 1.5 * na * na * bpe / t_stress / 1e9
+    # per-apply time only: XLA legitimately eliminates the zero-extension
+    # branch of the sliced hcat, so a bytes/s figure would over-credit.
 
     vs_ratio = spmv_gbs / roofline
     print(
@@ -166,8 +166,7 @@ def main():
                     "lbfgs_inv_gbs_2pass": round(inv_gbs, 2),
                     "lbfgs_fwd_us": round(t_fwd * 1e6, 1),
                     "lbfgs_inv_us": round(t_inv * 1e6, 1),
-                    "algebra_stress_spmm_gbs": round(stress_gbs, 2),
-                    "algebra_stress_us": round(t_stress * 1e6, 1),
+                    "algebra_stress_spmm_us": round(t_stress * 1e6, 1),
                 },
             }
         )
