@@ -167,9 +167,45 @@ def inverse_apply_compact(state: LBFGSState, x):
     return gamma * x + W.T @ coeff
 
 
+def _forward_compact_parts(state: LBFGSState):
+    """Chronologically-ordered pieces of the forward compact form
+    B = θI − U K⁻¹ Uᵀ with U = [θS Y], K = [[θSᵀS, L], [Lᵀ, −D]]
+    (Byrd-Nocedal-Schnabel 1994, thm 2.3). Empty slots get unit K diagonal
+    and zero U columns."""
+    mem = state.S.shape[0]
+    order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
+    valid = state.ys[order] != 0
+    vmask2 = valid[:, None] & valid[None, :]
+
+    theta = 1.0 / state.gamma
+    SY_o = jnp.where(vmask2, state.SY[order][:, order], 0.0)
+    SS_o = jnp.where(vmask2, state.SS[order][:, order], 0.0)
+    L = jnp.tril(SY_o, k=-1)
+    D = jnp.diag(jnp.diag(SY_o))
+    K = jnp.block([[theta * SS_o, L], [L.T, -D]])
+    valid2 = jnp.concatenate([valid, valid])
+    K = jnp.where(valid2[:, None] & valid2[None, :], K, 0.0) + jnp.diag(
+        jnp.where(valid2, 0.0, 1.0)
+    )
+    W = jnp.concatenate([theta * state.S[order], state.Y[order]], axis=0)
+    return theta, K, W
+
+
+def forward_apply_compact(state: LBFGSState, x):
+    """Forward product via the compact representation: TWO (2·mem, n)
+    passes + one (2·mem)² solve — the same roofline shape as the compact
+    inverse apply; numerically identical to the a/b form
+    (reference src/lbfgs.jl:173-202)."""
+    theta, K, W = _forward_compact_parts(state)
+    coef = jnp.linalg.solve(K, W @ x)
+    return theta * x - W.T @ coef
+
+
 def forward_apply(state: LBFGSState, x):
-    """B v = v/γ + Bᵀ(B v) − Aᵀ(A v) as batched (mem, n) mat-vecs
-    (reference src/lbfgs.jl:173-202; empty slots hold zero rows)."""
+    """B v = v/γ + Bᵀ(B v) − Aᵀ(A v) as batched (mem, n) mat-vecs over the
+    reference's a/b vectors (reference src/lbfgs.jl:173-202; empty slots
+    hold zero rows). Kept as the parity/reference path; the operator's hot
+    apply uses ``forward_apply_compact``."""
     q = x / state.gamma
     bx = state.B @ x
     ax = state.A @ x
@@ -417,14 +453,15 @@ class LBFGSOperator(LinearOperator):
 
     # --- apply ---
     def _prod(self, v):
+        # compact (BNS) forms: two (2mem, n) passes, no sequential loop
         if self._inverse:
-            # compact (BNS) form: two (2mem, n) passes, no sequential loop
             return inverse_apply_compact(self.state, v)
-        return forward_apply(self.state, v)
+        return forward_apply_compact(self.state, v)
 
     def apply_matrix(self, M, mode: str = "N"):
         if not self._inverse:
-            return forward_apply_matrix(self.state, M)
+            theta, K, W = _forward_compact_parts(self.state)
+            return theta * M - W.T @ jnp.linalg.solve(K, W @ M)
         return super().apply_matrix(M, mode)
 
     # --- state updates ---

@@ -319,3 +319,43 @@ def test_compact_inverse_equals_two_loop(rng):
                 compact, two_loop, rtol=1e-11, atol=1e-11,
                 err_msg=f"scaling={scaling} pushes={pushes}",
             )
+
+
+def test_compact_forward_equals_ab_form(rng):
+    """The compact forward apply equals the reference a/b form across
+    partial/full/wrapped rings, scaling on/off, and damped pushes."""
+    from linops_tpu.qn.lbfgs import forward_apply, forward_apply_compact
+
+    n, mem = 25, 6
+    for scaling in (False, True):
+        for damped in (False, True):
+            for pushes in (0, 2, mem, mem + 3):
+                B = LBFGSOperator(n, mem=mem, scaling=scaling, damped=damped)
+                for _ in range(pushes):
+                    s = rng.standard_normal(n)
+                    y = s + 0.2 * rng.standard_normal(n)
+                    B.push(s, y)
+                v = rng.standard_normal(n)
+                ab = np.asarray(forward_apply(B.state, jnp.asarray(v)))
+                compact = np.asarray(forward_apply_compact(B.state, jnp.asarray(v)))
+                np.testing.assert_allclose(
+                    compact, ab, rtol=1e-10, atol=1e-10,
+                    err_msg=f"scaling={scaling} damped={damped} pushes={pushes}",
+                )
+
+
+def test_compact_forward_identical_pairs():
+    """Repeated identical pairs keep K invertible (BNS invertibility only
+    needs ys > 0) and the product consistent with the a/b form."""
+    from linops_tpu.qn.lbfgs import forward_apply, forward_apply_compact
+
+    n, mem = 10, 4
+    B = LBFGSOperator(n, mem=mem, scaling=False)
+    s = np.ones(n)
+    y = np.concatenate([[2.0], np.ones(n - 1)])
+    for _ in range(3):
+        B.push(s, y)
+    v = np.linspace(-1, 1, n)
+    ab = np.asarray(forward_apply(B.state, jnp.asarray(v)))
+    compact = np.asarray(forward_apply_compact(B.state, jnp.asarray(v)))
+    np.testing.assert_allclose(compact, ab, rtol=1e-9, atol=1e-9)
