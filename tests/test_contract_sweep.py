@@ -88,3 +88,36 @@ def test_contract_sweep_jit_cacheable(rng):
     for name, op, dense in _operators(rng):
         v = jnp.asarray(rng.standard_normal(dense.shape[1]))
         assert_close(f(op, v), dense @ v)
+
+
+def test_contract_sweep_complex(rng):
+    """Complex-dtype contract: matvec/adjoint/transpose/conj against dense
+    oracles for the families with complex support (reference test_linop.jl
+    uses ComplexF64 throughout)."""
+    n = 10
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    d = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    Asp = A * (rng.random((n, n)) < 0.4)
+    mat = lo.LinearOperator(jnp.asarray(A))
+    cases = [
+        ("matrix", mat, A),
+        ("diagonal", lo.opDiagonal(jnp.asarray(d)), np.diag(d)),
+        ("scale", (1 + 2j) * mat, (1 + 2j) * A),
+        ("compose", mat @ mat, A @ A),
+        ("sum", mat + mat.T, A + A.T),
+        ("csr", lo.opSparse(Asp, format="csr"), Asp),
+        ("coo", lo.opSparse(Asp, format="coo"), Asp),
+        ("shifted", lo.ShiftedOperator(mat, 0.5 - 1j), A + (0.5 - 1j) * np.eye(n)),
+        ("kron", lo.kron(lo.LinearOperator(jnp.asarray(A[:3, :3])), lo.LinearOperator(jnp.asarray(A[:4, :4]))),
+         np.kron(A[:3, :3], A[:4, :4])),
+        ("hcat", lo.hcat(mat, mat), np.hstack([A, A])),
+    ]
+    for name, op, dense in cases:
+        m2, n2 = dense.shape
+        v = rng.standard_normal(n2) + 1j * rng.standard_normal(n2)
+        u = rng.standard_normal(m2) + 1j * rng.standard_normal(m2)
+        assert_close(op * v, dense @ v)
+        assert_close(op.H * u, dense.conj().T @ u)
+        assert_close(op.T * u, dense.T @ u)
+        assert_close(op.conj() * v, np.conj(dense) @ v)
+        assert_close(op.to_dense(), dense, rtol=1e-10)
