@@ -83,7 +83,10 @@ class Scale(LinearOperator):
 
     @property
     def dtype(self):
-        return jnp.result_type(jnp.result_type(self.alpha), self.op.dtype)
+        # result_type with the raw scalar keeps Python-number weak typing
+        # (2.0 * float32-op stays float32, matching reference promote_type
+        # ergonomics).
+        return jnp.result_type(self.alpha, self.op.dtype)
 
     @property
     def symmetric(self):
