@@ -91,6 +91,15 @@ def main():
     t_spmv8 = _marginal_apply_time(opB8, vs)
     spmv8_gbs = blocks8.size * bpe / t_spmv8 / 1e9
 
+    # --- (2b) 5-point Laplacian stencil chain (DIA format) -----------------
+    ngrid = 2048
+    L = lo.laplacian_2d(ngrid, ngrid, dtype=dtype)  # n = 4.2M
+    vl = jnp.ones((ngrid * ngrid,), dtype)
+    t_stencil = _marginal_apply_time(L, vl)
+    # traffic: 5 diagonals + x + y = 7n
+    stencil_gbs = 7 * ngrid * ngrid * bpe / t_stencil / 1e9
+    stencil_gnnzs = 5 * ngrid * ngrid / t_stencil / 1e9
+
     # --- (3) L-BFGS applies ------------------------------------------------
     mem = 16
     B = lo.LBFGSOperator(dtype, n, mem=mem)
@@ -162,6 +171,9 @@ def main():
                     "spmv_gnnz_per_s": round(spmv_gnnzs, 3),
                     "spmv_us_per_apply": round(t_spmv * 1e6, 1),
                     "spmv_8x128_gbs": round(spmv8_gbs, 2),
+                    "stencil_dia_gbs": round(stencil_gbs, 2),
+                    "stencil_dia_gnnz_per_s": round(stencil_gnnzs, 3),
+                    "stencil_us_per_apply": round(t_stencil * 1e6, 1),
                     "lbfgs_fwd_gbs_2pass": round(fwd_gbs, 2),
                     "lbfgs_inv_gbs_2pass": round(inv_gbs, 2),
                     "lbfgs_fwd_us": round(t_fwd * 1e6, 1),

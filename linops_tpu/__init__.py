@@ -83,6 +83,11 @@ from .sparse import (
     CSROperator,
     BSROperator,
     opSparse,
+    DIAOperator,
+    opDIA,
+    dia_from_dense,
+    laplacian_1d,
+    laplacian_2d,
 )
 
 from .utils.norm import normest, estimate_opnorm
@@ -168,6 +173,11 @@ __all__ = [
     "CSROperator",
     "BSROperator",
     "opSparse",
+    "DIAOperator",
+    "opDIA",
+    "dia_from_dense",
+    "laplacian_1d",
+    "laplacian_2d",
     "normest",
     "matvec_chain",
     "cg",

@@ -3,6 +3,7 @@ formats' + 'Pallas apply kernels')."""
 
 from .formats import COO, CSR, BSR, coo_from_dense, csr_from_dense, bsr_from_dense
 from .ops import COOOperator, CSROperator, BSROperator, opSparse
+from .dia import DIAOperator, opDIA, dia_from_dense, laplacian_1d, laplacian_2d
 
 __all__ = [
     "COO",
@@ -15,4 +16,9 @@ __all__ = [
     "CSROperator",
     "BSROperator",
     "opSparse",
+    "DIAOperator",
+    "opDIA",
+    "dia_from_dense",
+    "laplacian_1d",
+    "laplacian_2d",
 ]
