@@ -1,0 +1,18 @@
+"""Pallas TPU kernels (SURVEY.md §2.3 'Pallas apply kernels').
+
+The XLA paths are the defaults wherever they already reach the HBM
+roofline (measured: dense matvec ~700 GB/s, 128x128 BSR ~734 GB/s, compact
+L-BFGS applies 280-350 us at n=1e6); these kernels cover the cases where
+explicit VMEM management wins or may win:
+
+- ``bsr_spmv``: BSR SpMV with on-chip x gather (opt-in via
+  ``BSROperator(backend="pallas")``)
+- ``lbfgs_fwd``: fused two-pass forward L-BFGS apply over the a/b vectors
+  (superseded as the default by the compact-form apply, kept as an
+  alternative for a/b-resident workflows)
+"""
+
+from .bsr_spmv import bsr_matvec_pallas, to_mfirst
+from .lbfgs_fwd import lbfgs_forward_pallas
+
+__all__ = ["bsr_matvec_pallas", "to_mfirst", "lbfgs_forward_pallas"]

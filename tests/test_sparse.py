@@ -122,3 +122,37 @@ def test_sparse_no_recompile(rng):
     op2.matvec(v)
     op.matvec(v)
     assert lo.apply_cache_sizes() == before
+
+
+def test_pallas_bsr_interpret(rng):
+    """Pallas BSR kernel (interpret mode) matches the XLA path."""
+    import jax.numpy as jnp
+    from linops_tpu.sparse.formats import bsr_from_dense
+    from linops_tpu.kernels import bsr_matvec_pallas, to_mfirst
+
+    n = 256
+    A = sprand(rng, n, n, 0.1).astype(np.float32)
+    bsr = bsr_from_dense(A, (8, 32))
+    nbrow = bsr.blocks.shape[0]
+    pad = (-nbrow) % 8
+    blocks = jnp.pad(bsr.blocks, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    cols = jnp.pad(bsr.block_cols, ((0, pad), (0, 0)))
+    xb = jnp.asarray(rng.standard_normal(n).astype(np.float32)).reshape(-1, 32)
+    y = bsr_matvec_pallas(to_mfirst(blocks), cols, xb, interpret=True)
+    ref = A @ np.asarray(xb).ravel()
+    got = np.asarray(y).ravel()[: n]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_lbfgs_fwd_kernel_interpret(rng):
+    """Fused forward L-BFGS kernel (interpret mode) matches the batched form."""
+    import jax.numpy as jnp
+    from linops_tpu.kernels import lbfgs_forward_pallas
+
+    mem, n = 8, 1024
+    A = jnp.asarray(rng.standard_normal((mem, n)).astype(np.float32))
+    B = jnp.asarray(rng.standard_normal((mem, n)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    y = lbfgs_forward_pallas(A, B, v, 0.5, block_n=256, interpret=True)
+    ref = v / 0.5 + B.T @ (B @ v) - A.T @ (A @ v)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-4, atol=2e-4)
