@@ -88,6 +88,9 @@ from .sparse import (
     dia_from_dense,
     laplacian_1d,
     laplacian_2d,
+    laplacian_2d_dia,
+    Stencil2DOperator,
+    opStencil2D,
 )
 
 from .utils.norm import normest, estimate_opnorm
@@ -178,6 +181,9 @@ __all__ = [
     "dia_from_dense",
     "laplacian_1d",
     "laplacian_2d",
+    "laplacian_2d_dia",
+    "Stencil2DOperator",
+    "opStencil2D",
     "normest",
     "matvec_chain",
     "cg",

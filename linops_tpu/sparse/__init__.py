@@ -3,7 +3,8 @@ formats' + 'Pallas apply kernels')."""
 
 from .formats import COO, CSR, BSR, coo_from_dense, csr_from_dense, bsr_from_dense
 from .ops import COOOperator, CSROperator, BSROperator, opSparse
-from .dia import DIAOperator, opDIA, dia_from_dense, laplacian_1d, laplacian_2d
+from .dia import DIAOperator, opDIA, dia_from_dense, laplacian_1d, laplacian_2d, laplacian_2d_dia
+from .stencil import Stencil2DOperator, opStencil2D
 
 __all__ = [
     "COO",
@@ -21,4 +22,7 @@ __all__ = [
     "dia_from_dense",
     "laplacian_1d",
     "laplacian_2d",
+    "laplacian_2d_dia",
+    "Stencil2DOperator",
+    "opStencil2D",
 ]

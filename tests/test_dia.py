@@ -103,3 +103,62 @@ def test_dia_empty_and_errors():
         DIAOperator(jnp.zeros((2, 5)), [0])  # offsets length mismatch
     with pytest.raises(lo.LinearOperatorException):
         dia_from_dense(np.zeros((3, 4)))
+
+
+# ---------------------------------------------------------------------------
+# 2-D grid stencil operator
+# ---------------------------------------------------------------------------
+
+
+def test_stencil2d_matches_dia_laplacian():
+    """Grid-layout Laplacian equals the DIA-form matrix exactly."""
+    from linops_tpu.sparse.dia import laplacian_2d_dia
+
+    nx, ny = 6, 9
+    S = laplacian_2d(nx, ny, dtype=jnp.float64)
+    D = laplacian_2d_dia(nx, ny, dtype=jnp.float64)
+    assert S.symmetric and S.hermitian
+    np.testing.assert_allclose(np.asarray(S.to_dense()), np.asarray(D.to_dense()))
+    v = np.random.default_rng(0).standard_normal(nx * ny)
+    assert_close(S * v, np.asarray(D.to_dense()) @ v)
+    assert_close(S.T * v, np.asarray(D.to_dense()).T @ v)
+
+
+def test_stencil2d_varying_coefficients(rng):
+    """Spatially-varying coefficients against a dense oracle."""
+    from linops_tpu.sparse.stencil import Stencil2DOperator
+
+    nx, ny = 5, 6
+    n = nx * ny
+    offsets = [(0, 0), (0, 1), (1, 0), (-1, -1)]
+    coeffs = rng.standard_normal((len(offsets), nx, ny))
+    S = Stencil2DOperator(nx, ny, offsets, jnp.asarray(coeffs))
+    dense = np.zeros((n, n))
+    for k, (dx, dy) in enumerate(offsets):
+        for i in range(nx):
+            for j in range(ny):
+                ii, jj = i + dx, j + dy
+                if 0 <= ii < nx and 0 <= jj < ny:
+                    dense[i * ny + j, ii * ny + jj] += coeffs[k, i, j]
+    v = rng.standard_normal(n)
+    assert_close(S * v, dense @ v)
+    assert_close(S.T * v, dense.T @ v)
+    assert_close(S.to_dense(), dense, rtol=1e-10)
+    assert not S.symmetric
+
+
+def test_stencil2d_asymmetric_flags():
+    from linops_tpu.sparse.stencil import Stencil2DOperator
+
+    S = Stencil2DOperator(4, 4, [(0, 0), (0, 1)], jnp.asarray([2.0, -1.0]))
+    assert not S.symmetric  # mirrored offset missing
+    S2 = Stencil2DOperator(4, 4, [(0, -1), (0, 0), (0, 1)], jnp.asarray([-1.0, 2.0, -1.0]))
+    assert S2.symmetric
+
+
+def test_stencil2d_in_cg(rng):
+    n = 12 * 12
+    L = laplacian_2d(12, 12, dtype=jnp.float64) + 0.3 * lo.opEye(n, dtype=jnp.float64)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, it, res = lo.cg(L, b, tol=1e-10, maxiter=500)
+    assert float(res) < 1e-8
