@@ -89,3 +89,29 @@ def test_dryrun_multichip_entry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(min(jax.device_count(), 8))
+
+
+def test_sharded_stencil(mesh, rng):
+    """2-D stencil with the grid row-partitioned: XLA inserts the halo
+    collectives for the ±1 row shifts automatically (GSPMD)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    P_dev = mesh.devices.size
+    nx, ny = 8 * P_dev, 16
+    L = lo.laplacian_2d(nx, ny, dtype=jnp.float64)
+    n = nx * ny
+    v = rng.standard_normal(n)
+    ref = np.asarray(L.to_dense()) @ v
+
+    # shard the vector so each device owns a slab of grid rows
+    vec_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    v_sh = jax.device_put(jnp.asarray(v), vec_sh)
+    out = jax.jit(lambda o, x: o.apply(x, "N"), out_shardings=vec_sh)(L, v_sh)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10)
+
+    # whole CG loop over the sharded stencil
+    A = L + 0.5 * lo.opEye(n, dtype=jnp.float64)
+    b = jax.device_put(jnp.asarray(rng.standard_normal(n)), vec_sh)
+    x, it, res = lo.cg(A, b, tol=1e-10, maxiter=500)
+    assert float(res) < 1e-8
