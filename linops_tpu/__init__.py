@@ -89,8 +89,10 @@ from .sparse import (
     laplacian_1d,
     laplacian_2d,
     laplacian_2d_dia,
+    StencilOperator,
     Stencil2DOperator,
     opStencil2D,
+    opStencil,
 )
 
 from .utils.norm import normest, estimate_opnorm
@@ -182,7 +184,9 @@ __all__ = [
     "laplacian_1d",
     "laplacian_2d",
     "laplacian_2d_dia",
+    "StencilOperator",
     "Stencil2DOperator",
+    "opStencil",
     "opStencil2D",
     "normest",
     "matvec_chain",

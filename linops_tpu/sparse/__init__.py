@@ -4,7 +4,7 @@ formats' + 'Pallas apply kernels')."""
 from .formats import COO, CSR, BSR, coo_from_dense, csr_from_dense, bsr_from_dense
 from .ops import COOOperator, CSROperator, BSROperator, opSparse
 from .dia import DIAOperator, opDIA, dia_from_dense, laplacian_1d, laplacian_2d, laplacian_2d_dia
-from .stencil import Stencil2DOperator, opStencil2D
+from .stencil import StencilOperator, Stencil2DOperator, opStencil2D, opStencil
 
 __all__ = [
     "COO",
@@ -23,6 +23,8 @@ __all__ = [
     "laplacian_1d",
     "laplacian_2d",
     "laplacian_2d_dia",
+    "StencilOperator",
     "Stencil2DOperator",
+    "opStencil",
     "opStencil2D",
 ]

@@ -162,3 +162,28 @@ def test_stencil2d_in_cg(rng):
     b = jnp.asarray(rng.standard_normal(n))
     x, it, res = lo.cg(L, b, tol=1e-10, maxiter=500)
     assert float(res) < 1e-8
+
+
+def test_stencil_3d(rng):
+    """7-point 3-D Laplacian stencil vs dense oracle."""
+    from linops_tpu.sparse.stencil import StencilOperator
+
+    g = (3, 4, 5)
+    n = 60
+    offsets = [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+    coeffs = jnp.asarray([6.0, -1, -1, -1, -1, -1, -1], jnp.float64)
+    S = StencilOperator(g, offsets, coeffs)
+    assert S.symmetric
+    dense = np.zeros((n, n))
+    import itertools
+    for k, off in enumerate(offsets):
+        for idx in itertools.product(*(range(s) for s in g)):
+            tgt = tuple(i + o for i, o in zip(idx, off))
+            if all(0 <= t < s for t, s in zip(tgt, g)):
+                r = np.ravel_multi_index(idx, g)
+                c = np.ravel_multi_index(tgt, g)
+                dense[r, c] += float(coeffs[k])
+    v = rng.standard_normal(n)
+    assert_close(S * v, dense @ v)
+    assert_close(S.T * v, dense.T @ v)
+    assert_close(S.to_dense(), dense, rtol=1e-12)
