@@ -6,7 +6,10 @@ L-BFGS applies 280-350 us at n=1e6); these kernels cover the cases where
 explicit VMEM management wins or may win:
 
 - ``bsr_spmv``: BSR SpMV with on-chip x gather (opt-in via
-  ``BSROperator(backend="pallas")``)
+  ``BSROperator(backend="pallas")``). Status: numerically exact but
+  measured ~20x slower than the XLA einsum path on v5e — the per-block
+  (8, 128) dots with full-f32 precision do not amortize; kept as the
+  starting point for a future tiled rewrite. Use the default XLA path.
 - ``lbfgs_fwd``: fused two-pass forward L-BFGS apply over the a/b vectors
   (superseded as the default by the compact-form apply, kept as an
   alternative for a/b-resident workflows)

@@ -34,19 +34,21 @@ def to_mfirst(blocks):
 
 
 def _bsr_kernel(cols_ref, x_ref, blocks_ref, y_ref):
-    """R block-rows: y[r] = reshape(blocks[r], (bm, kmax·bn)) @ gather(x)."""
-    i = pl.program_id(0)
+    """R block-rows: y[r] = Σ_k blocks[r,·,k,·] @ x[cols[r,k]]."""
     R, bm, kmax, bn = blocks_ref.shape
 
     rows = []
     for r in range(R):  # static unroll
-        acc = jnp.zeros((bm,), dtype=y_ref.dtype)
+        acc = jnp.zeros((bm, 1), dtype=y_ref.dtype)
         for k in range(kmax):  # static unroll; gathers stay in VMEM
-            xk = x_ref[cols_ref[i * R + r, k], :]
+            xk = x_ref[cols_ref[r, k], :].reshape(bn, 1)
             acc = acc + jnp.dot(
-                blocks_ref[r, :, k, :], xk, preferred_element_type=y_ref.dtype
+                blocks_ref[r, :, k, :],
+                xk,
+                preferred_element_type=y_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST,  # MXU would truncate f32->bf16
             )
-        rows.append(acc)
+        rows.append(acc[:, 0])
     y_ref[:, :] = jnp.stack(rows)
 
 
@@ -64,18 +66,18 @@ def bsr_matvec_pallas(blocks_mfirst, block_cols, x_blocks, *, interpret=False):
         raise ValueError(f"nbrow={nbrow} must be a multiple of {R} (pad the BSR)")
     dtype = jnp.result_type(blocks_mfirst.dtype, x_blocks.dtype)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # block_cols -> SMEM
+    grid_spec = pl.GridSpec(
         grid=(nbrow // R,),
         in_specs=[
+            pl.BlockSpec((R, kmax), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident in VMEM
             pl.BlockSpec(
                 (R, bm, kmax, bn),
-                lambda i, cols: (i, 0, 0, 0),
+                lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((R, bm), lambda i, cols: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((R, bm), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )
 
     return pl.pallas_call(
