@@ -86,7 +86,7 @@ def main():
     cols = jnp.asarray(rng.integers(0, ns // 128, size=(ns // 128, 4)).astype(np.int32))
     opB = lo.BSROperator(BSR(blocks=blocks, block_cols=cols, shape=(ns, ns)))
     vs = jnp.ones((ns,), dtype)
-    t_spmv = _marginal_apply_time(opB, vs)
+    t_spmv = _marginal_apply_time(opB, vs, reps=3)
     nnz = int(blocks.size)
     spmv_gbs = nnz * bpe / t_spmv / 1e9
     detail["spmv_gnnz_per_s"] = round(nnz / t_spmv / 1e9, 3)
@@ -110,14 +110,14 @@ def main():
             rng.integers(0, ns // 128, size=(ns // 8, 8)).astype(np.int32)
         )
         opB8 = lo.BSROperator(BSR(blocks=blocks8, block_cols=cols8, shape=(ns, ns)))
-        t8 = _marginal_apply_time(opB8, vs)
+        t8 = _marginal_apply_time(opB8, vs, reps=2)
         detail["spmv_8x128_gbs"] = round(blocks8.size * bpe / t8 / 1e9, 2)
 
     def sec_stencil():
         ngrid = 2048
         L = lo.laplacian_2d(ngrid, ngrid, dtype=dtype)  # n ≈ 4.2M
         vl = jnp.ones((ngrid * ngrid,), dtype)
-        t = _marginal_apply_time(L, vl)
+        t = _marginal_apply_time(L, vl, reps=2)
         detail["stencil_dia_gbs"] = round(7 * ngrid * ngrid * bpe / t / 1e9, 2)
         detail["stencil_dia_gnnz_per_s"] = round(5 * ngrid * ngrid / t / 1e9, 3)
         detail["stencil_us_per_apply"] = round(t * 1e6, 1)
@@ -129,7 +129,7 @@ def main():
         chain = 3.0 * (
             lo.opDiagonal(d1) @ (lo.opEye(n, dtype=dtype) + lo.opDiagonal(d2))
         )
-        t = _marginal_apply_time(chain, jnp.ones((n,), dtype))
+        t = _marginal_apply_time(chain, jnp.ones((n,), dtype), reps=2)
         detail["chain_us_per_apply"] = round(t * 1e6, 1)
         detail["chain_gbs"] = round(4 * n * bpe / t / 1e9, 2)
 
@@ -144,8 +144,8 @@ def main():
             B.push(s, y)
             H.push(s, y)
         v = jnp.ones((n,), dtype)
-        t_fwd = _marginal_apply_time(B, v)
-        t_inv = _marginal_apply_time(H, v)
+        t_fwd = _marginal_apply_time(B, v, reps=2)
+        t_inv = _marginal_apply_time(H, v, reps=2)
         # both compact forms stream their (2mem, n) memory twice per apply
         detail["lbfgs_fwd_gbs_2pass"] = round(2 * (2 * mem) * n * bpe / t_fwd / 1e9, 2)
         detail["lbfgs_inv_gbs_2pass"] = round(2 * (2 * mem) * n * bpe / t_inv / 1e9, 2)
