@@ -4,6 +4,8 @@ reference counterpart)."""
 
 from .mesh import make_mesh, replicated, row_sharding, P, NamedSharding, Mesh
 from .sharded import shard_operator, operator_sharding_rule
+from .init import initialize_distributed, runtime_info
+from .halo import HaloPartitionedOperator, banded_partition
 
 __all__ = [
     "make_mesh",
@@ -14,4 +16,8 @@ __all__ = [
     "Mesh",
     "shard_operator",
     "operator_sharding_rule",
+    "initialize_distributed",
+    "runtime_info",
+    "HaloPartitionedOperator",
+    "banded_partition",
 ]
