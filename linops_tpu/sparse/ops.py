@@ -257,17 +257,49 @@ for _cls in (COOOperator, CSROperator, BSROperator):
 # ----------------------------------------------------------------------------
 
 
+# largest tile first: on equal stored bytes the bigger tile streams faster
+_BSR_AUTO_CANDIDATES = ((128, 128), (32, 128), (8, 128))
+
+
+def _auto_block_shape(sp) -> Tuple[int, int]:
+    """Pick the BSR block shape minimizing stored (padded) bytes, using the
+    native block counter when available. Larger tiles run closer to the MXU
+    streaming rate but cost fill-in on scattered patterns; stored bytes is
+    the bandwidth-roofline proxy for apply time."""
+    try:
+        from ..native import _load
+
+        lib = _load()
+    except Exception:
+        lib = None
+    if lib is None:
+        return (8, 128)
+    cols = np.ascontiguousarray(sp.indices, np.int32)
+    indptr = np.ascontiguousarray(sp.indptr, np.int32)
+    nrow = sp.shape[0]
+    best, best_bytes = (8, 128), None
+    for bm, bn in _BSR_AUTO_CANDIDATES:
+        nbrow = -(-nrow // bm)
+        counts = np.zeros(nbrow, np.int32)
+        kmax = max(int(lib.bsr_count(cols, indptr, nrow, bm, bn, counts)), 1)
+        stored = nbrow * kmax * bm * bn  # uniform-kmax padded layout
+        if best_bytes is None or stored < best_bytes:
+            best, best_bytes = (bm, bn), stored
+    return best
+
+
 def opSparse(
     A,
     format: str = "csr",
-    block_shape: Tuple[int, int] = (8, 128),
+    block_shape: Union[Tuple[int, int], str] = (8, 128),
     symmetric: bool = False,
     hermitian: bool = False,
     tol: float = 0.0,
     backend: str = "xla",
 ) -> _SparseBase:
     """Build a sparse operator from a dense array, a scipy sparse matrix, or
-    a prebuilt COO/CSR/BSR pytree. ``format`` in {'coo', 'csr', 'bsr'}."""
+    a prebuilt COO/CSR/BSR pytree. ``format`` in {'coo', 'csr', 'bsr'};
+    ``block_shape="auto"`` picks the BSR tile minimizing stored bytes."""
     if isinstance(A, COO):
         return COOOperator(A, symmetric, hermitian)
     if isinstance(A, CSR):
@@ -285,6 +317,9 @@ def opSparse(
             # native packer: no dense materialization (falls back below)
             try:
                 from ..native import bsr_pack_csr
+
+                if block_shape == "auto":
+                    block_shape = _auto_block_shape(sp)
 
                 blocks, bcols = bsr_pack_csr(
                     sp.data, sp.indices, sp.indptr, sp.shape[0], sp.shape[1],
@@ -308,5 +343,15 @@ def opSparse(
     if format == "csr":
         return CSROperator(csr_from_dense(A, tol), symmetric, hermitian)
     if format == "bsr":
+        if block_shape == "auto":
+            try:
+                import scipy.sparse as sps
+
+                return opSparse(
+                    sps.csr_matrix(A), format="bsr", block_shape="auto",
+                    symmetric=symmetric, hermitian=hermitian, backend=backend,
+                )
+            except ImportError:
+                block_shape = (8, 128)
         return BSROperator(bsr_from_dense(A, block_shape, tol), symmetric, hermitian, backend=backend)
     raise ValueError(f"unknown sparse format {format!r}")

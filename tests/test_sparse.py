@@ -156,3 +156,24 @@ def test_lbfgs_fwd_kernel_interpret(rng):
     y = lbfgs_forward_pallas(A, B, v, 0.5, block_n=256, interpret=True)
     ref = v / 0.5 + B.T @ (B @ v) - A.T @ (A @ v)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_bsr_auto_block_shape(rng):
+    """block_shape='auto' picks the tile minimizing stored bytes and stays
+    correct; a dense-ish matrix should prefer large tiles."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    from linops_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native counter unavailable")
+    n = 512
+    dense_ish = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.5)
+    op = lo.opSparse(scipy_sparse.csr_matrix(dense_ish), format="bsr", block_shape="auto")
+    assert op.data.block_shape in ((32, 128), (128, 128))
+    v = rng.standard_normal(n)
+    assert_close(op * v, dense_ish @ v)
+
+    scattered = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.002)
+    op2 = lo.opSparse(scipy_sparse.csr_matrix(scattered), format="bsr", block_shape="auto")
+    v2 = rng.standard_normal(n)
+    assert_close(op2 * v2, scattered @ v2)
