@@ -118,13 +118,19 @@ class FunctionOperator(LinearOperator):
         *,
         symmetric: bool = False,
         hermitian: bool = False,
-        dtype=jnp.float64,
+        dtype=None,
     ):
         super().__init__()
         self._nrow = int(nrow)
         self._ncol = int(ncol)
         self._symmetric = bool(symmetric)
         self._hermitian = bool(hermitian)
+        import jax
+
+        if dtype is None:
+            dtype = jax.dtypes.canonicalize_dtype(jnp.float64)
+        else:
+            dtype = jax.dtypes.canonicalize_dtype(dtype)
         self._dtype_name = jnp.dtype(dtype).name
         self._prod_fn = prod
         self._tprod_fn = tprod

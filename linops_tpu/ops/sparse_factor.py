@@ -21,6 +21,13 @@ from ..core.base import LinearOperator, LinearOperatorException, register_operat
 __all__ = ["SparseInverseOperator", "opSparseInverse", "opSparseLDL"]
 
 
+class _FactorToken:
+    """Identity-hashable registry key; weak-referenceable, shared by all
+    pytree clones of an operator through the aux fields."""
+
+    __slots__ = ("__weakref__",)
+
+
 class SparseInverseOperator(LinearOperator):
     """``A^{-1}`` for a scipy sparse matrix, factored once (SuperLU) at
     construction; applies are host callbacks inside the traced graph."""
@@ -28,11 +35,14 @@ class SparseInverseOperator(LinearOperator):
     _fields_children = ()
     _fields_aux = ("_n", "_dtype_name", "_symmetric", "_hermitian", "_solve_key")
 
-    # host-side registry: SuperLU objects aren't pytree-able or hashable
-    # into the jit cache in a meaningful way, so the aux field is a stable
-    # key into this table.
-    _registry: dict = {}
-    _next_key = [0]
+    # host-side registry: SuperLU objects aren't pytree-able, so the aux
+    # field is a token into this table. The table is weak-keyed by the
+    # token, which every pytree clone shares by reference — the
+    # factorization is freed exactly when the last clone dies (no
+    # process-lifetime leak, no dangling clones).
+    import weakref as _weakref
+
+    _registry = _weakref.WeakKeyDictionary()
 
     def __init__(self, A, *, symmetric: bool = False, hermitian: bool = False):
         super().__init__()
@@ -49,10 +59,9 @@ class SparseInverseOperator(LinearOperator):
         self._symmetric = bool(symmetric)
         self._hermitian = bool(hermitian)
         lu = spla.splu(A)
-        key = SparseInverseOperator._next_key[0]
-        SparseInverseOperator._next_key[0] += 1
-        SparseInverseOperator._registry[key] = lu
-        self._solve_key = key
+        token = _FactorToken()
+        SparseInverseOperator._registry[token] = lu
+        self._solve_key = token
 
     @property
     def nrow(self):

@@ -187,7 +187,7 @@ class SpectralGradient(DiagonalQNOperator):
         sigma = float(sigma)
         if sigma <= 0:
             raise ValueError("σ must be positive")
-        dt = jnp.dtype(dtype) if dtype is not None else jnp.dtype(jnp.float64)
+        dt = jnp.dtype(dtype) if dtype is not None else jax.dtypes.canonicalize_dtype(jnp.float64)
         super().__init__(jnp.full((int(n),), sigma, dtype=dt))
 
     @property

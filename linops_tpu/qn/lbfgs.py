@@ -384,8 +384,9 @@ class LBFGSOperator(LinearOperator):
         # reference-style (T, n) or (n,) positional forms (src/lbfgs.jl:112,168)
         if len(args) == 2:
             dt, n = args
+            dt = jax.dtypes.canonicalize_dtype(dt)
         elif len(args) == 1:
-            dt, n = (dtype if dtype is not None else jnp.float64), args[0]
+            dt, n = (dtype if dtype is not None else jax.dtypes.canonicalize_dtype(jnp.float64)), args[0]
         else:
             raise TypeError("LBFGSOperator(n) or LBFGSOperator(dtype, n)")
         self._n = int(n)

@@ -158,8 +158,9 @@ class LSR1Operator(LinearOperator):
         super().__init__()
         if len(args) == 2:
             dt, n = args
+            dt = jax.dtypes.canonicalize_dtype(dt)
         elif len(args) == 1:
-            dt, n = (dtype if dtype is not None else jnp.float64), args[0]
+            dt, n = (dtype if dtype is not None else jax.dtypes.canonicalize_dtype(jnp.float64)), args[0]
         else:
             raise TypeError("LSR1Operator(n) or LSR1Operator(dtype, n)")
         self._n = int(n)

@@ -93,6 +93,7 @@ def bsr_rmatvec(blocks, block_cols, u_blocks, nbcol):
 class _SparseBase(LinearOperator):
     _fields_children = ("data",)
     _fields_aux = ("_symmetric", "_hermitian")
+    _sorted_rows = False  # CSR: row ids are sorted (faster segment_sum)
 
     def __init__(self, data, symmetric: bool = False, hermitian: bool = False):
         super().__init__()
@@ -125,12 +126,14 @@ class _SparseBase(LinearOperator):
         return self.data.nnz
 
 
-class COOOperator(_SparseBase):
-    """Sparse operator over COO storage."""
+class _IndexedSparse(_SparseBase):
+    """Shared applies for COO/CSR (gather + segment_sum); subclasses differ
+    only in whether row ids are sorted."""
 
     def _prod(self, v):
         d = self.data
-        return coo_matvec(d.vals, d.rows, d.cols, d.shape[0], v)
+        return coo_matvec(d.vals, d.rows, d.cols, d.shape[0], v,
+                          sorted_rows=self._sorted_rows)
 
     def _tprod(self, u):
         d = self.data
@@ -142,38 +145,30 @@ class COOOperator(_SparseBase):
 
     def apply_matrix(self, M, mode: str = "N"):
         d = self.data
-        if mode in ("N", "C"):
-            vals = d.vals if mode == "N" else _conj(d.vals)
-            out = coo_matmat(vals, d.rows, d.cols, d.shape[0], M if mode == "N" else _conj(M))
-            return _conj(out) if mode == "C" else out
+        if mode == "N":
+            return coo_matmat(d.vals, d.rows, d.cols, d.shape[0], M,
+                              sorted_rows=self._sorted_rows)
+        if mode == "C":
+            # conj(A) @ M = conj(A @ conj(M)); conjugate the output, not
+            # the values as well (that would cancel back to A @ M)
+            out = coo_matmat(d.vals, d.rows, d.cols, d.shape[0], _conj(M),
+                             sorted_rows=self._sorted_rows)
+            return _conj(out)
         vals = d.vals if mode == "T" else _conj(d.vals)
         return coo_matmat(vals, d.cols, d.rows, d.shape[1], M)
 
 
-class CSROperator(_SparseBase):
+class COOOperator(_IndexedSparse):
+    """Sparse operator over COO storage."""
+
+    _sorted_rows = False
+
+
+class CSROperator(_IndexedSparse):
     """Sparse operator over CSR storage (sorted row ids → faster
     segment_sum on the forward apply)."""
 
-    def _prod(self, v):
-        d = self.data
-        return coo_matvec(d.vals, d.rows, d.cols, d.shape[0], v, sorted_rows=True)
-
-    def _tprod(self, u):
-        d = self.data
-        return coo_matvec(d.vals, d.cols, d.rows, d.shape[1], u)
-
-    def _ctprod(self, w):
-        d = self.data
-        return coo_matvec(_conj(d.vals), d.cols, d.rows, d.shape[1], w)
-
-    def apply_matrix(self, M, mode: str = "N"):
-        d = self.data
-        if mode in ("N", "C"):
-            vals = d.vals if mode == "N" else _conj(d.vals)
-            out = coo_matmat(vals, d.rows, d.cols, d.shape[0], M if mode == "N" else _conj(M), sorted_rows=True)
-            return _conj(out) if mode == "C" else out
-        vals = d.vals if mode == "T" else _conj(d.vals)
-        return coo_matmat(vals, d.cols, d.rows, d.shape[1], M)
+    _sorted_rows = True
 
 
 class BSROperator(_SparseBase):
@@ -219,7 +214,9 @@ class BSROperator(_SparseBase):
         nbrow = d.blocks.shape[0]
         nbcol = -(-d.shape[1] // bn)
         xb = self._pad_in(v, nbcol, bn).reshape(nbcol, bn)
-        if self._mfirst is not None:
+        # pallas kernel needs x fully VMEM-resident; larger inputs fall back
+        # to the XLA path (docstring contract)
+        if self._mfirst is not None and xb.size <= 2_000_000:
             from ..kernels.bsr_spmv import bsr_matvec_pallas
 
             y = bsr_matvec_pallas(self._mfirst, d.block_cols, xb).reshape(nbrow * bm)
@@ -313,6 +310,15 @@ def opSparse(
         if format == "csr":
             data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
             return CSROperator(data, symmetric, hermitian)
+        if format == "coo":
+            sc = sp.tocoo()
+            data = COO(
+                vals=jnp.asarray(sc.data),
+                rows=jnp.asarray(sc.row, jnp.int32),
+                cols=jnp.asarray(sc.col, jnp.int32),
+                shape=tuple(sc.shape),
+            )
+            return COOOperator(data, symmetric, hermitian)
         if format == "bsr":
             # native packer: no dense materialization (falls back below)
             try:

@@ -31,15 +31,31 @@ def op_state(op: LinearOperator):
     return {f: getattr(op, f) for f in type(op)._fields_children}
 
 
+def _to_storable(x):
+    """npz-compatible view + original dtype name (bf16 etc. are ml_dtypes
+    that npz would store as raw void and fail to restore)."""
+    a = np.asarray(x)
+    name = a.dtype.name
+    if a.dtype.kind == "V":  # ml_dtypes (bfloat16, fp8, ...)
+        a = a.view(np.dtype(f"u{a.dtype.itemsize}"))
+    return a, name
+
+
 def save_operator(path: str, op: LinearOperator) -> None:
     """Serialize an operator's dynamic leaves (+ a structure fingerprint)
-    to ``path`` (.npz)."""
+    to ``path`` (.npz). All dtypes round-trip, including bfloat16."""
     leaves, treedef = jax.tree_util.tree_flatten(op)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {}
+    dtype_names = []
+    for i, x in enumerate(leaves):
+        a, name = _to_storable(x)
+        arrays[f"leaf_{i}"] = a
+        dtype_names.append(name)
     meta = {
         "class": type(op).__name__,
         "treedef": str(treedef),
         "n_leaves": len(leaves),
+        "dtypes": dtype_names,
     }
     buf = io.BytesIO()
     np.savez(buf, __meta__=json.dumps(meta), **arrays)
@@ -64,7 +80,14 @@ def load_operator_state(path: str, op: LinearOperator) -> LinearOperator:
             raise ValueError("checkpoint structure mismatch")
         if meta["treedef"] != str(treedef):
             raise ValueError("checkpoint structure mismatch")
-        new_leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(leaves))]
+        dtype_names = meta.get("dtypes", [None] * len(leaves))
+        new_leaves = []
+        for i in range(len(leaves)):
+            a = z[f"leaf_{i}"]
+            name = dtype_names[i]
+            if name is not None and a.dtype.name != name:
+                a = a.view(jnp.dtype(name))  # bf16 etc. stored as uint bits
+            new_leaves.append(jnp.asarray(a))
     restored = jax.tree_util.tree_unflatten(treedef, new_leaves)
     for f in type(op)._fields_children:
         setattr(op, f, getattr(restored, f))

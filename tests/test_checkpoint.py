@@ -47,3 +47,19 @@ def test_sparse_checkpoint(tmp_path, rng):
     load_operator_state(path, op2)
     v = rng.standard_normal(30)
     np.testing.assert_allclose(np.asarray(op2 * v), A @ v, rtol=1e-10)
+
+
+def test_bfloat16_checkpoint_roundtrip(tmp_path, rng):
+    """bf16 (ml_dtypes) state round-trips bit-exactly."""
+    import jax.numpy as jnp
+
+    d = jnp.asarray(rng.random(16), jnp.bfloat16)
+    op = lo.opDiagonal(d)
+    path = str(tmp_path / "bf16.npz")
+    save_operator(path, op)
+    op2 = lo.opDiagonal(jnp.zeros(16, jnp.bfloat16))
+    load_operator_state(path, op2)
+    assert op2.d.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(op2.d).view(np.uint16), np.asarray(d).view(np.uint16)
+    )

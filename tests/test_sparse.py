@@ -177,3 +177,25 @@ def test_bsr_auto_block_shape(rng):
     op2 = lo.opSparse(scipy_sparse.csr_matrix(scattered), format="bsr", block_shape="auto")
     v2 = rng.standard_normal(n)
     assert_close(op2 * v2, scattered @ v2)
+
+
+def test_sparse_matmat_conj_mode(rng):
+    """mode 'C' matmat equals conj(A) @ M (regression: triple-conjugation
+    returned A @ M)."""
+    m, n, k = 12, 15, 4
+    A = sprand(rng, m, n, 0.3, complex_=True)
+    M = rng.standard_normal((n, k)) + 1j * rng.standard_normal((n, k))
+    for fmt in ("coo", "csr"):
+        op = opSparse(A, format=fmt)
+        got = np.asarray(op.matmat(jnp.asarray(M), mode="C"))
+        np.testing.assert_allclose(got, np.conj(A) @ M, rtol=1e-10)
+
+
+def test_scipy_coo_no_densify(rng):
+    """scipy input with format='coo' builds directly from the COO triplets."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    S = scipy_sparse.random(50, 40, density=0.1, random_state=2).tocsr()
+    op = opSparse(S, format="coo")
+    assert type(op).__name__ == "COOOperator"
+    v = rng.standard_normal(40)
+    assert_close(op * v, S @ v)
