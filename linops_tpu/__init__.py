@@ -96,7 +96,7 @@ from .sparse import (
 )
 
 from .utils.norm import normest, estimate_opnorm
-from .utils.krylov import matvec_chain, cg, power_iteration
+from .utils.krylov import matvec_chain, cg, gmres, power_iteration
 from .utils.checkpoint import save_operator, load_operator_state, op_state
 from .utils.checks import check_ctranspose, check_hermitian, check_positive_definite
 
@@ -191,6 +191,7 @@ __all__ = [
     "normest",
     "matvec_chain",
     "cg",
+    "gmres",
     "power_iteration",
     "save_operator",
     "load_operator_state",

@@ -75,6 +75,16 @@ def bsr_matvec(blocks, block_cols, x_padded_blocks):
     )
 
 
+def bsr_matmat(blocks, block_cols, X_blocks):
+    """Multi-RHS SpMM: Y-blocks (nbrow, bm, k) = Σ blocks[r,j] @ X[cols[r,j]]
+    — one batched MXU contraction (the multi-RHS amortizes each block read
+    over k columns)."""
+    Xg = X_blocks[block_cols]  # (nbrow, kmax, bn, k)
+    return jnp.einsum(
+        "rkmn,rknc->rmc", blocks, Xg, preferred_element_type=blocks.dtype
+    )
+
+
 def bsr_rmatvec(blocks, block_cols, u_blocks, nbcol):
     """Transpose apply: scatter blockᵀ·u contributions to column blocks."""
     contrib = jnp.einsum(
@@ -243,6 +253,21 @@ class BSROperator(_SparseBase):
         wb = self._pad_in(w, nbrow, bm).reshape(nbrow, bm)
         x = bsr_rmatvec(jnp.conj(d.blocks), d.block_cols, wb, nbcol).reshape(nbcol * bn)
         return x[: d.shape[1]]
+
+    def apply_matrix(self, M, mode: str = "N"):
+        if mode != "N":
+            return super().apply_matrix(M, mode)
+        d = self.data
+        bm, bn = d.block_shape
+        nbrow = d.blocks.shape[0]
+        nbcol = -(-d.shape[1] // bn)
+        k = M.shape[1]
+        need = nbcol * bn
+        if M.shape[0] < need:
+            M = jnp.pad(M, ((0, need - M.shape[0]), (0, 0)))
+        Xb = M.reshape(nbcol, bn, k)
+        Y = bsr_matmat(d.blocks, d.block_cols, Xb).reshape(nbrow * bm, k)
+        return Y[: d.shape[0]]
 
 
 for _cls in (COOOperator, CSROperator, BSROperator):

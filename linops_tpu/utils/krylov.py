@@ -21,7 +21,7 @@ from jax import lax
 
 from ..core.base import LinearOperator
 
-__all__ = ["matvec_chain", "cg", "power_iteration"]
+__all__ = ["matvec_chain", "cg", "gmres", "power_iteration"]
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "mode", "normalize"))
@@ -72,6 +72,63 @@ def cg(op: LinearOperator, b, x0=None, *, tol: float = 1e-8, maxiter: int = 100,
 
     init = (x, r, p, rz, jnp.zeros((), jnp.int32), jnp.linalg.norm(r))
     x, r, _, _, k, res = lax.while_loop(cond, body, init)
+    return x, k, res
+
+
+@functools.partial(jax.jit, static_argnames=("restart", "maxiter"))
+def gmres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
+          restart: int = 30, maxiter: int = 10, M: LinearOperator = None):
+    """Restarted GMRES(m) for general square operators, with an optional
+    left-preconditioner operator M ≈ A⁻¹. Arnoldi with full
+    orthogonalization runs as one fused loop per restart cycle; the whole
+    solve is a single compiled computation. Returns (x, restarts used,
+    final residual norm)."""
+    n = b.shape[0]
+    dt = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0
+    m = min(restart, n)
+    bnorm = jnp.linalg.norm(b)
+    tol_abs = tol * jnp.where(bnorm == 0, 1.0, bnorm)
+
+    def prec(v):
+        return M.apply(v, "N") if M is not None else v
+
+    def arnoldi_cycle(x):
+        r = prec(b - op.apply(x, "N"))
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dt).at[0].set(r / jnp.where(beta == 0, 1.0, beta))
+        H = jnp.zeros((m + 1, m), dt)
+
+        def arnoldi_step(j, carry):
+            V, H = carry
+            w = prec(op.apply(V[j], "N"))
+            hcol = jnp.conj(V) @ w  # rows > j are zero vectors -> 0 coeffs
+            mask = jnp.arange(m + 1) <= j
+            hcol = jnp.where(mask, hcol, 0.0)
+            w = w - V.T @ hcol
+            hj1 = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.where(hj1 == 0, 1.0, hj1))
+            H = H.at[:, j].set(hcol).at[j + 1, j].set(hj1.astype(dt))
+            return V, H
+
+        V, H = lax.fori_loop(0, m, arnoldi_step, (V, H))
+        # least squares min ||beta e1 - H y||
+        e1 = jnp.zeros((m + 1,), dt).at[0].set(beta)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        return x + V[:m].T @ y
+
+    def cond(state):
+        x, k, res = state
+        return (res > tol_abs) & (k < maxiter)
+
+    def body(state):
+        x, k, _ = state
+        x = arnoldi_cycle(x)
+        res = jnp.linalg.norm(b - op.apply(x, "N"))
+        return x, k + 1, res
+
+    res0 = jnp.linalg.norm(b - op.apply(x, "N"))
+    x, k, res = lax.while_loop(cond, body, (x, jnp.zeros((), jnp.int32), res0))
     return x, k, res
 
 

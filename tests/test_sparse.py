@@ -199,3 +199,12 @@ def test_scipy_coo_no_densify(rng):
     assert type(op).__name__ == "COOOperator"
     v = rng.standard_normal(40)
     assert_close(op * v, S @ v)
+
+
+def test_bsr_matmat_direct(rng):
+    """Direct BSR SpMM path matches dense multi-RHS (and unaligned shapes)."""
+    m, n, k = 37, 53, 6
+    A = sprand(rng, m, n, 0.3)
+    op = opSparse(A, format="bsr", block_shape=(8, 16))
+    X = rng.standard_normal((n, k))
+    assert_close(op.matmat(X), A @ X)
