@@ -160,6 +160,7 @@ def apply_cache_sizes() -> dict:
         ("apply", _apply),
         ("apply_scaled", _apply_scaled),
         ("apply_axpby", _apply_axpby),
+        ("apply_axpby_donated", _apply_axpby_donated),
         ("apply_mat", _apply_mat),
     ]:
         try:

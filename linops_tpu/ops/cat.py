@@ -254,6 +254,11 @@ def vcat(*ops) -> LinearOperator:
 def hvcat(rows: Sequence[int], *ops) -> LinearOperator:
     """Block matrix from a flat list of operators with ``rows[i]`` blocks per
     row (reference: src/cat.jl:120-129)."""
+    if sum(rows) != len(ops):
+        raise LinearOperatorException(
+            f"hvcat: rows {tuple(rows)} sum to {sum(rows)} but {len(ops)} "
+            "operators were given"
+        )
     out_rows = []
     a = 0
     for r in rows:

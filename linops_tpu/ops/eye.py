@@ -54,19 +54,29 @@ class UniversalEye(LinearOperator):
     def matvec(self, v, mode: str = "N"):
         return v  # identity: op * v === v
 
-    def __mul__(self, other):
-        if isinstance(other, LinearOperator):
+    @staticmethod
+    def _passthrough(other):
+        # identity: operators and arrays pass through unchanged. Scalars
+        # must NOT (2.0 * opEye() is a scaled identity, which needs a size
+        # — silently returning the bare scalar corrupts downstream algebra).
+        if isinstance(other, LinearOperator) or getattr(other, "ndim", 0) >= 1:
             return other
-        return other  # arrays pass through unchanged
+        raise LinearOperatorException(
+            "the sizeless opEye() cannot be combined with scalars; use "
+            "opEye(n) for a sized identity"
+        )
+
+    def __mul__(self, other):
+        return self._passthrough(other)
 
     def __rmul__(self, other):
-        return other
+        return self._passthrough(other)
 
     def __matmul__(self, other):
-        return other
+        return self._passthrough(other)
 
     def __rmatmul__(self, other):
-        return other
+        return self._passthrough(other)
 
     @property
     def T(self):

@@ -50,11 +50,11 @@ class InverseOperator(LinearOperator):
 
     @property
     def nrow(self):
-        return self.M.shape[1]
+        return self.M.shape[0]
 
     @property
     def ncol(self):
-        return self.M.shape[0]
+        return self.M.shape[1]
 
     @property
     def dtype(self):

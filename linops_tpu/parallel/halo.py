@@ -63,6 +63,50 @@ def _halo_matvec(A_int, A_left, A_right, x_local, axis: str):
     return y + A_left @ from_left + A_right @ from_right
 
 
+def _halo_transpose_body(A_int, A_left, A_right, u_local, *, axis: str):
+    p = lax.axis_index(axis)
+    n_dev = lax.axis_size(axis)
+    h = A_left.shape[1]
+    y = A_int.T @ u_local
+    # contribution of u_local through A_left lands on the LEFT neighbor's
+    # tail; through A_right on the right neighbor's head.
+    to_left = A_left.T @ u_local  # (h,)
+    to_right = A_right.T @ u_local
+    to_left = jnp.where(p == 0, 0.0, to_left)
+    to_right = jnp.where(p == n_dev - 1, 0.0, to_right)
+    recv_r = lax.ppermute(  # from right neighbor's to_left
+        to_left, axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    )
+    recv_l = lax.ppermute(  # from left neighbor's to_right
+        to_right, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    )
+    y = y.at[-h:].add(recv_r)
+    y = y.at[:h].add(recv_l)
+    return y
+
+
+@functools.lru_cache(maxsize=64)
+def _halo_fwd_fn(mesh: Mesh, axis: str):
+    """shard_map wrapper cached per (mesh, axis) — rebuilt closures on every
+    eager apply would add per-call construction overhead."""
+    return shard_map(
+        functools.partial(_halo_matvec, axis=axis),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        out_specs=P(axis),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _halo_transpose_fn(mesh: Mesh, axis: str):
+    return shard_map(
+        functools.partial(_halo_transpose_body, axis=axis),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        out_specs=P(axis),
+    )
+
+
 class HaloPartitionedOperator(LinearOperator):
     """Square operator with rows partitioned over a 1-D mesh and coupling
     bounded by ``halo`` entries into each neighbor segment.
@@ -86,6 +130,15 @@ class HaloPartitionedOperator(LinearOperator):
         if A_int.shape[1] != n // n_dev:
             raise LinearOperatorException(
                 f"interior slab must be (n, n/n_dev); got {A_int.shape}"
+            )
+        if A_left.shape[0] != n or A_right.shape[0] != n:
+            raise LinearOperatorException(
+                "neighbor-coupling slabs must have the same row count as A_int"
+            )
+        if A_left.shape[1] != A_right.shape[1]:
+            raise LinearOperatorException(
+                f"left/right halo widths differ: {A_left.shape[1]} vs "
+                f"{A_right.shape[1]}"
             )
         sh = NamedSharding(mesh, P(axis, None))
         self.A_int = jax.device_put(jnp.asarray(A_int), sh)
@@ -127,48 +180,14 @@ class HaloPartitionedOperator(LinearOperator):
         return self._mesh
 
     def _prod(self, v):
-        axis = self._axis
-        fn = shard_map(
-            functools.partial(_halo_matvec, axis=axis),
-            mesh=self._mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
-            out_specs=P(axis),
-        )
+        fn = _halo_fwd_fn(self._mesh, self._axis)
         return fn(self.A_int, self.A_left, self.A_right, v)
 
     def _tprod(self, u):
         """Transpose apply: the halo pattern transposes — own-interior
         transposed, plus this device's boundary rows feed the neighbors'
         couplings (SURVEY.md §7 hard part 5)."""
-        axis = self._axis
-
-        def tp(A_int, A_left, A_right, u_local, *, axis=axis):
-            p = lax.axis_index(axis)
-            n_dev = lax.axis_size(axis)
-            h = A_left.shape[1]
-            y = A_int.T @ u_local
-            # contribution of u_local through A_left lands on the LEFT
-            # neighbor's tail; through A_right on the right neighbor's head.
-            to_left = A_left.T @ u_local  # (h,)
-            to_right = A_right.T @ u_local
-            to_left = jnp.where(p == 0, 0.0, to_left)
-            to_right = jnp.where(p == n_dev - 1, 0.0, to_right)
-            recv_r = lax.ppermute(  # from right neighbor's to_left
-                to_left, axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
-            )
-            recv_l = lax.ppermute(  # from left neighbor's to_right
-                to_right, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
-            )
-            y = y.at[-h:].add(recv_r)
-            y = y.at[:h].add(recv_l)
-            return y
-
-        fn = shard_map(
-            tp,
-            mesh=self._mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
-            out_specs=P(axis),
-        )
+        fn = _halo_transpose_fn(self._mesh, self._axis)
         return fn(self.A_int, self.A_left, self.A_right, u)
 
     def _ctprod(self, w):

@@ -47,7 +47,9 @@ def cg(op: LinearOperator, b, x0=None, *, tol: float = 1e-8, maxiter: int = 100,
     """Conjugate gradients on a symmetric positive-definite operator, with an
     optional operator preconditioner M ≈ A⁻¹ (e.g. an InverseLBFGSOperator).
     Returns (x, iterations, final residual norm). Entirely on device."""
-    x = jnp.zeros_like(b) if x0 is None else x0
+    dt = jnp.result_type(b.dtype, op.dtype)
+    b = b.astype(dt)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dt)
     r = b - op.apply(x, "N")
     z = M.apply(r, "N") if M is not None else r
     p = z
@@ -84,8 +86,9 @@ def gmres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
     solve is a single compiled computation. Returns (x, restarts used,
     final residual norm)."""
     n = b.shape[0]
-    dt = b.dtype
-    x = jnp.zeros_like(b) if x0 is None else x0
+    dt = jnp.result_type(b.dtype, op.dtype)
+    b = b.astype(dt)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dt)
     m = min(restart, n)
     bnorm = jnp.linalg.norm(b)
     tol_abs = tol * jnp.where(bnorm == 0, 1.0, bnorm)

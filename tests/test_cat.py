@@ -84,3 +84,11 @@ def test_nary_cat(rng):
     M = np.hstack(mats)
     v = simple_vector(np.float64, 6)
     assert_close(op @ v, M @ v, rtol=10 * RTOL)
+
+
+def test_hvcat_count_mismatch(rng):
+    """hvcat validates that the row layout consumes every operator."""
+    import jax.numpy as jnp
+    A = lo.LinearOperator(jnp.asarray(rng.standard_normal((3, 3))))
+    with pytest.raises(lo.LinearOperatorException):
+        lo.hvcat((2,), A, A, A)  # one operator silently dropped before

@@ -37,3 +37,28 @@ def test_gmres_on_sparse_operator(rng):
     b = jnp.asarray(rng.standard_normal(n))
     x, k, res = lo.gmres(op, b, tol=1e-9, restart=25, maxiter=10)
     assert np.linalg.norm(A @ np.asarray(x) - np.asarray(b)) / np.linalg.norm(b) < 1e-8
+
+
+def test_gmres_complex_operator_real_rhs(rng):
+    """Complex operator with real b promotes the Krylov basis (regression:
+    complex residual silently truncated into a real buffer)."""
+    n = 12
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)) + n * np.eye(n)
+    op = lo.LinearOperator(jnp.asarray(A))
+    b = jnp.asarray(rng.standard_normal(n))
+    x, k, res = lo.gmres(op, b, tol=1e-10, restart=n, maxiter=10)
+    err = np.linalg.norm(A @ np.asarray(x) - np.asarray(b)) / np.linalg.norm(b)
+    assert err < 1e-9, err
+
+
+def test_cg_complex_operator_real_rhs(rng):
+    """Hermitian complex operator + real b traces and solves (regression:
+    while_loop carry dtype mismatch)."""
+    n = 16
+    M = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = M @ M.conj().T + n * np.eye(n)
+    op = lo.LinearOperator(jnp.asarray(A), symmetric=False, hermitian=True)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, k, res = lo.cg(op, b, tol=1e-10, maxiter=200)
+    err = np.linalg.norm(A @ np.asarray(x) - np.asarray(b)) / np.linalg.norm(b)
+    assert err < 1e-8, err

@@ -181,3 +181,12 @@ def test_integer_operator(rng):
     assert lo.check_ctranspose(op)
     assert lo.check_hermitian(op + op.H)
     assert lo.check_positive_definite(op @ op.H + 20 * lo.opEye(6))
+
+
+def test_universal_eye_scalar_rejected():
+    """2.0 * opEye() must not silently return the bare scalar (regression:
+    A + sigma*opEye() computed A + sigma*ones)."""
+    with pytest.raises(lo.LinearOperatorException):
+        2.0 * lo.opEye()
+    with pytest.raises(lo.LinearOperatorException):
+        lo.opEye() * 2.0
