@@ -83,14 +83,12 @@ class _ModeWrapper(LinearOperator):
 
     def _counter_for(self, mode: str) -> int:
         """Wrapper counters read through the reference's cross-mapping
-        (reference: src/adjtrans.jl:46-58)."""
+        (reference: src/adjtrans.jl:46-58), via the slot the parent's
+        dispatch actually bumps (an adjoint apply on a parent without
+        ctprod falls back to tprod — the wrapper must read that slot)."""
         m = compose_modes(mode, self._mode)
         p = self.parent
-        if m == "N" or m == "C":
-            return p.nprod
-        if m == "T":
-            return p.ntprod
-        return p.nctprod
+        return getattr(p, p._slot_for(m))
 
     @property
     def nprod(self):

@@ -350,30 +350,31 @@ class LinearOperator(abc.ABC):
         self.counters.reset()
         return self
 
-    def _bump(self, mode: str, n: int = 1):
-        """Bump own counters, mirroring which closure slot the reference's
-        mul! would invoke for this mode (reference: src/adjtrans.jl:100-136)."""
-        c = self.counters
+    def _slot_for(self, mode: str) -> str:
+        """Which counter slot an apply in ``mode`` hits, mirroring the
+        reference's mul! dispatch (reference: src/adjtrans.jl:100-136)."""
         if mode == "N" or mode == "C":
-            c.nprod += n
-        elif mode == "H":
+            return "nprod"
+        if mode == "H":
             if self.hermitian:
-                c.nprod += n
-            elif self._has_ctprod():
-                c.nctprod += n
-            elif self._has_tprod():
-                c.ntprod += n
-            else:  # symmetric fallback uses prod
-                c.nprod += n
-        elif mode == "T":
-            if self.symmetric:
-                c.nprod += n
-            elif self._has_tprod():
-                c.ntprod += n
-            elif self._has_ctprod():
-                c.nctprod += n
-            else:  # hermitian fallback uses prod
-                c.nprod += n
+                return "nprod"
+            if self._has_ctprod():
+                return "nctprod"
+            if self._has_tprod():
+                return "ntprod"
+            return "nprod"  # symmetric fallback uses prod
+        # mode == "T"
+        if self.symmetric:
+            return "nprod"
+        if self._has_tprod():
+            return "ntprod"
+        if self._has_ctprod():
+            return "nctprod"
+        return "nprod"  # hermitian fallback uses prod
+
+    def _bump(self, mode: str, n: int = 1):
+        c = self.counters
+        setattr(c, self._slot_for(mode), getattr(c, self._slot_for(mode)) + n)
 
     def _bump_children(self, mode: str, n: int = 1):
         """Composite nodes override to propagate counts to children in the

@@ -71,6 +71,20 @@ def native_available() -> bool:
     return _load() is not None
 
 
+_I32_MAX = np.iinfo(np.int32).max
+
+
+def _check_int32(a, what: str):
+    """The native ABI is int32; silently wrapping 64-bit indices would make
+    the packer read out of bounds."""
+    a = np.asarray(a)
+    if a.size and int(a.max()) > _I32_MAX:
+        raise OverflowError(
+            f"{what} exceed int32 range (max {int(a.max())}); the native "
+            "packer supports nnz/dims up to 2^31-1"
+        )
+
+
 def bsr_pack_csr(vals, cols, indptr, nrow, ncol, block_shape=(8, 128), pad_rows_to=1):
     """CSR → (blocks, block_cols) BSR arrays via the native packer.
 
@@ -83,6 +97,8 @@ def bsr_pack_csr(vals, cols, indptr, nrow, ncol, block_shape=(8, 128), pad_rows_
         raise RuntimeError("native packer unavailable (g++ build failed)")
     bm, bn = block_shape
     vals = np.ascontiguousarray(vals)
+    _check_int32(cols, "column indices")
+    _check_int32(indptr, "indptr")
     cols = np.ascontiguousarray(cols, np.int32)
     indptr = np.ascontiguousarray(indptr, np.int32)
     nbrow = -(-nrow // bm)
@@ -108,6 +124,8 @@ def rcm_permutation(cols, indptr, n) -> np.ndarray:
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
+    _check_int32(cols, "column indices")
+    _check_int32(indptr, "indptr")
     cols = np.ascontiguousarray(cols, np.int32)
     indptr = np.ascontiguousarray(indptr, np.int32)
     perm = np.zeros(n, np.int32)

@@ -54,7 +54,10 @@ class RestrictionOperator(LinearOperator):
         return v[self.idx]
 
     def _tprod(self, u):
-        return jnp.zeros((self._ncol,), u.dtype).at[self.idx].set(u)
+        # scatter-ADD: the true adjoint of a gather (with duplicate indices,
+        # set-semantics would break <Rv, u> == <v, R'u> and be
+        # implementation-defined about which duplicate wins)
+        return jnp.zeros((self._ncol,), u.dtype).at[self.idx].add(u)
 
     def _ctprod(self, w):
         return self._tprod(w)
@@ -62,7 +65,7 @@ class RestrictionOperator(LinearOperator):
     def apply_matrix(self, M, mode: str = "N"):
         if mode in ("N", "C"):
             return M[self.idx, :]
-        return jnp.zeros((self._ncol, M.shape[1]), M.dtype).at[self.idx, :].set(M)
+        return jnp.zeros((self._ncol, M.shape[1]), M.dtype).at[self.idx, :].add(M)
 
     def _name(self):
         return "Restriction operator"

@@ -18,17 +18,7 @@ from ..core.dense import aslinearoperator
 __all__ = ["ShiftedOperator"]
 
 
-def _sigma_is_real(sigma) -> bool:
-    if isinstance(sigma, (int, float)):
-        return True
-    if isinstance(sigma, complex):
-        return sigma.imag == 0
-    if isinstance(sigma, jax.core.Tracer):
-        return not jnp.issubdtype(jnp.result_type(sigma), jnp.complexfloating)
-    try:
-        return bool(jnp.imag(jnp.asarray(sigma)) == 0)
-    except Exception:
-        return False
+from ..core.algebra import _scalar_is_real as _sigma_is_real  # shared trace-safe check
 
 
 class ShiftedOperator(LinearOperator):

@@ -29,7 +29,16 @@ class TimedOperator(LinearOperator):
     def __init__(self, op):
         super().__init__()
         self.op = aslinearoperator(op)
-        self.timings = {"prod": [0, 0.0], "tprod": [0, 0.0], "ctprod": [0, 0.0]}
+
+    @property
+    def timings(self):
+        # lazily (re)created so pytree unflatten — which bypasses __init__ —
+        # still yields a working operator (same pattern as base counters)
+        t = getattr(self, "_timings", None)
+        if t is None:
+            t = {"prod": [0, 0.0], "tprod": [0, 0.0], "ctprod": [0, 0.0]}
+            object.__setattr__(self, "_timings", t)
+        return t
 
     @property
     def nrow(self):
@@ -72,11 +81,15 @@ class TimedOperator(LinearOperator):
     def matvec(self, v, mode: str = "N"):
         from ..core.apply import matvec
 
+        import numpy as _np
+
         slot = _SLOT[mode]
         t0 = time.perf_counter()
         with jax.profiler.TraceAnnotation(f"linops.{slot}"):
             out = matvec(self, v, mode=mode)
-            out.block_until_ready()
+            # host fetch of one element: block_until_ready can be a no-op on
+            # remote relays, which would time only the dispatch
+            _np.asarray(out.ravel()[0])
         dt = time.perf_counter() - t0
         rec = self.timings.setdefault(slot, [0, 0.0])
         rec[0] += 1

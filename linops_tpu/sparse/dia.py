@@ -87,22 +87,25 @@ class DIAOperator(LinearOperator):
         shifts = jnp.stack([xp[mo + o : mo + o + n] for o in self._offsets])
         return jnp.sum(self.diags * shifts, axis=0)
 
-    def _tprod(self, u):
-        # (Aᵀu)[c] = Σ_i shift(diags_i ⊙ u, −o_i)
-        prods = self.diags * u[None, :]
-        y = jnp.zeros_like(u, shape=(self.ncol,))
+    def _tprod_impl(self, u, diags):
+        # (Aᵀu)[c] = Σ_i shift(diags_i ⊙ u, −o_i): write every shifted term
+        # into one shared padded buffer, then slice — the same
+        # one-pad/stacked structure as _prod (its measured-faster form).
+        mo = self._max_off
+        n = self.ncol
+        prods = diags * u[None, :]
+        acc = jnp.zeros((n + 2 * mo,), u.dtype)
         for i, o in enumerate(self._offsets):
-            y = y + self._shift(prods[i], -o)
-        return y
+            acc = acc.at[mo + o : mo + o + n].add(prods[i])
+        return acc[mo : mo + n]
+
+    def _tprod(self, u):
+        return self._tprod_impl(u, self.diags)
 
     def _ctprod(self, w):
         if not jnp.iscomplexobj(self.diags):
             return self._tprod(w)
-        prods = jnp.conj(self.diags) * w[None, :]
-        y = jnp.zeros_like(w, shape=(self.ncol,))
-        for i, o in enumerate(self._offsets):
-            y = y + self._shift(prods[i], -o)
-        return y
+        return self._tprod_impl(w, jnp.conj(self.diags))
 
     def apply_matrix(self, M, mode: str = "N"):
         if mode in ("N",):

@@ -72,11 +72,10 @@ class BSR(NamedTuple):
 
     @property
     def padded_shape(self) -> Tuple[int, int]:
+        bn = self.blocks.shape[3]
         return (
             self.blocks.shape[0] * self.blocks.shape[2],
-            int(self.block_cols.max() + 1) * self.blocks.shape[3]
-            if self.block_cols.size
-            else self.blocks.shape[3],
+            -(-self.shape[1] // bn) * bn,
         )
 
 

@@ -35,7 +35,9 @@ def _eps(op) -> float:
 def _rand(key, n, op):
     if _is_int(op):
         return jnp.floor(10 * jax.random.uniform(key, (n,))).astype(op.dtype) - 5
-    return jax.random.uniform(key, (n,), dtype=jnp.float64)
+    dt = jnp.dtype(op.dtype)
+    rdt = jnp.finfo(dt).dtype if jnp.issubdtype(dt, jnp.inexact) else jax.dtypes.canonicalize_dtype(jnp.float64)
+    return jax.random.uniform(key, (n,), dtype=rdt)
 
 
 def check_ctranspose(op, key=None) -> bool:
@@ -89,7 +91,10 @@ def check_positive_definite(op, semi: bool = False, key=None) -> bool:
     vw = jnp.vdot(v, w)
     if not _is_int(op):
         eps = _eps(op)
-        if float(jnp.imag(vw)) > (eps**0.5) * float(jnp.abs(vw)):
+        # |imag| (the reference tests the signed value, src/utilities.jl:131,
+        # which lets a large NEGATIVE imaginary part slip through — clearly
+        # unintended, so we use the magnitude)
+        if float(jnp.abs(jnp.imag(vw))) > (eps**0.5) * float(jnp.abs(vw)):
             return False
     vw = float(jnp.real(vw))
     return (vw >= 0) if semi else (vw > 0)

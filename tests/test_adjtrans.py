@@ -112,3 +112,15 @@ def test_wrapper_counters(complex_op, rng):
     w = rng.random(3) + 1j * rng.random(3)
     _ = opA.conj() * w
     assert opA.nprod == 1
+
+
+def test_wrapper_counters_follow_fallback_slot(rng):
+    """Adjoint apply on a parent WITHOUT ctprod bumps (and reads) the tprod
+    slot via the conj-trick fallback (regression: wrapper read nctprod=0)."""
+    A = rng.standard_normal((4, 4))
+    Aj = jnp.asarray(A)
+    fo = lo.FunctionOperator(4, 4, lambda x: Aj @ x, lambda y: Aj.T @ y)
+    fo.reset_counters()
+    _ = fo.H * jnp.ones(4)
+    assert fo.ntprod == 1 and fo.nctprod == 0
+    assert fo.H.nprod == 1  # wrapper's forward count = the slot actually hit

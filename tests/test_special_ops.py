@@ -190,3 +190,26 @@ def test_universal_eye_scalar_rejected():
         2.0 * lo.opEye()
     with pytest.raises(lo.LinearOperatorException):
         lo.opEye() * 2.0
+
+
+def test_restriction_duplicate_indices_adjoint(rng):
+    """Duplicate indices: gather's true adjoint is scatter-ADD, so the
+    dot-test holds (regression: set-semantics broke <Rv,u> == <v,R'u>)."""
+    import jax.numpy as jnp
+    R = lo.opRestriction(np.array([1, 1, 2]), 4)
+    v = rng.standard_normal(4)
+    u = rng.standard_normal(3)
+    lhs = np.dot(np.asarray(R * v), u)
+    rhs = np.dot(v, np.asarray(R.H * u))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_timed_operator_pytree_roundtrip(rng):
+    """TimedOperator survives tree_map (unflatten bypasses __init__)."""
+    import jax, jax.numpy as jnp
+    t = lo.TimedOperator(lo.opDiagonal(jnp.arange(1.0, 5.0)))
+    t2 = jax.tree_util.tree_map(lambda x: x, t)
+    v = jnp.ones(4)
+    out = t2.matvec(v)
+    np.testing.assert_allclose(np.asarray(out), np.arange(1.0, 5.0))
+    assert "prod" in repr(t2)
