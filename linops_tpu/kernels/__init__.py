@@ -10,12 +10,8 @@ explicit VMEM management wins or may win:
   measured ~20x slower than the XLA einsum path on v5e — the per-block
   (8, 128) dots with full-f32 precision do not amortize; kept as the
   starting point for a future tiled rewrite. Use the default XLA path.
-- ``lbfgs_fwd``: fused two-pass forward L-BFGS apply over the a/b vectors
-  (superseded as the default by the compact-form apply, kept as an
-  alternative for a/b-resident workflows)
 """
 
 from .bsr_spmv import bsr_matvec_pallas, to_mfirst
-from .lbfgs_fwd import lbfgs_forward_pallas
 
-__all__ = ["bsr_matvec_pallas", "to_mfirst", "lbfgs_forward_pallas"]
+__all__ = ["bsr_matvec_pallas", "to_mfirst"]

@@ -7,11 +7,10 @@ segments on-chip, so HBM traffic is the block values once plus x once:
 the speed-of-light for SpMV (BASELINE.md: ≥80% roofline nnz/s).
 
 Layout: blocks are stored row-major *within a block-row group* as
-``(nbrow, bm, kmax, bn)`` ("m-first"), so one block-row's values flatten to
-a contiguous ``(bm, kmax·bn)`` matrix and the contraction is a single 2-D
-dot against the on-chip-gathered ``(kmax·bn,)`` segment vector. Grid over
-groups of R=8 block-rows (the (8, ·) output tile constraint);
-``block_cols`` rides the scalar-prefetch slot so indices live in SMEM.
+``(nbrow, bm, kmax, bn)`` ("m-first"). Grid over groups of R=8 block-rows
+(the (8, ·) output tile constraint); ``block_cols`` is a VMEM-blocked
+input read as per-index scalars (SMEM scalar-prefetch cannot hold the
+index array at production sizes).
 """
 
 from __future__ import annotations

@@ -18,6 +18,50 @@
 #include <algorithm>
 #include <queue>
 
+// Pass 2: fill blocks (nbrow, kmax, bm, bn) and block_cols (nbrow, kmax).
+// Padding entries keep block_col 0 and zero values (they contribute 0).
+// Duplicate (row, col) CSR entries are SUMMED (scipy canonical convention).
+template <typename T>
+static void bsr_fill(const T* vals, const int32_t* cols, const int32_t* indptr,
+                     int64_t nrow, int32_t bm, int32_t bn, int32_t kmax,
+                     T* blocks, int32_t* block_cols) {
+  int64_t nbrow = (nrow + bm - 1) / bm;
+  std::vector<int32_t> bcs;
+  std::vector<int32_t> pos(1 << 16);
+  for (int64_t bi = 0; bi < nbrow; ++bi) {
+    bcs.clear();
+    int64_t r0 = bi * bm;
+    int64_t r1 = std::min<int64_t>(r0 + bm, nrow);
+    for (int64_t r = r0; r < r1; ++r)
+      for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p)
+        bcs.push_back(cols[p] / bn);
+    std::sort(bcs.begin(), bcs.end());
+    bcs.erase(std::unique(bcs.begin(), bcs.end()), bcs.end());
+
+    int32_t* bc_row = block_cols + bi * kmax;
+    for (int32_t k = 0; k < kmax; ++k)
+      bc_row[k] = (k < (int32_t)bcs.size()) ? bcs[k] : 0;
+
+    // map block-col -> slot k for this block-row
+    for (size_t k = 0; k < bcs.size(); ++k) {
+      if (bcs[k] >= (int32_t)pos.size()) pos.resize(bcs[k] + 1);
+      pos[bcs[k]] = (int32_t)k;
+    }
+
+    T* blk_row = blocks + (int64_t)bi * kmax * bm * bn;
+    for (int64_t r = r0; r < r1; ++r) {
+      int32_t rr = (int32_t)(r - r0);
+      for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        int32_t bc = cols[p] / bn;
+        int32_t cc = cols[p] % bn;
+        int32_t k = pos[bc];
+        blk_row[((int64_t)k * bm + rr) * bn + cc] += vals[p];
+      }
+    }
+  }
+}
+
+
 extern "C" {
 
 // Pass 1: for each block-row, count distinct nonzero block-columns.
@@ -44,84 +88,16 @@ int32_t bsr_count(const int32_t* cols, const int32_t* indptr, int64_t nrow,
   return kmax;
 }
 
-// Pass 2: fill blocks (nbrow, kmax, bm, bn) and block_cols (nbrow, kmax).
-// Padding entries keep block_col 0 and zero values (they contribute 0).
-// vals/blocks are float32 or float64 depending on `elem_size`.
 void bsr_fill_f32(const float* vals, const int32_t* cols,
                   const int32_t* indptr, int64_t nrow, int32_t bm, int32_t bn,
                   int32_t kmax, float* blocks, int32_t* block_cols) {
-  int64_t nbrow = (nrow + bm - 1) / bm;
-  std::vector<int32_t> bcs;
-  std::vector<int32_t> pos(1 << 16);
-  for (int64_t bi = 0; bi < nbrow; ++bi) {
-    bcs.clear();
-    int64_t r0 = bi * bm;
-    int64_t r1 = std::min<int64_t>(r0 + bm, nrow);
-    for (int64_t r = r0; r < r1; ++r)
-      for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p)
-        bcs.push_back(cols[p] / bn);
-    std::sort(bcs.begin(), bcs.end());
-    bcs.erase(std::unique(bcs.begin(), bcs.end()), bcs.end());
-
-    int32_t* bc_row = block_cols + bi * kmax;
-    for (int32_t k = 0; k < kmax; ++k)
-      bc_row[k] = (k < (int32_t)bcs.size()) ? bcs[k] : 0;
-
-    // map block-col -> slot k for this block-row
-    for (size_t k = 0; k < bcs.size(); ++k) {
-      if (bcs[k] >= (int32_t)pos.size()) pos.resize(bcs[k] + 1);
-      pos[bcs[k]] = (int32_t)k;
-    }
-
-    float* blk_row = blocks + (int64_t)bi * kmax * bm * bn;
-    for (int64_t r = r0; r < r1; ++r) {
-      int32_t rr = (int32_t)(r - r0);
-      for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
-        int32_t bc = cols[p] / bn;
-        int32_t cc = cols[p] % bn;
-        int32_t k = pos[bc];
-        blk_row[((int64_t)k * bm + rr) * bn + cc] = vals[p];
-      }
-    }
-  }
+  bsr_fill<float>(vals, cols, indptr, nrow, bm, bn, kmax, blocks, block_cols);
 }
 
 void bsr_fill_f64(const double* vals, const int32_t* cols,
                   const int32_t* indptr, int64_t nrow, int32_t bm, int32_t bn,
                   int32_t kmax, double* blocks, int32_t* block_cols) {
-  int64_t nbrow = (nrow + bm - 1) / bm;
-  std::vector<int32_t> bcs;
-  std::vector<int32_t> pos(1 << 16);
-  for (int64_t bi = 0; bi < nbrow; ++bi) {
-    bcs.clear();
-    int64_t r0 = bi * bm;
-    int64_t r1 = std::min<int64_t>(r0 + bm, nrow);
-    for (int64_t r = r0; r < r1; ++r)
-      for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p)
-        bcs.push_back(cols[p] / bn);
-    std::sort(bcs.begin(), bcs.end());
-    bcs.erase(std::unique(bcs.begin(), bcs.end()), bcs.end());
-
-    int32_t* bc_row = block_cols + bi * kmax;
-    for (int32_t k = 0; k < kmax; ++k)
-      bc_row[k] = (k < (int32_t)bcs.size()) ? bcs[k] : 0;
-
-    for (size_t k = 0; k < bcs.size(); ++k) {
-      if (bcs[k] >= (int32_t)pos.size()) pos.resize(bcs[k] + 1);
-      pos[bcs[k]] = (int32_t)k;
-    }
-
-    double* blk_row = blocks + (int64_t)bi * kmax * bm * bn;
-    for (int64_t r = r0; r < r1; ++r) {
-      int32_t rr = (int32_t)(r - r0);
-      for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
-        int32_t bc = cols[p] / bn;
-        int32_t cc = cols[p] % bn;
-        int32_t k = pos[bc];
-        blk_row[((int64_t)k * bm + rr) * bn + cc] = vals[p];
-      }
-    }
-  }
+  bsr_fill<double>(vals, cols, indptr, nrow, bm, bn, kmax, blocks, block_cols);
 }
 
 // Reverse Cuthill-McKee ordering on the symmetrized pattern of a CSR
@@ -149,7 +125,6 @@ void rcm_order(const int32_t* cols, const int32_t* indptr, int64_t n,
   }
 
   std::vector<char> visited(n, 0);
-  int64_t out = 0;
   std::vector<int32_t> order;
   order.reserve(n);
   std::vector<int32_t> frontier;
@@ -181,7 +156,6 @@ void rcm_order(const int32_t* cols, const int32_t* indptr, int64_t n,
   }
   // reverse
   for (int64_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
-  (void)out;
 }
 
 }  // extern "C"

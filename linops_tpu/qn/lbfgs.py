@@ -167,11 +167,12 @@ def inverse_apply_compact(state: LBFGSState, x):
     return gamma * x + W.T @ coeff
 
 
-def _forward_compact_parts(state: LBFGSState):
+def _forward_compact_parts(state: LBFGSState, *, with_grams: bool = False):
     """Chronologically-ordered pieces of the forward compact form
     B = θI − U K⁻¹ Uᵀ with U = [θS Y], K = [[θSᵀS, L], [Lᵀ, −D]]
     (Byrd-Nocedal-Schnabel 1994, thm 2.3). Empty slots get unit K diagonal
-    and zero U columns."""
+    and zero U columns. With ``with_grams`` also returns the masked,
+    reordered (SS, SY, YY, valid) pieces for Woodbury shifted solves."""
     mem = state.S.shape[0]
     order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
     valid = state.ys[order] != 0
@@ -188,6 +189,9 @@ def _forward_compact_parts(state: LBFGSState):
         jnp.where(valid2, 0.0, 1.0)
     )
     W = jnp.concatenate([theta * state.S[order], state.Y[order]], axis=0)
+    if with_grams:
+        YY_o = jnp.where(vmask2, state.YY[order][:, order], 0.0)
+        return theta, K, W, SS_o, SY_o, YY_o, valid
     return theta, K, W
 
 
@@ -210,11 +214,6 @@ def forward_apply(state: LBFGSState, x):
     bx = state.B @ x
     ax = state.A @ x
     return q + state.B.T @ bx - state.A.T @ ax
-
-
-def forward_apply_matrix(state: LBFGSState, X):
-    """Multi-RHS forward product: (n, k) block in two MXU matmuls."""
-    return X / state.gamma + state.B.T @ (state.B @ X) - state.A.T @ (state.A @ X)
 
 
 def forward_diag(state: LBFGSState):
@@ -386,9 +385,15 @@ class LBFGSOperator(LinearOperator):
             dt, n = args
             dt = jax.dtypes.canonicalize_dtype(dt)
         elif len(args) == 1:
-            dt, n = (dtype if dtype is not None else jax.dtypes.canonicalize_dtype(jnp.float64)), args[0]
+            dt, n = (dtype if dtype is not None else jnp.float64), args[0]
+            dt = jax.dtypes.canonicalize_dtype(dt)
         else:
             raise TypeError("LBFGSOperator(n) or LBFGSOperator(dtype, n)")
+        if jnp.issubdtype(jnp.dtype(dt), jnp.complexfloating):
+            raise LinearOperatorException(
+                "complex L-BFGS is not supported: the curvature tests and "
+                "Gram updates assume real inner products"
+            )
         self._n = int(n)
         self._mem = max(int(mem), 1)
         self._scaling = bool(scaling)

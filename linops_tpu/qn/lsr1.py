@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.base import LinearOperator, register_operator
+from ..core.base import LinearOperator, LinearOperatorException, register_operator
 
 __all__ = ["LSR1State", "LSR1Operator"]
 
@@ -160,9 +160,15 @@ class LSR1Operator(LinearOperator):
             dt, n = args
             dt = jax.dtypes.canonicalize_dtype(dt)
         elif len(args) == 1:
-            dt, n = (dtype if dtype is not None else jax.dtypes.canonicalize_dtype(jnp.float64)), args[0]
+            dt, n = (dtype if dtype is not None else jnp.float64), args[0]
+            dt = jax.dtypes.canonicalize_dtype(dt)
         else:
             raise TypeError("LSR1Operator(n) or LSR1Operator(dtype, n)")
+        if jnp.issubdtype(jnp.dtype(dt), jnp.complexfloating):
+            raise LinearOperatorException(
+                "complex L-SR1 is not supported: the acceptance tests assume "
+                "real inner products"
+            )
         self._n = int(n)
         self._mem = max(int(mem), 1)
         self._scaling = bool(scaling)

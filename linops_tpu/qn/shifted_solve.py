@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .lbfgs import LBFGSOperator, LBFGSState
+from .lbfgs import LBFGSOperator, LBFGSState, _forward_compact_parts
 
 __all__ = ["solve_shifted_system", "solve_shifted_systems", "ldiv"]
 
@@ -90,33 +90,20 @@ def _solve_shifted_compact(state: LBFGSState, b, sigma):
     — two (2·mem, n) passes + one (2·mem)² dense solve instead of the
     EJM loop's 2·mem sequential rank-1 steps. Empty ring slots carry zero
     U columns and unit K diagonal, contributing exactly nothing."""
-    mem, n = state.S.shape
-    dt = b.dtype
-    order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
-    valid = state.ys[order] != 0
-    vmask2 = valid[:, None] & valid[None, :]
-
-    theta = 1.0 / state.gamma
+    theta, K, W, SS_o, SY_o, YY_o, valid = _forward_compact_parts(
+        state, with_grams=True
+    )
     c = theta + sigma
-
-    SY_o = jnp.where(vmask2, state.SY[order][:, order], 0.0)
-    SS_o = jnp.where(vmask2, state.SS[order][:, order], 0.0)
-    YY_o = jnp.where(vmask2, state.YY[order][:, order], 0.0)
-    L = jnp.tril(SY_o, k=-1)
-    D = jnp.diag(jnp.diag(SY_o))
-
-    K = jnp.block([[theta * SS_o, L], [L.T, -D]])
     UtU = jnp.block(
         [[theta**2 * SS_o, theta * SY_o], [theta * SY_o.T, YY_o]]
     )
     M = c * K - UtU
-    # unit diagonal on empty coordinates keeps M nonsingular
+    # unit diagonal on empty coordinates keeps M nonsingular (K already has
+    # unit diagonal there; re-mask after the subtraction)
     valid2 = jnp.concatenate([valid, valid])
     M = jnp.where(valid2[:, None] & valid2[None, :], M, 0.0) + jnp.diag(
         jnp.where(valid2, 0.0, 1.0)
     )
-
-    W = jnp.concatenate([theta * state.S[order], state.Y[order]], axis=0)  # U rows
     Utb = W @ b
     coef = jnp.linalg.solve(M, Utb)
     return b / c + (W.T @ coef) / c
@@ -139,6 +126,12 @@ def solve_shifted_system(B: LBFGSOperator, b, sigma, *, method: str = "compact")
     if method == "compact":
         return _solve_shifted_compact(B.state, b, jnp.asarray(sigma_f, B.dtype))
     if method == "ejm":
+        if sigma_f == 0 and bool(jnp.any(B.state.ys == 0)):
+            raise ValueError(
+                "EJM is degenerate at sigma=0 on a partially-filled ring "
+                "(the oldest pair's unit a-vector makes 1 - x0<a,p> = 0); "
+                "use the default compact method"
+            )
         return _solve_shifted(B.state, b, jnp.asarray(sigma_f, B.dtype))
     raise ValueError(f"unknown method {method!r}")
 

@@ -87,7 +87,14 @@ def load_operator_state(path: str, op: LinearOperator) -> LinearOperator:
             name = dtype_names[i]
             if name is not None and a.dtype.name != name:
                 a = a.view(jnp.dtype(name))  # bf16 etc. stored as uint bits
-            new_leaves.append(jnp.asarray(a))
+            j = jnp.asarray(a)
+            if name is not None and j.dtype.name != name:
+                raise ValueError(
+                    f"checkpoint leaf has dtype {name} but this runtime "
+                    f"canonicalizes it to {j.dtype.name} (enable x64 to "
+                    "restore float64 state bit-exactly)"
+                )
+            new_leaves.append(j)
     restored = jax.tree_util.tree_unflatten(treedef, new_leaves)
     for f in type(op)._fields_children:
         setattr(op, f, getattr(restored, f))
