@@ -72,6 +72,7 @@ def main():
     detail = {
         "platform": platform,
         "roofline_gbs": roofline,
+        "measured_streaming_ceiling_gbs": 747.0,  # raw sum-reduction probe on this chip
         "timing": f"marginal ({I_LONG}-{I_SHORT} chain iterations, median of 3)",
     }
 
