@@ -58,6 +58,7 @@ from .ops.linalg_ops import (
     opHermitian,
 )
 from .ops.timed import TimedOperator
+from .ops.sparse_factor import SparseInverseOperator, opSparseInverse, opSparseLDL
 
 from .qn import (
     LBFGSState,
@@ -158,6 +159,9 @@ __all__ = [
     "opHouseholder",
     "opHermitian",
     "TimedOperator",
+    "SparseInverseOperator",
+    "opSparseInverse",
+    "opSparseLDL",
     "LBFGSState",
     "LBFGSOperator",
     "InverseLBFGSOperator",

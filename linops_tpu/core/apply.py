@@ -75,6 +75,23 @@ def _apply_mat(op, M, mode):
     return _checked(op, M, op.apply_matrix(M, mode), batched=True)
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _apply_mat_scaled(op, M, alpha, mode):
+    return alpha * _checked(op, M, op.apply_matrix(M, mode), batched=True)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _apply_mat_axpby(op, M, alpha, beta, Res, mode):
+    Y = alpha * _checked(op, M, op.apply_matrix(M, mode), batched=True)
+    return jnp.where(beta == 0, Y, Y + beta * Res)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",), donate_argnums=(4,))
+def _apply_mat_axpby_donated(op, M, alpha, beta, Res, mode):
+    Y = alpha * _checked(op, M, op.apply_matrix(M, mode), batched=True)
+    return jnp.where(beta == 0, Y, Y + beta * Res)
+
+
 # ----------------------------------------------------------------------------
 # public API
 # ----------------------------------------------------------------------------
@@ -115,6 +132,11 @@ def _static_one(x) -> bool:
 def mul(op: LinearOperator, v, alpha=None, beta=None, res=None, mode: str = "N", donate: bool = False):
     """Functional 5-arg ``mul!``: returns ``alpha * op(v) + beta * res``.
 
+    ``v`` may be a vector (reference: src/operations.jl:22-32) or a matrix
+    column-block — the matrix-RHS 5-arg form
+    ``mul!(res::AbstractMatrix, op, m::AbstractMatrix, α, β)``
+    (reference: src/operations.jl:34-40); ``res`` must match ``v``'s rank.
+
     - ``beta`` statically zero (None/0) -> the NaN-safe specialized path that
       never reads ``res`` (reference: src/constructors.jl:66-78).
     - ``donate=True`` donates ``res``'s buffer to XLA so the update is
@@ -122,6 +144,21 @@ def mul(op: LinearOperator, v, alpha=None, beta=None, res=None, mode: str = "N",
       semantics, reference: src/operations.jl:22-32).
     """
     v = jnp.asarray(v)
+    if v.ndim == 2:
+        if v.shape[0] != op.in_dim(mode):
+            raise LinearOperatorException("shape mismatch")
+        op.bump(mode)
+        if _static_zero(beta):
+            if _static_one(alpha):
+                return _apply_mat(op, v, mode)
+            return _apply_mat_scaled(op, v, alpha, mode)
+        if res is None:
+            raise LinearOperatorException("5-arg mul with nonzero beta requires res")
+        if jnp.ndim(res) != 2:
+            raise LinearOperatorException("matrix-RHS mul needs a matrix res")
+        a = 1 if alpha is None else alpha
+        fn = _apply_mat_axpby_donated if donate else _apply_mat_axpby
+        return fn(op, v, a, beta, res, mode)
     _check_vec_shape(op, v, mode)
     op.bump(mode)
     if _static_zero(beta):
@@ -162,6 +199,9 @@ def apply_cache_sizes() -> dict:
         ("apply_axpby", _apply_axpby),
         ("apply_axpby_donated", _apply_axpby_donated),
         ("apply_mat", _apply_mat),
+        ("apply_mat_scaled", _apply_mat_scaled),
+        ("apply_mat_axpby", _apply_mat_axpby),
+        ("apply_mat_axpby_donated", _apply_mat_axpby_donated),
     ]:
         try:
             out[name] = fn._cache_size()

@@ -19,6 +19,7 @@ Default partition rules (overridable per class via ``_shard_child``):
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -38,20 +39,92 @@ def _default_spec(arr, axis: str):
     return P()
 
 
+def _qn_states():
+    from ..qn.lbfgs import LBFGSState
+    from ..qn.lsr1 import LSR1State
+
+    return (LBFGSState, LSR1State)
+
+
+def _sparse_formats():
+    from ..sparse.formats import BSR, COO, CSR
+
+    return COO, CSR, BSR
+
+
 def _place(value, mesh: Mesh, axis: str, spec_fn):
     """Recursively place arrays inside operators / states / containers."""
     if isinstance(value, LinearOperator):
         return shard_operator(value, mesh, axis)
-    if hasattr(value, "_fields"):  # NamedTuple state (QN ring buffers)
+    if isinstance(value, _qn_states()):  # QN ring-buffer state
         placed = [
             _place_leaf(getattr(value, f), mesh, axis, spec_fn, qn=True)
             for f in value._fields
         ]
         return type(value)(*placed)
+    COO, CSR, BSR = _sparse_formats()
+    if isinstance(value, (COO, CSR, BSR)):
+        return _place_sparse(value, mesh, axis)
+    if hasattr(value, "_fields"):  # other NamedTuple containers: recurse
+        placed = [_place(getattr(value, f), mesh, axis, spec_fn) for f in value._fields]
+        return type(value)(*placed)
     if isinstance(value, (tuple, list)):
         seq = [_place(v, mesh, axis, spec_fn) for v in value]
         return type(value)(seq)
     return _place_leaf(value, mesh, axis, spec_fn)
+
+
+def _place_sparse(data, mesh: Mesh, axis: str):
+    """Partition rules for the sparse storage pytrees.
+
+    - BSR: block-rows split across the mesh (row partition — forward apply
+      gathers x blocks, adjoint psums), block_cols alongside.
+    - COO/CSR: the nnz axis is split (vals/rows/cols together); segment_sum
+      over sharded segment ids psums partial row sums. ``indptr`` is
+      replicated (it indexes full rows, not nnz shards).
+    """
+    COO, CSR, BSR = _sparse_formats()
+    n_dev = mesh.shape[axis]
+
+    def put(arr, spec):
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    if isinstance(data, BSR):
+        nbrow = data.blocks.shape[0]
+        if nbrow % n_dev:
+            warnings.warn(
+                f"shard_operator: BSR block-row count {nbrow} is not divisible "
+                f"by the {n_dev}-device mesh axis; storage stays replicated "
+                "(pad the block rows for a true row partition)"
+            )
+            spec_b, spec_c = P(), P()
+        else:
+            spec_b, spec_c = P(axis, None, None, None), P(axis, None)
+        return BSR(
+            blocks=put(data.blocks, spec_b),
+            block_cols=put(data.block_cols, spec_c),
+            shape=data.shape,
+        )
+    nnz_spec = P(axis) if data.nnz % n_dev == 0 else P()
+    if data.nnz % n_dev:
+        warnings.warn(
+            f"shard_operator: nnz={data.nnz} not divisible by the {n_dev}-device "
+            "mesh axis; sparse storage stays replicated"
+        )
+    if isinstance(data, CSR):
+        return CSR(
+            vals=put(data.vals, nnz_spec),
+            cols=put(data.cols, nnz_spec),
+            indptr=put(data.indptr, P()),
+            rows=put(data.rows, nnz_spec),
+            shape=data.shape,
+        )
+    return COO(
+        vals=put(data.vals, nnz_spec),
+        rows=put(data.rows, nnz_spec),
+        cols=put(data.cols, nnz_spec),
+        shape=data.shape,
+    )
 
 
 def _place_leaf(arr, mesh, axis, spec_fn, qn: bool = False):
@@ -61,11 +134,15 @@ def _place_leaf(arr, mesh, axis, spec_fn, qn: bool = False):
         # (mem, n) memories: split the operator dimension n; replicate the
         # small per-pair scalars and the (mem, mem) Gram matrices.
         n_dev = mesh.shape[axis]
-        shard_it = (
-            arr.ndim == 2
-            and arr.shape[1] != arr.shape[0]
-            and arr.shape[1] % n_dev == 0
-        )
+        is_memory = arr.ndim == 2 and arr.shape[1] != arr.shape[0]
+        shard_it = is_memory and arr.shape[1] % n_dev == 0
+        if is_memory and not shard_it:
+            warnings.warn(
+                f"shard_operator: QN memory dimension n={arr.shape[1]} is not "
+                f"divisible by the {n_dev}-device mesh axis; the ring buffers "
+                "stay REPLICATED (a silent perf cliff at scale — pad n to a "
+                "multiple of the mesh size)"
+            )
         spec = P(None, axis) if shard_it else P()
     else:
         spec = spec_fn(arr, axis)

@@ -109,6 +109,11 @@ def _solve_shifted_compact(state: LBFGSState, b, sigma):
     return b / c + (W.T @ coef) / c
 
 
+def _is_concrete(x) -> bool:
+    """True when ``x`` carries a host-readable value (not a jit tracer)."""
+    return not isinstance(x, jax.core.Tracer)
+
+
 def solve_shifted_system(B: LBFGSOperator, b, sigma, *, method: str = "compact"):
     """Solve ``(B + σI) x = b`` where B is a *forward* L-BFGS operator and
     σ ≥ 0 (reference solve_shifted_system!, src/utilities.jl:207-248).
@@ -116,23 +121,34 @@ def solve_shifted_system(B: LBFGSOperator, b, sigma, *, method: str = "compact")
     ``method="compact"`` (default) uses the Woodbury/compact-form solve
     (batched, TPU-native); ``method="ejm"`` runs the reference's
     Erway-Jain-Marcia recursion. Returns the solution vector (functional;
-    the reference writes into a preallocated ``x``)."""
+    the reference writes into a preallocated ``x``).
+
+    jit-composable: ``sigma`` (and ``B``, a pytree) may be traced, so a
+    trust-region loop can run on device end-to-end. The σ ≥ 0 contract is
+    validated eagerly when σ is a concrete value; under a trace it is the
+    caller's responsibility (a negative traced σ gives garbage, not an
+    error — the same contract as the reference's unchecked ``@assert``)."""
     if B.inverse:
         raise ValueError("solve_shifted_system requires a forward L-BFGS operator")
-    sigma_f = float(sigma)
-    if sigma_f < 0:
+    if _is_concrete(sigma) and float(sigma) < 0:
         raise ValueError("σ must be nonnegative")
     b = jnp.asarray(b, B.dtype)
+    sigma = jnp.asarray(sigma, B.dtype)
     if method == "compact":
-        return _solve_shifted_compact(B.state, b, jnp.asarray(sigma_f, B.dtype))
+        return _solve_shifted_compact(B.state, b, sigma)
     if method == "ejm":
-        if sigma_f == 0 and bool(jnp.any(B.state.ys == 0)):
+        if (
+            _is_concrete(sigma)
+            and _is_concrete(B.state.ys)
+            and float(sigma) == 0
+            and bool(jnp.any(B.state.ys == 0))
+        ):
             raise ValueError(
                 "EJM is degenerate at sigma=0 on a partially-filled ring "
                 "(the oldest pair's unit a-vector makes 1 - x0<a,p> = 0); "
                 "use the default compact method"
             )
-        return _solve_shifted(B.state, b, jnp.asarray(sigma_f, B.dtype))
+        return _solve_shifted(B.state, b, sigma)
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -141,11 +157,12 @@ def solve_shifted_systems(B: LBFGSOperator, b, sigmas):
     ``vmap`` of the compact solve, sharing the two (2·mem, n) passes'
     inputs across shifts. The trust-region use case (several σ per
     subproblem) the reference handles with repeated sequential solves.
-    Returns an (len(sigmas), n) array."""
+    Returns an (len(sigmas), n) array. jit-composable (traced ``sigmas``
+    skip the eager σ ≥ 0 validation; see ``solve_shifted_system``)."""
     if B.inverse:
         raise ValueError("solve_shifted_systems requires a forward L-BFGS operator")
     sig = jnp.atleast_1d(jnp.asarray(sigmas, B.dtype))
-    if bool(jnp.any(sig < 0)):
+    if _is_concrete(sig) and bool(jnp.any(sig < 0)):
         raise ValueError("σ must be nonnegative")
     b = jnp.asarray(b, B.dtype)
     return jax.vmap(lambda s: _solve_shifted_compact(B.state, b, s))(sig)

@@ -26,7 +26,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["COO", "CSR", "BSR", "coo_from_dense", "csr_from_dense", "bsr_from_dense"]
+__all__ = [
+    "COO",
+    "CSR",
+    "BSR",
+    "coo_from_dense",
+    "csr_from_dense",
+    "bsr_from_dense",
+    "check_int32_range",
+]
 
 
 class COO(NamedTuple):
@@ -134,9 +142,24 @@ def csr_from_dense(A, tol: float = 0.0) -> CSR:
     )
 
 
+_I32_MAX = np.iinfo(np.int32).max
+
+
+def check_int32_range(shape, nnz: int) -> None:
+    """Device index arrays are int32; dims/nnz beyond 2^31-1 would silently
+    wrap and corrupt gathers (same contract as the native packer's
+    ``_check_int32``)."""
+    if max(int(shape[0]), int(shape[1]), int(nnz)) > _I32_MAX:
+        raise OverflowError(
+            f"sparse dims/nnz {tuple(shape)}/{nnz} exceed int32 range "
+            "(2^31-1); int64 sparse indexing is not supported on device"
+        )
+
+
 def csr_from_parts(vals, cols, indptr, shape) -> CSR:
     """Build from standard CSR arrays (e.g. scipy.sparse.csr_matrix parts)."""
     indptr_np = np.asarray(indptr)
+    check_int32_range(shape, len(np.asarray(vals)))
     counts = np.diff(indptr_np)
     rows = np.repeat(np.arange(len(counts)), counts)
     return CSR(

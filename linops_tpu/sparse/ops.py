@@ -336,7 +336,10 @@ def opSparse(
             data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
             return CSROperator(data, symmetric, hermitian)
         if format == "coo":
+            from .formats import check_int32_range
+
             sc = sp.tocoo()
+            check_int32_range(sc.shape, sc.nnz)
             data = COO(
                 vals=jnp.asarray(sc.data),
                 rows=jnp.asarray(sc.row, jnp.int32),

@@ -31,6 +31,30 @@ def op_state(op: LinearOperator):
     return {f: getattr(op, f) for f in type(op)._fields_children}
 
 
+def _structure_fingerprint(op: LinearOperator, leaves) -> dict:
+    """Environment-independent structure fingerprint: the graph's node class
+    names plus per-leaf shapes. Deliberately does NOT hash aux data (a Mesh
+    in a partitioned operator's aux would bake device identities into the
+    checkpoint and block cross-topology restores)."""
+
+    def classes(x, out):
+        if isinstance(x, LinearOperator):
+            out.append(type(x).__name__)
+            for f in type(x)._fields_children:
+                classes(getattr(x, f), out)
+        elif isinstance(x, (tuple, list)):
+            for v in x:
+                classes(v, out)
+        elif hasattr(x, "_fields"):  # NamedTuple state/storage pytrees
+            out.append(type(x).__name__)
+        return out
+
+    return {
+        "classes": classes(op, []),
+        "leaf_shapes": [list(np.shape(x)) for x in leaves],
+    }
+
+
 def _to_storable(x):
     """npz-compatible view + original dtype name (bf16 etc. are ml_dtypes
     that npz would store as raw void and fail to restore)."""
@@ -53,7 +77,7 @@ def save_operator(path: str, op: LinearOperator) -> None:
         dtype_names.append(name)
     meta = {
         "class": type(op).__name__,
-        "treedef": str(treedef),
+        "structure": _structure_fingerprint(op, leaves),
         "n_leaves": len(leaves),
         "dtypes": dtype_names,
     }
@@ -78,7 +102,8 @@ def load_operator_state(path: str, op: LinearOperator) -> LinearOperator:
         leaves, treedef = jax.tree_util.tree_flatten(op)
         if meta["n_leaves"] != len(leaves):
             raise ValueError("checkpoint structure mismatch")
-        if meta["treedef"] != str(treedef):
+        want = meta.get("structure")
+        if want is not None and want != _structure_fingerprint(op, leaves):
             raise ValueError("checkpoint structure mismatch")
         dtype_names = meta.get("dtypes", [None] * len(leaves))
         new_leaves = []

@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.base import LinearOperator, LinearOperatorException
+from .rng import fresh_key
 
 __all__ = ["check_ctranspose", "check_hermitian", "check_positive_definite"]
 
@@ -46,7 +47,7 @@ def check_ctranspose(op, key=None) -> bool:
     op = _as_op(op)
     m, n = op.shape
     if key is None:
-        key = jax.random.PRNGKey(0)
+        key = fresh_key()
     k1, k2 = jax.random.split(key)
     x = _rand(k1, n, op)
     y = _rand(k2, m, op)
@@ -66,7 +67,7 @@ def check_hermitian(op, key=None) -> bool:
     if m != n:
         raise LinearOperatorException("shape mismatch")
     if key is None:
-        key = jax.random.PRNGKey(0)
+        key = fresh_key()
     v = _rand(key, n, op)
     w = op.matvec(v)
     s = jnp.vdot(w, w)
@@ -85,7 +86,7 @@ def check_positive_definite(op, semi: bool = False, key=None) -> bool:
     if m != n:
         raise LinearOperatorException("shape mismatch")
     if key is None:
-        key = jax.random.PRNGKey(0)
+        key = fresh_key()
     v = _rand(key, n, op)
     w = op.matvec(v)
     vw = jnp.vdot(v, w)

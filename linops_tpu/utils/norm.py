@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.base import LinearOperator
+from .rng import fresh_key
 
 __all__ = ["normest", "estimate_opnorm"]
 
@@ -76,7 +77,7 @@ def normest(op, tol: float = -1, maxiter: int = 100, key=None):
     if tol == -1:
         tol = _real_eps(dt)
     if key is None:
-        key = jax.random.PRNGKey(0)
+        key = fresh_key()
     k1, k2 = jax.random.split(key)
     # sign-randomized all-ones start (reference: :27-28)
     signs = jnp.where(jax.random.normal(k1, (m,)) < 0, -1.0, 1.0)
@@ -176,7 +177,7 @@ def estimate_opnorm(
         return float(jnp.max(jnp.linalg.svd(A, compute_uv=False))), True
 
     if key is None:
-        key = jax.random.PRNGKey(0)
+        key = fresh_key()
 
     hermitian = op.hermitian and m == n
     gram = not hermitian

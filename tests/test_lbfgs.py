@@ -155,22 +155,60 @@ def test_lbfgs_damped(rng):
     assert np.linalg.norm(B.to_dense(), 2) <= B.opnorm_upper_bound + RTOL
 
 
-def test_lbfgs_damped_vs_dense(rng):
-    """Damped L-BFGS vs dense damped-BFGS oracle (reference :142-159)."""
+def dense_powell_damped_bfgs(B, s, y, sigma2=0.99, sigma3=10.0):
+    """Dense oracle for the reference's Powell-damped push: blend y toward
+    Bs outside the [(1-σ₂)sBs, (1+σ₃)sBs] curvature window, then always
+    apply the plain BFGS update (reference src/lbfgs.jl:304-318)."""
+    Bs = B @ s
+    sBs = np.dot(s, Bs)
+    ys = np.dot(y, s)
+    if ys < (1 - sigma2) * sBs:
+        theta = sigma2 * sBs / (sBs - ys)
+    elif ys > (1 + sigma3) * sBs:
+        theta = sigma3 * sBs / (ys - sBs)
+    else:
+        theta = 1.0
+    y = theta * y + (1 - theta) * Bs
+    ys = np.dot(y, s)
+    return B - np.outer(Bs, Bs) / sBs + np.outer(y, y) / ys
+
+
+def test_lbfgs_damped_vs_dense():
+    """Damped L-BFGS vs dense damped-BFGS oracle, compared per push
+    (reference test/test_lbfgs.jl:141-155; there s = y = simple_vector, so
+    the Powell window never trips and the oracle is the plain update)."""
     n = 10
     LB = LBFGSOperator(n, mem=n, damped=True, scaling=False)
     B = np.eye(n)
+    assert_close(LB.to_dense(), B, rtol=RTOL)
     for _ in range(n):
-        s = rng.standard_normal(n)
-        y = rng.standard_normal(n)
-        B_new = dense_bfgs(B, s, y, damped=True)
-        if B_new is not B:  # oracle accepted -> undamped region
-            pass
-        B = B_new
+        s = simple_vector(np.float64, n)
+        y = simple_vector(np.float64, n)
+        B = dense_bfgs(B, s, y, damped=True)
         LB.push(s, y)
-        # only compare when the dense oracle accepted without damping kicking in
-        ys, sBs = np.dot(y, s), np.dot(s, np.asarray(B) @ s)
-    # end state is positive definite
+        assert_close(LB.to_dense(), B, rtol=RTOL)
+        assert_close(LB.diag(), np.diag(B), rtol=RTOL)
+    assert np.linalg.norm(B, 2) <= LB.opnorm_upper_bound + RTOL
+
+
+def test_lbfgs_damped_powell_blend_vs_dense(rng):
+    """Pairs engineered to trip Powell's damping (ys outside the curvature
+    window) — the damped push must match the dense blend-then-update oracle
+    exactly (reference src/lbfgs.jl:304-318)."""
+    n, mem = 8, 8
+    LB = LBFGSOperator(n, mem=mem, damped=True, scaling=False)
+    B = np.eye(n)
+    for i in range(mem):
+        s = rng.standard_normal(n)
+        if i % 2 == 0:
+            # ys < (1-σ₂)·sBs: near-zero/negative curvature -> lower blend
+            y = -0.3 * s + 1e-3 * rng.standard_normal(n)
+        else:
+            # ys > (1+σ₃)·sBs: inflated curvature -> upper blend
+            y = 50.0 * (B @ s) + rng.standard_normal(n)
+        B = dense_powell_damped_bfgs(B, s, y)
+        LB.push(s, y)
+        assert_close(LB.to_dense(), B, rtol=1e4 * RTOL)
     assert lo.check_positive_definite(LB)
 
 

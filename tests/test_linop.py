@@ -120,6 +120,32 @@ def test_mul_axpby(dtype, rng):
     assert_close(outT, alpha * (A.T @ v) + beta * res, rtol=10 * RTOL)
 
 
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_mul_matrix_axpby(dtype, rng):
+    """Matrix-RHS 5-arg mul (reference: src/operations.jl:34-40)."""
+    A = simple_matrix(dtype, 6, 4, rng)
+    op = lo.LinearOperator(A)
+    M = np.stack([simple_vector(dtype, 4) * (i + 1) for i in range(3)], axis=1)
+    Res = np.stack([simple_vector(dtype, 6) * 0.5 for _ in range(3)], axis=1)
+    alpha, beta = 2.0, 3.0
+    out = lo.mul(op, M, alpha, beta, Res)
+    assert_close(out, alpha * (A @ M) + beta * Res, rtol=10 * RTOL)
+    # alpha-only and plain paths
+    assert_close(lo.mul(op, M, alpha), alpha * (A @ M), rtol=10 * RTOL)
+    assert_close(lo.mul(op, M), A @ M, rtol=10 * RTOL)
+    # beta == 0 specialization never reads Res (NaN-safe)
+    Res_nan = np.full((6, 3), np.nan, dtype=dtype)
+    out0 = lo.mul(op, M, alpha, 0, Res_nan)
+    assert not np.any(np.isnan(np.asarray(out0)))
+    # transpose mode + donation
+    ResT = np.stack([simple_vector(dtype, 4) for _ in range(3)], axis=1)
+    outT = lo.mul(op, np.asarray(Res), alpha, beta, jnp.asarray(ResT), mode="T", donate=True)
+    assert_close(outT, alpha * (A.T @ Res) + beta * ResT, rtol=10 * RTOL)
+    # rank-mismatched res raises
+    with pytest.raises(lo.LinearOperatorException):
+        lo.mul(op, M, alpha, beta, np.zeros(6, dtype=dtype))
+
+
 # ----------------------------------------------------------------------------
 # counters (test_linop.jl:634-673)
 # ----------------------------------------------------------------------------

@@ -115,3 +115,34 @@ def test_batched_sigmas(rng):
         np.testing.assert_allclose(X[i], ref, rtol=1e-9, atol=1e-10)
     with pytest.raises(ValueError):
         solve_shifted_systems(B, b, [-0.1, 0.2])
+
+
+def test_jit_composable(rng):
+    """solve_shifted_system accepts traced σ and a traced operator pytree —
+    a trust-region loop can run on device end-to-end (VERDICT round 1 #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, _, b, sigma, x_true = setup_test_val(rng, n=50, mem=5)
+
+    @jax.jit
+    def tr_step(op, rhs, sig):
+        # data-dependent σ, as a trust-region loop would produce
+        sig_eff = sig + 0.0 * jnp.sum(rhs)
+        return solve_shifted_system(op, rhs, sig_eff)
+
+    x_sol = np.asarray(tr_step(B, jnp.asarray(b), sigma))
+    np.testing.assert_allclose(x_sol, x_true, atol=1e-6, rtol=1e-6)
+
+    # second call with a different σ is a cache hit (no recompile)
+    sizes0 = tr_step._cache_size()
+    tr_step(B, jnp.asarray(b), sigma * 2)
+    assert tr_step._cache_size() == sizes0
+
+    # batched form under jit too
+    from linops_tpu.qn.shifted_solve import solve_shifted_systems
+
+    sols = jax.jit(lambda op, rhs, sigs: solve_shifted_systems(op, rhs, sigs))(
+        B, jnp.asarray(b), jnp.asarray([sigma, 2 * sigma])
+    )
+    np.testing.assert_allclose(np.asarray(sols[0]), x_sol, atol=1e-8)
