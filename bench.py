@@ -78,6 +78,9 @@ def main():
 
     # --- (2) BSR SpMV chain — THE HEADLINE, measured first -----------------
     # 128x128 blocks (the MXU-native tile), 1/16 density ≈ 67M nnz.
+    # Traffic model: stored block values only (a lower bound on real HBM
+    # traffic — excludes gathered x blocks, y, and block_cols; at this
+    # block size those add < 2%).
     from linops_tpu.sparse.formats import BSR
 
     ns = 65536
@@ -90,6 +93,7 @@ def main():
     t_spmv = _marginal_apply_time(opB, vs, reps=3)
     nnz = int(blocks.size)
     spmv_gbs = nnz * bpe / t_spmv / 1e9
+    detail["spmv_traffic_model"] = "stored block values only (lower bound)"
     detail["spmv_gnnz_per_s"] = round(nnz / t_spmv / 1e9, 3)
     detail["spmv_us_per_apply"] = round(t_spmv * 1e6, 1)
 
@@ -104,15 +108,82 @@ def main():
             detail[name] = f"error: {type(e).__name__}"
 
     def sec_spmv8():
+        # fine-block case: default backend="auto" engages the Pallas
+        # VMEM-gather kernel on TPU (kernels/bsr_spmv.py); backend="xla"
+        # measured alongside for the delta.
         blocks8 = jnp.asarray(
             rng.standard_normal((ns // 8, 8, 8, 128)).astype(np.float32)
         )
         cols8 = jnp.asarray(
             rng.integers(0, ns // 128, size=(ns // 8, 8)).astype(np.int32)
         )
-        opB8 = lo.BSROperator(BSR(blocks=blocks8, block_cols=cols8, shape=(ns, ns)))
+        data8 = BSR(blocks=blocks8, block_cols=cols8, shape=(ns, ns))
+        opB8 = lo.BSROperator(data8)
         t8 = _marginal_apply_time(opB8, vs, reps=2)
         detail["spmv_8x128_gbs"] = round(blocks8.size * bpe / t8 / 1e9, 2)
+        if _budget_left():
+            opB8x = lo.BSROperator(data8, backend="xla")
+            t8x = _marginal_apply_time(opB8x, vs, reps=2)
+            detail["spmv_8x128_xla_gbs"] = round(blocks8.size * bpe / t8x / 1e9, 2)
+
+    def sec_csr():
+        # CSR ingestion path (BASELINE config 2 'partitioned CSR SpMV-chain'):
+        # a block-structured 67M-nnz matrix ingested FROM CSR arrays.
+        # (a) auto-routed through the native CSR->BSR packer (the default
+        #     recommendation for block-structured patterns),
+        # (b) the raw gather+segment_sum CSR path on a truly unstructured
+        #     16-nnz/row matrix (its nnz/s is gather-bound — recorded
+        #     honestly as such).
+        # Roofline for the CSR *format* itself is 8 B/nnz (vals+cols):
+        # nnz/s_max = roofline_gbs/8.
+        import scipy.sparse as sps
+
+        nnz_row = 16
+        # (a) block-structured: reuse the headline pattern as CSR input
+        indptr = np.arange(0, (ns // 128) * 4 + 1, 4, dtype=np.int64)
+        # expand block pattern to scipy BSR then CSR without densifying
+        sp_bsr = sps.bsr_matrix(
+            (
+                np.asarray(blocks).reshape(-1, 128, 128),
+                np.asarray(cols).ravel(),
+                indptr,
+            ),
+            shape=(ns, ns),
+        )
+        sp_csr = sp_bsr.tocsr()
+        t0 = time.time()
+        opA = lo.opSparse(sp_csr, format="bsr", block_shape="auto")
+        detail["csr_pack_s"] = round(time.time() - t0, 1)
+        detail["csr_auto_block_shape"] = list(opA.data.block_shape)
+        tA = _marginal_apply_time(opA, vs, reps=2)
+        csr_nnz = sp_csr.nnz
+        detail["csr_routed_gnnz_per_s"] = round(csr_nnz / tA / 1e9, 3)
+        detail["csr_format_roofline_gnnz_per_s"] = round(roofline / 8, 1)
+        detail["csr_routed_vs_csr_roofline"] = round(
+            (csr_nnz / tA / 1e9) / (roofline / 8), 3
+        )
+
+        # (b) unstructured gather path at 16 nnz/row, n = 1M
+        nu = 1 << 20
+        rows_u = np.repeat(np.arange(nu, dtype=np.int32), nnz_row)
+        cols_u = rng.integers(0, nu, nu * nnz_row).astype(np.int32)
+        vals_u = rng.standard_normal(nu * nnz_row).astype(np.float32)
+        indptr_u = np.arange(0, nu * nnz_row + 1, nnz_row, dtype=np.int32)
+        from linops_tpu.sparse.formats import CSR as CSRfmt
+
+        opU = lo.CSROperator(
+            CSRfmt(
+                vals=jnp.asarray(vals_u),
+                cols=jnp.asarray(cols_u),
+                indptr=jnp.asarray(indptr_u),
+                rows=jnp.asarray(rows_u),
+                shape=(nu, nu),
+            )
+        )
+        vu = jnp.ones((nu,), dtype)
+        tU = _marginal_apply_time(opU, vu, reps=2)
+        detail["csr_unstructured_gnnz_per_s"] = round(nu * nnz_row / tU / 1e9, 3)
+        detail["csr_unstructured_us_per_apply"] = round(tU * 1e6, 1)
 
     def sec_stencil():
         ngrid = 2048
@@ -147,11 +218,23 @@ def main():
         v = jnp.ones((n,), dtype)
         t_fwd = _marginal_apply_time(B, v, reps=2)
         t_inv = _marginal_apply_time(H, v, reps=2)
-        # both compact forms stream their (2mem, n) memory twice per apply
-        detail["lbfgs_fwd_gbs_2pass"] = round(2 * (2 * mem) * n * bpe / t_fwd / 1e9, 2)
-        detail["lbfgs_inv_gbs_2pass"] = round(2 * (2 * mem) * n * bpe / t_inv / 1e9, 2)
+        # Traffic model: MINIMUM one pass over the (2mem, n) memory plus
+        # x and y. (Round-1 used a 2-pass model and over-credited past the
+        # measured ceiling — XLA evidently keeps part of W resident across
+        # the two compact-form passes, so the 1-pass figure is the honest
+        # lower bound; the roofline-µs targets state both bounds.)
+        min_bytes = ((2 * mem) * n + 2 * n) * bpe
+        detail["lbfgs_traffic_model"] = "1-pass (2mem+2)·n·4B lower bound"
+        detail["lbfgs_fwd_gbs_min1pass"] = round(min_bytes / t_fwd / 1e9, 2)
+        detail["lbfgs_inv_gbs_min1pass"] = round(min_bytes / t_inv / 1e9, 2)
         detail["lbfgs_fwd_us"] = round(t_fwd * 1e6, 1)
         detail["lbfgs_inv_us"] = round(t_inv * 1e6, 1)
+        # roofline-µs window at the measured ceiling: [1-pass, 2-pass]
+        ceil = detail["measured_streaming_ceiling_gbs"]
+        detail["lbfgs_roofline_us_1to2pass"] = [
+            round(min_bytes / (ceil * 1e9) * 1e6, 1),
+            round((2 * (2 * mem) * n + 2 * n) * bpe / (ceil * 1e9) * 1e6, 1),
+        ]
 
     def sec_stress():
         from jax import lax as _lax
@@ -190,11 +273,41 @@ def main():
         # bytes/s figure would over-credit.
         detail["algebra_stress_spmm_us"] = round(max(ts2 - ts1, 1e-9) / 400 * 1e6, 1)
 
+    def sec_scaling():
+        # multi-device scaling harness on the virtual 8-device CPU mesh
+        # (parallel/scaling_bench.py): per-device work at 1 vs N devices
+        # plus the compiled-HLO collective audit (halo = exactly 2
+        # collective-permutes, zero all-gathers).
+        import json as _json
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        env["PYTHONPATH"] = ":".join(
+            p for p in env.get("PYTHONPATH", "").split(":") if "axon_site" not in p
+        )
+        out = subprocess.run(
+            [sys.executable, "-m", "linops_tpu.parallel.scaling_bench"],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        detail["scaling"] = _json.loads(out.stdout.strip().splitlines()[-1])
+
     section("spmv_8x128_gbs", sec_spmv8)
+    section("csr", sec_csr)
     section("stencil", sec_stencil)
     section("chain", sec_chain)
     section("lbfgs", sec_lbfgs)
     section("stress", sec_stress)
+    section("scaling", sec_scaling)
 
     print(
         json.dumps(

@@ -1,16 +1,35 @@
-"""Pallas TPU kernel: BSR SpMV (block-sparse matrix · vector).
+"""Pallas TPU kernels: BSR SpMV (block-sparse matrix · vector), fwd + transpose.
 
-The XLA fallback (sparse/ops.py) materializes the gathered x-blocks
-``x[block_cols]`` — an extra HBM round-trip proportional to nnz — before
-the contraction. This kernel keeps x resident in VMEM and gathers block
-segments on-chip, so HBM traffic is the block values once plus x once:
-the speed-of-light for SpMV (BASELINE.md: ≥80% roofline nnz/s).
+The XLA fallback (sparse/ops.py) lowers ``x[block_cols]`` + einsum; for
+small blocks (8×128) the fine-grained gather caps it at ~0.70 of the HBM
+roofline (round-1 bench). These kernels keep x fully VMEM-resident and
+stream only the block values from HBM — the speed-of-light traffic for
+SpMV (BASELINE.md: ≥80% roofline nnz/s).
 
-Layout: blocks are stored row-major *within a block-row group* as
-``(nbrow, bm, kmax, bn)`` ("m-first"). Grid over groups of R=8 block-rows
-(the (8, ·) output tile constraint); ``block_cols`` is a VMEM-blocked
-input read as per-index scalars (SMEM scalar-prefetch cannot hold the
-index array at production sizes).
+Design (v4; earlier iterations documented for the record — v1's per-block
+scalar-indexed MXU dots ran ~20× slower than XLA; v2/v3's in-kernel
+relayout reshapes crashed the Mosaic compiler):
+
+- Grid over groups of R block-rows; each step streams one ~1 MB tile of
+  blocks through the Pallas pipeline (auto double-buffered DMA). Inputs
+  are pre-flattened HOST-side to ``(nbrow·kmax, bm, bn)`` /
+  ``(nbrow·kmax, 1)`` so the kernel body needs NO reshapes (Mosaic's
+  sublane↔lane relayout reshapes are the crash trigger).
+- The x gather is VECTORIZED as a one-hot contraction: build
+  ``sel[(r,k), c] = (block_cols[r,k] == c)`` with broadcasted_iota and
+  contract it with the VMEM-resident x on the MXU — zero scalar loads,
+  zero dynamic slices. Precision HIGHEST keeps the f32 x side exact
+  (bf16x3); the 0/1 selector side is exact in any bf16 split.
+- The block contraction is elementwise multiply + lane reduction on the
+  VPU (native f32 — no MXU truncation); the per-row k-sum is a SECOND
+  exact 0/1 selector dot (``group[r, (r',k)] = (r' == r)``), again
+  avoiding any reshape.
+- For larger x (one-hot width is O(nbcol) per tile) a "loop" variant
+  gathers x rows by scalar index instead; beyond the VMEM bound callers
+  fall back to the XLA path.
+- Transpose mode scatters per-block contributions back through the SAME
+  one-hot selector (``selᵀ @ contrib``), accumulating into a VMEM-resident
+  output across sequential grid steps.
 """
 
 from __future__ import annotations
@@ -22,66 +41,196 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bsr_matvec_pallas", "to_mfirst", "BSR_PALLAS_ROWS_PER_PROGRAM"]
+__all__ = [
+    "bsr_matvec_pallas",
+    "bsr_rmatvec_pallas",
+    "bsr_pallas_rows_per_program",
+    "BSR_PALLAS_MAX_X_ELEMS",
+    "BSR_PALLAS_ONEHOT_MAX_NBCOL",
+]
 
-BSR_PALLAS_ROWS_PER_PROGRAM = 8  # R block-rows per grid step
+BSR_PALLAS_MAX_X_ELEMS = 2_000_000  # x must be VMEM-resident (~8 MB f32)
+BSR_PALLAS_ONEHOT_MAX_NBCOL = 4096  # beyond this the one-hot build dominates
+_ROWS_PER_PROGRAM = 32  # ~1 MB f32 block tiles at kmax=8, bm=8, bn=128
 
-
-def to_mfirst(blocks):
-    """(nbrow, kmax, bm, bn) storage → (nbrow, bm, kmax, bn) kernel layout."""
-    return jnp.transpose(blocks, (0, 2, 1, 3))
-
-
-def _bsr_kernel(cols_ref, x_ref, blocks_ref, y_ref):
-    """R block-rows: y[r] = Σ_k blocks[r,·,k,·] @ x[cols[r,k]]."""
-    R, bm, kmax, bn = blocks_ref.shape
-
-    rows = []
-    for r in range(R):  # static unroll
-        acc = jnp.zeros((bm, 1), dtype=y_ref.dtype)
-        for k in range(kmax):  # static unroll; gathers stay in VMEM
-            xk = x_ref[cols_ref[r, k], :].reshape(bn, 1)
-            acc = acc + jnp.dot(
-                blocks_ref[r, :, k, :],
-                xk,
-                preferred_element_type=y_ref.dtype,
-                precision=jax.lax.Precision.HIGHEST,  # MXU would truncate f32->bf16
-            )
-        rows.append(acc[:, 0])
-    y_ref[:, :] = jnp.stack(rows)
+# f32 x side must not be truncated on the MXU; the 0/1 selector side is
+# exact in any split. (Mosaic rejects per-operand precision.)
+_GATHER_PRECISION = jax.lax.Precision.HIGHEST
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bsr_matvec_pallas(blocks_mfirst, block_cols, x_blocks, *, interpret=False):
-    """y_blocks (nbrow, bm) = BSR @ x_blocks (nbcol, bn), with blocks in
-    m-first layout (see ``to_mfirst``).
+def bsr_pallas_rows_per_program(bm: int) -> int:
+    """Block-rows per grid step (callers pad nbrow to a multiple)."""
+    del bm  # independent of block height with the natural output layout
+    return _ROWS_PER_PROGRAM
 
-    Requires nbrow divisible by 8 (callers pad); ``x_blocks`` must fit VMEM
-    (up to ~2M f32 entries) — callers fall back to the XLA path beyond that.
+
+def _fwd_kernel_onehot(kmax: int, cols_ref, x_ref, blocks_ref, y_ref):
+    RK, bm, bn = blocks_ref.shape  # RK = R*kmax, flattened host-side
+    R = RK // kmax
+    nbcol = x_ref.shape[0]
+    # sel[(r,k), c] = 1 iff block_cols[r,k] == c  (no reshapes: cols comes in
+    # as (RK, 1) and broadcasts against a 2-D iota)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (RK, nbcol), 1)
+    sel = (ids == cols_ref[...]).astype(x_ref.dtype)
+    # xg[(r,k), :] = x[block_cols[r,k], :] — one MXU contraction
+    xg = jax.lax.dot_general(
+        sel,
+        x_ref[...],
+        (((1,), (0,)), ((), ())),
+        precision=_GATHER_PRECISION,
+        preferred_element_type=y_ref.dtype,
+    )  # (RK, bn)
+    z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm), VPU
+    # k-sum via a second exact 0/1 selector: group[r, (r',k)] = (r' == r)
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (R, RK), 1) // kmax
+    group = (row_of == jax.lax.broadcasted_iota(jnp.int32, (R, RK), 0)).astype(
+        z.dtype
+    )
+    y_ref[...] = jax.lax.dot_general(
+        group,
+        z,
+        (((1,), (0,)), ((), ())),
+        precision=_GATHER_PRECISION,
+        preferred_element_type=y_ref.dtype,
+    )  # (R, bm)
+
+
+def _fwd_kernel_loop(kmax: int, cols_ref, x_ref, blocks_ref, y_ref):
+    RK, bm, bn = blocks_ref.shape
+    R = RK // kmax
+
+    def row(r, _):
+        acc = blocks_ref[r * kmax] * x_ref[cols_ref[r * kmax, 0]]
+        for k in range(1, kmax):  # kmax is static
+            acc = acc + blocks_ref[r * kmax + k] * x_ref[cols_ref[r * kmax + k, 0]]
+        y_ref[r, :] = jnp.sum(acc, axis=1)  # (bm,)
+        return 0
+
+    jax.lax.fori_loop(0, R, row, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "variant"))
+def bsr_matvec_pallas(blocks, block_cols, x_blocks, *, interpret=False, variant="auto"):
+    """y_blocks (nbrow, bm) = BSR @ x_blocks (nbcol, bn).
+
+    ``blocks``: (nbrow, kmax, bm, bn) in natural storage layout; nbrow must
+    be a multiple of ``bsr_pallas_rows_per_program(bm)`` (callers pad).
+    ``x_blocks`` must fit VMEM (≤ ``BSR_PALLAS_MAX_X_ELEMS`` entries) —
+    callers fall back to the XLA path beyond that.
     """
-    nbrow, bm, kmax, bn = blocks_mfirst.shape
-    R = BSR_PALLAS_ROWS_PER_PROGRAM
+    nbrow, kmax, bm, bn = blocks.shape
+    nbcol = x_blocks.shape[0]
+    R = bsr_pallas_rows_per_program(bm)
     if nbrow % R != 0:
         raise ValueError(f"nbrow={nbrow} must be a multiple of {R} (pad the BSR)")
-    dtype = jnp.result_type(blocks_mfirst.dtype, x_blocks.dtype)
+    dtype = jnp.result_type(blocks.dtype, x_blocks.dtype)
+    if variant == "auto":
+        variant = "onehot" if nbcol <= BSR_PALLAS_ONEHOT_MAX_NBCOL else "loop"
+    body = _fwd_kernel_onehot if variant == "onehot" else _fwd_kernel_loop
+    kernel = functools.partial(body, kmax)
 
-    grid_spec = pl.GridSpec(
+    # flatten HOST-side (free, contiguous) so the kernel needs no reshapes
+    blocks_flat = blocks.reshape(nbrow * kmax, bm, bn).astype(dtype)
+    cols_flat = block_cols.reshape(nbrow * kmax, 1)
+
+    out = pl.pallas_call(
+        kernel,
         grid=(nbrow // R,),
         in_specs=[
-            pl.BlockSpec((R, kmax), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R * kmax, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident in VMEM
             pl.BlockSpec(
-                (R, bm, kmax, bn),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (R * kmax, bm, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
+        # (R, bm) is legal: bm equals the full trailing array dim
         out_specs=pl.BlockSpec((R, bm), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )
-
-    return pl.pallas_call(
-        _bsr_kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbrow, bm), dtype),
         interpret=interpret,
-    )(block_cols, x_blocks.astype(dtype), blocks_mfirst.astype(dtype))
+        cost_estimate=pl.CostEstimate(
+            flops=2 * blocks.size,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize
+            + x_blocks.size * x_blocks.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(cols_flat, x_blocks.astype(dtype), blocks_flat)
+    return out
+
+
+def _t_kernel_onehot(kmax: int, cols_ref, u_ref, blocks_ref, out_ref):
+    RK, bm, bn = blocks_ref.shape
+    R = RK // kmax
+    nbcol = out_ref.shape[0]
+    # expand u (R, bm) to per-block rows via the exact group selector
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (RK, R), 0) // kmax
+    expand = (row_of == jax.lax.broadcasted_iota(jnp.int32, (RK, R), 1)).astype(
+        u_ref.dtype
+    )
+    u_rk = jax.lax.dot_general(
+        expand,
+        u_ref[...],
+        (((1,), (0,)), ((), ())),
+        precision=_GATHER_PRECISION,
+        preferred_element_type=out_ref.dtype,
+    )  # (RK, bm)
+    # contrib[(r,k), :] = sum_m blocks[(r,k),m,:]*u[r,m]  (VPU, exact f32)
+    contrib = jnp.sum(blocks_ref[...] * u_rk[:, :, None], axis=1)  # (RK, bn)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (RK, nbcol), 1)
+    sel = (ids == cols_ref[...]).astype(out_ref.dtype)
+    # scatter-add through the transposed selector: (nbcol, RK) @ (RK, bn)
+    upd = jax.lax.dot_general(
+        sel,
+        contrib,
+        (((0,), (0,)), ((), ())),
+        precision=_GATHER_PRECISION,
+        preferred_element_type=out_ref.dtype,
+    )  # (nbcol, bn)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] = out_ref[...] + upd
+
+
+@functools.partial(jax.jit, static_argnames=("nbcol", "interpret"))
+def bsr_rmatvec_pallas(blocks, block_cols, u_blocks, nbcol: int, *, interpret=False):
+    """Transpose-mode apply: out (nbcol, bn) = Σ_{r,k} blocksᵀ[r,k] · u[r]
+    scattered to block-column ``block_cols[r,k]``. The (nbcol, bn) output
+    accumulates in VMEM across sequential grid steps (same VMEM bound as
+    forward x).
+
+    Note: padding blocks are all-zero, so their scatter to column 0
+    contributes exactly nothing.
+    """
+    nbrow, kmax, bm, bn = blocks.shape
+    R = bsr_pallas_rows_per_program(bm)
+    if nbrow % R != 0:
+        raise ValueError(f"nbrow={nbrow} must be a multiple of {R} (pad the BSR)")
+    dtype = jnp.result_type(blocks.dtype, u_blocks.dtype)
+    kernel = functools.partial(_t_kernel_onehot, kmax)
+
+    blocks_flat = blocks.reshape(nbrow * kmax, bm, bn).astype(dtype)
+    cols_flat = block_cols.reshape(nbrow * kmax, 1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nbrow // R,),
+        in_specs=[
+            pl.BlockSpec((R * kmax, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # u in the natural (nbrow, bm) layout, like the forward output
+            pl.BlockSpec((R, bm), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (R * kmax, bm, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # full, accumulated
+        out_shape=jax.ShapeDtypeStruct((nbcol, bn), dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * blocks.size,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize
+            + nbcol * bn * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(cols_flat, u_blocks.astype(dtype), blocks_flat)

@@ -77,6 +77,27 @@ class TimedOperator(LinearOperator):
     def _bump_children(self, mode: str, n: int = 1):
         self.op.bump(mode, n)
 
+    # counters delegate to the wrapped operator (reference contract:
+    # nprod(top) == nprod(top.op), test/test_linop.jl:694-698) — so counts
+    # survive wrapper commutation (op.T builds a fresh TimedOperator, but
+    # the underlying operator's counters are shared).
+    @property
+    def nprod(self) -> int:
+        return self.op.nprod
+
+    @property
+    def ntprod(self) -> int:
+        return self.op.ntprod
+
+    @property
+    def nctprod(self) -> int:
+        return self.op.nctprod
+
+    def reset_counters(self):
+        super().reset_counters()
+        self.op.reset_counters()
+        return self
+
     # eager path: timed
     def matvec(self, v, mode: str = "N"):
         from ..core.apply import matvec

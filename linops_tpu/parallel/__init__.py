@@ -6,6 +6,8 @@ from .mesh import make_mesh, replicated, row_sharding, P, NamedSharding, Mesh
 from .sharded import shard_operator, operator_sharding_rule
 from .init import initialize_distributed, runtime_info
 from .halo import HaloPartitionedOperator, banded_partition
+from .introspect import collective_counts, hlo_collective_counts
+from .scaling_bench import scaling_report
 
 __all__ = [
     "make_mesh",
@@ -20,4 +22,7 @@ __all__ = [
     "runtime_info",
     "HaloPartitionedOperator",
     "banded_partition",
+    "collective_counts",
+    "hlo_collective_counts",
+    "scaling_report",
 ]

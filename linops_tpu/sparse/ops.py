@@ -71,7 +71,8 @@ def bsr_matvec(blocks, block_cols, x_padded_blocks):
     contraction (nbrow·kmax small matvecs fused by XLA onto the MXU)."""
     xg = x_padded_blocks[block_cols]  # (nbrow, kmax, bn)
     return jnp.einsum(
-        "rkmn,rkn->rm", blocks, xg, preferred_element_type=blocks.dtype
+        "rkmn,rkn->rm", blocks, xg,
+        preferred_element_type=jnp.result_type(blocks.dtype, xg.dtype),
     )
 
 
@@ -81,14 +82,16 @@ def bsr_matmat(blocks, block_cols, X_blocks):
     over k columns)."""
     Xg = X_blocks[block_cols]  # (nbrow, kmax, bn, k)
     return jnp.einsum(
-        "rkmn,rknc->rmc", blocks, Xg, preferred_element_type=blocks.dtype
+        "rkmn,rknc->rmc", blocks, Xg,
+        preferred_element_type=jnp.result_type(blocks.dtype, Xg.dtype),
     )
 
 
 def bsr_rmatvec(blocks, block_cols, u_blocks, nbcol):
     """Transpose apply: scatter blockᵀ·u contributions to column blocks."""
     contrib = jnp.einsum(
-        "rkmn,rm->rkn", blocks, u_blocks, preferred_element_type=blocks.dtype
+        "rkmn,rm->rkn", blocks, u_blocks,
+        preferred_element_type=jnp.result_type(blocks.dtype, u_blocks.dtype),
     )  # (nbrow, kmax, bn)
     kflat = contrib.reshape(-1, contrib.shape[-1])
     ids = block_cols.reshape(-1)
@@ -185,32 +188,76 @@ class BSROperator(_SparseBase):
     """Block-sparse-row operator — the TPU-native format: apply is a batched
     dense block contraction (MXU), indexing is per 8×128 (or larger) block.
 
-    ``backend="pallas"`` uses the fused VMEM-gather kernel for the forward
-    apply (kernels/bsr_spmv.py) — requires TPU, x small enough for VMEM, and
-    pads nbrow to a multiple of 8; other modes and oversize inputs fall back
-    to the XLA path.
+    Backends (``backend=``):
+
+    - ``"auto"`` (default): on TPU, fine-block (bm < 128) applies route to
+      the Pallas VMEM-gather kernels (kernels/bsr_spmv.py) whenever the
+      gathered-side vector fits VMEM (≤ ``BSR_PALLAS_MAX_X_ELEMS`` padded
+      entries; transpose additionally needs nbcol ≤
+      ``BSR_PALLAS_ONEHOT_MAX_NBCOL``) and dtype is f32/bf16. Everything
+      else — 128×128 blocks (already at roofline via XLA), oversize x,
+      f64/complex, non-TPU — uses the XLA gather+einsum path.
+    - ``"pallas"``: force the kernel where structurally possible (runs in
+      interpreter mode off-TPU — test use only).
+    - ``"xla"``: never use the kernel.
+
+    Construction pads nbrow to a multiple of the kernel's rows-per-program
+    (zero blocks pointing at block-column 0, which contribute exactly
+    nothing); the logical ``shape`` is unchanged.
     """
 
-    _fields_children = ("data", "_mfirst")
     _fields_aux = ("_symmetric", "_hermitian", "_backend")
 
     def __init__(self, data, symmetric: bool = False, hermitian: bool = False,
-                 backend: str = "xla"):
+                 backend: str = "auto"):
         super().__init__(data, symmetric, hermitian)
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown BSR backend {backend!r}")
         self._backend = backend
-        if backend == "pallas":
-            from ..kernels.bsr_spmv import to_mfirst, BSR_PALLAS_ROWS_PER_PROGRAM
+        maybe_kernel = 1024 % data.block_shape[0] == 0 and (
+            backend == "pallas" or (backend == "auto" and data.block_shape[0] < 128)
+        )
+        if maybe_kernel:
+            from ..kernels.bsr_spmv import bsr_pallas_rows_per_program
 
-            R = BSR_PALLAS_ROWS_PER_PROGRAM
+            R = bsr_pallas_rows_per_program(data.block_shape[0])
             blocks, cols = data.blocks, data.block_cols
             pad = (-blocks.shape[0]) % R
             if pad:
                 blocks = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0), (0, 0)))
                 cols = jnp.pad(cols, ((0, pad), (0, 0)))
                 self.data = BSR(blocks=blocks, block_cols=cols, shape=data.shape)
-            self._mfirst = to_mfirst(self.data.blocks)
-        else:
-            self._mfirst = None
+
+    # --- kernel eligibility (host-side; aux + shapes only, so the decision
+    # is baked into the jit cache key via the operator's structure) ---
+    def _pallas_eligible(self, gathered_elems: int, nbcol: int, transpose: bool) -> bool:
+        if self._backend == "xla":
+            return False
+        from ..kernels.bsr_spmv import (
+            BSR_PALLAS_MAX_X_ELEMS,
+            BSR_PALLAS_ONEHOT_MAX_NBCOL,
+            bsr_pallas_rows_per_program,
+        )
+
+        d = self.data
+        bm = d.block_shape[0]
+        if 1024 % bm or d.blocks.shape[0] % bsr_pallas_rows_per_program(bm):
+            return False
+        if jnp.dtype(d.blocks.dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+            return False
+        if gathered_elems > BSR_PALLAS_MAX_X_ELEMS:
+            return False
+        if transpose and nbcol > BSR_PALLAS_ONEHOT_MAX_NBCOL:
+            return False
+        if self._backend == "auto":
+            if jax.default_backend() != "tpu":
+                return False
+            if d.block_shape[0] >= 128:
+                return False  # XLA einsum already at roofline for 128×128
+        return True
+
+    def _interpret(self) -> bool:
+        return jax.default_backend() != "tpu"
 
     def _pad_in(self, v, dim_blocks, bsize):
         need = dim_blocks * bsize
@@ -224,35 +271,39 @@ class BSROperator(_SparseBase):
         nbrow = d.blocks.shape[0]
         nbcol = -(-d.shape[1] // bn)
         xb = self._pad_in(v, nbcol, bn).reshape(nbcol, bn)
-        # pallas kernel needs x fully VMEM-resident; larger inputs fall back
-        # to the XLA path (docstring contract)
-        if self._mfirst is not None and xb.size <= 2_000_000:
+        if self._pallas_eligible(xb.size, nbcol, transpose=False):
             from ..kernels.bsr_spmv import bsr_matvec_pallas
 
-            y = bsr_matvec_pallas(self._mfirst, d.block_cols, xb).reshape(nbrow * bm)
+            y = bsr_matvec_pallas(
+                d.blocks, d.block_cols, xb, interpret=self._interpret()
+            ).reshape(nbrow * bm)
         else:
             y = bsr_matvec(d.blocks, d.block_cols, xb).reshape(nbrow * bm)
         return y[: d.shape[0]]
 
-    def _tprod(self, u):
+    def _tprod_impl(self, blocks, u):
         d = self.data
         bm, bn = d.block_shape
-        nbrow = d.blocks.shape[0]
+        nbrow = blocks.shape[0]
         nbcol = -(-d.shape[1] // bn)
         ub = self._pad_in(u, nbrow, bm).reshape(nbrow, bm)
-        x = bsr_rmatvec(d.blocks, d.block_cols, ub, nbcol).reshape(nbcol * bn)
+        if self._pallas_eligible(nbcol * bn, nbcol, transpose=True):
+            from ..kernels.bsr_spmv import bsr_rmatvec_pallas
+
+            x = bsr_rmatvec_pallas(
+                blocks, d.block_cols, ub, nbcol, interpret=self._interpret()
+            ).reshape(nbcol * bn)
+        else:
+            x = bsr_rmatvec(blocks, d.block_cols, ub, nbcol).reshape(nbcol * bn)
         return x[: d.shape[1]]
 
+    def _tprod(self, u):
+        return self._tprod_impl(self.data.blocks, u)
+
     def _ctprod(self, w):
-        d = self.data
-        if not jnp.iscomplexobj(d.blocks):
+        if not jnp.iscomplexobj(self.data.blocks):
             return self._tprod(w)
-        bm, bn = d.block_shape
-        nbrow = d.blocks.shape[0]
-        nbcol = -(-d.shape[1] // bn)
-        wb = self._pad_in(w, nbrow, bm).reshape(nbrow, bm)
-        x = bsr_rmatvec(jnp.conj(d.blocks), d.block_cols, wb, nbcol).reshape(nbcol * bn)
-        return x[: d.shape[1]]
+        return self._tprod_impl(jnp.conj(self.data.blocks), w)
 
     def apply_matrix(self, M, mode: str = "N"):
         if mode != "N":
@@ -283,7 +334,7 @@ for _cls in (COOOperator, CSROperator, BSROperator):
 _BSR_AUTO_CANDIDATES = ((128, 128), (32, 128), (8, 128))
 
 
-def _auto_block_shape(sp) -> Tuple[int, int]:
+def _auto_block_shape(sp, return_stored: bool = False):
     """Pick the BSR block shape minimizing stored (padded) bytes, using the
     native block counter when available. Larger tiles run closer to the MXU
     streaming rate but cost fill-in on scattered patterns; stored bytes is
@@ -295,18 +346,20 @@ def _auto_block_shape(sp) -> Tuple[int, int]:
     except Exception:
         lib = None
     if lib is None:
-        return (8, 128)
+        return ((8, 128), None) if return_stored else (8, 128)
     cols = np.ascontiguousarray(sp.indices, np.int32)
     indptr = np.ascontiguousarray(sp.indptr, np.int32)
     nrow = sp.shape[0]
-    best, best_bytes = (8, 128), None
+    best, best_stored = (8, 128), None
     for bm, bn in _BSR_AUTO_CANDIDATES:
         nbrow = -(-nrow // bm)
         counts = np.zeros(nbrow, np.int32)
         kmax = max(int(lib.bsr_count(cols, indptr, nrow, bm, bn, counts)), 1)
         stored = nbrow * kmax * bm * bn  # uniform-kmax padded layout
-        if best_bytes is None or stored < best_bytes:
-            best, best_bytes = (bm, bn), stored
+        if best_stored is None or stored < best_stored:
+            best, best_stored = (bm, bn), stored
+    if return_stored:
+        return best, best_stored
     return best
 
 
@@ -320,8 +373,13 @@ def opSparse(
     backend: str = "xla",
 ) -> _SparseBase:
     """Build a sparse operator from a dense array, a scipy sparse matrix, or
-    a prebuilt COO/CSR/BSR pytree. ``format`` in {'coo', 'csr', 'bsr'};
-    ``block_shape="auto"`` picks the BSR tile minimizing stored bytes."""
+    a prebuilt COO/CSR/BSR pytree. ``format`` in {'coo', 'csr', 'bsr',
+    'auto'}; ``block_shape="auto"`` picks the BSR tile minimizing stored
+    bytes; ``format="auto"`` additionally routes to CSR when the best BSR
+    packing would stream MORE bytes per apply than the 12 B/nnz
+    (vals+cols+rows) CSR layout — i.e. block-structured patterns pack to
+    BSR (the TPU-native path), scattered ones stay gather/segment-sum CSR.
+    """
     if isinstance(A, COO):
         return COOOperator(A, symmetric, hermitian)
     if isinstance(A, CSR):
@@ -329,9 +387,25 @@ def opSparse(
     if isinstance(A, BSR):
         return BSROperator(A, symmetric, hermitian, backend=backend)
 
+    # dense input with format='auto': route through scipy when available
+    if format == "auto" and not hasattr(A, "tocsr"):
+        try:
+            import scipy.sparse as sps
+
+            A = sps.csr_matrix(np.asarray(A))
+        except ImportError:
+            format = "csr"
+
     # scipy sparse?
     if hasattr(A, "tocsr"):
         sp = A.tocsr()
+        if format == "auto":
+            shape_best, stored = _auto_block_shape(sp, return_stored=True)
+            itemsize = np.dtype(sp.data.dtype).itemsize
+            if stored is not None and stored * itemsize < sp.nnz * (itemsize + 8):
+                format, block_shape = "bsr", shape_best
+            else:
+                format = "csr"
         if format == "csr":
             data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
             return CSROperator(data, symmetric, hermitian)
@@ -355,9 +429,16 @@ def opSparse(
                 if block_shape == "auto":
                     block_shape = _auto_block_shape(sp)
 
+                from ..kernels.bsr_spmv import bsr_pallas_rows_per_program
+
+                pad_to = (
+                    bsr_pallas_rows_per_program(block_shape[0])
+                    if 1024 % block_shape[0] == 0
+                    else 1
+                )
                 blocks, bcols = bsr_pack_csr(
                     sp.data, sp.indices, sp.indptr, sp.shape[0], sp.shape[1],
-                    block_shape, pad_rows_to=8,
+                    block_shape, pad_rows_to=pad_to,
                 )
                 import jax.numpy as _jnp
 

@@ -121,3 +121,94 @@ def test_contract_sweep_complex(rng):
         assert_close(op.T * u, dense.T @ u)
         assert_close(op.conj() * v, np.conj(dense) @ v)
         assert_close(op.to_dense(), dense, rtol=1e-10)
+
+
+def test_contract_sweep_counters(rng):
+    """Per-family counter assertions (reference test_linop.jl:634-673): every
+    zoo operator tracks nprod/ntprod/nctprod, conj bumps nprod, and the
+    adjoint view cross-maps its counters."""
+    for name, op, dense in _operators(rng):
+        m, n = dense.shape
+        op.reset_counters()
+        v = rng.standard_normal(n)
+        u = rng.standard_normal(m)
+        for _ in range(3):
+            op * v
+        for _ in range(2):
+            op.T * u
+        op.H * u
+        if op.symmetric and op.hermitian:
+            # the mode lattice collapses T/H onto the N product
+            assert op.nprod == 6, name
+            assert op.ntprod == 0 and op.nctprod == 0, name
+        elif name != "adjoint":
+            # (on the real adjoint VIEW, T and H coincide — conj(A) = A —
+            # so the exact split differs; its cross-maps are checked below)
+            assert op.nprod == 3, name
+            assert op.ntprod == 2, name
+            assert op.nctprod == 1, name
+        if name == "matrix":
+            # conj on a real base operator routes through the N product
+            lo.conj(op) * v
+            assert op.nprod == 4, name
+        if not (op.symmetric and op.hermitian):
+            # counter cross-maps on the adjoint/transpose views (the
+            # reference asserts these on a nonsymmetric complex matrix)
+            opT = lo.transpose(op)
+            assert opT.nprod == op.ntprod, name
+            assert opT.ntprod == op.nprod, name
+            opH = lo.adjoint(op)
+            assert opH.nprod == op.nctprod, name
+        op.reset_counters()
+        assert (op.nprod, op.ntprod, op.nctprod) == (0, 0, 0), name
+
+
+def test_contract_sweep_eltype_lying(rng):
+    """An operator lying about its eltype raises on apply for EVERY family's
+    product (reference test_linop.jl:571-585: complex output declared
+    Float64 raises InexactError on materialization)."""
+    n = 10
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    d = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    Asp = A * (rng.random((n, n)) < 0.4)
+    mat = lo.LinearOperator(jnp.asarray(A))
+    families = [
+        ("matrix", mat),
+        ("diagonal", lo.opDiagonal(jnp.asarray(d))),
+        ("compose", mat @ mat),
+        ("sum", mat + mat.T),
+        ("csr", lo.opSparse(Asp, format="csr")),
+        ("shifted", lo.ShiftedOperator(mat, 0.5 - 1j)),
+        ("hcat", lo.hcat(mat, mat)),
+        ("kron", lo.kron(lo.LinearOperator(jnp.asarray(A[:3, :3])),
+                         lo.LinearOperator(jnp.asarray(A[:4, :4])))),
+    ]
+    for name, op in families:
+        m2, n2 = op.shape
+        liar = lo.FunctionOperator(
+            m2, n2,
+            prod=lambda x, _op=op: _op.apply(x, "N"),
+            tprod=lambda x, _op=op: _op.apply(x, "T"),
+            dtype=np.float64,  # the lie: products are complex
+        )
+        v = rng.standard_normal(n2)
+        with pytest.raises(lo.LinearOperatorException):
+            liar * v
+        with pytest.raises(lo.LinearOperatorException):
+            liar.to_dense()
+
+
+def test_contract_sweep_dtype_promotion(rng):
+    """Result dtype follows promote_type(op, v) across the zoo (reference
+    storage-promotion semantics, src/operations.jl:43-48)."""
+    for name, op, dense in _operators(rng):
+        m, n = dense.shape
+        if not np.issubdtype(np.dtype(op.dtype), np.floating):
+            continue
+        v32 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        out = op * v32
+        assert out.dtype == jnp.promote_types(op.dtype, jnp.float32), name
+        vc = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+        outc = op * vc
+        assert np.issubdtype(np.dtype(outc.dtype), np.complexfloating), name
+        assert_close(outc, dense @ np.asarray(vc))

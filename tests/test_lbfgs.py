@@ -397,3 +397,13 @@ def test_compact_forward_identical_pairs():
     ab = np.asarray(forward_apply(B.state, jnp.asarray(v)))
     compact = np.asarray(forward_apply_compact(B.state, jnp.asarray(v)))
     np.testing.assert_allclose(compact, ab, rtol=1e-9, atol=1e-9)
+
+
+def test_lbfgs_complex_rejected():
+    """Complex L-BFGS is a deliberate deviation from the reference: the
+    reference is generic over T (src/lbfgs.jl:4-57) but never tests complex,
+    and its update y·yᴴ/(yᴴs) is non-Hermitian for complex yᴴs — so we
+    reject at construction with an explanatory error (COVERAGE.md #16a)."""
+    for ctor in (LBFGSOperator, InverseLBFGSOperator):
+        with pytest.raises(lo.LinearOperatorException, match="complex"):
+            ctor(jnp.complex128, 8, mem=4)

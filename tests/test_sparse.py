@@ -125,23 +125,45 @@ def test_sparse_no_recompile(rng):
 
 
 def test_pallas_bsr_interpret(rng):
-    """Pallas BSR kernel (interpret mode) matches the XLA path."""
+    """Pallas BSR kernels (interpret mode) match the XLA path — forward
+    (both gather variants) and transpose."""
     import jax.numpy as jnp
     from linops_tpu.sparse.formats import bsr_from_dense
-    from linops_tpu.kernels import bsr_matvec_pallas, to_mfirst
+    from linops_tpu.kernels import (
+        bsr_matvec_pallas,
+        bsr_rmatvec_pallas,
+        bsr_pallas_rows_per_program,
+    )
 
     n = 256
     A = sprand(rng, n, n, 0.1).astype(np.float32)
     bsr = bsr_from_dense(A, (8, 32))
     nbrow = bsr.blocks.shape[0]
-    pad = (-nbrow) % 8
+    pad = (-nbrow) % bsr_pallas_rows_per_program(8)
     blocks = jnp.pad(bsr.blocks, ((0, pad), (0, 0), (0, 0), (0, 0)))
     cols = jnp.pad(bsr.block_cols, ((0, pad), (0, 0)))
     xb = jnp.asarray(rng.standard_normal(n).astype(np.float32)).reshape(-1, 32)
-    y = bsr_matvec_pallas(to_mfirst(blocks), cols, xb, interpret=True)
-    ref = A @ np.asarray(xb).ravel()
-    got = np.asarray(y).ravel()[: n]
-    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+    for variant in ("onehot", "loop"):
+        y = bsr_matvec_pallas(blocks, cols, xb, interpret=True, variant=variant)
+        ref = A @ np.asarray(xb).ravel()
+        got = np.asarray(y).ravel()[:n]
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+    # transpose mode
+    ub = jnp.asarray(rng.standard_normal(blocks.shape[0] * 8).astype(np.float32)).reshape(-1, 8)
+    out = bsr_rmatvec_pallas(blocks, cols, ub, n // 32, interpret=True)
+    reft = A.T @ np.asarray(ub).ravel()[: n]
+    np.testing.assert_allclose(np.asarray(out).ravel()[:n], reft, rtol=2e-5, atol=1e-5)
+
+
+def test_pallas_backend_operator(rng):
+    """BSROperator(backend='pallas') (interpreter off-TPU) matches dense,
+    forward and transpose, through the operator API."""
+    n = 256
+    A = sprand(rng, n, n, 0.15).astype(np.float32)
+    op = opSparse(A, format="bsr", block_shape=(8, 32), backend="pallas")
+    v = rng.standard_normal(n).astype(np.float32)
+    assert_close(op * v, A @ v, rtol=1e-4)
+    assert_close(op.T * v, A.T @ v, rtol=1e-4)
 
 
 def test_bsr_auto_block_shape(rng):
@@ -219,3 +241,29 @@ def test_native_packer_sums_duplicates(rng):
             j = bcols[i, kk]
             dense[i*4:(i+1)*4, j*4:(j+1)*4] += blocks[i, kk]
     assert dense[0, 1] == 5.0  # 2 + 3 summed
+
+
+def test_opsparse_format_auto(rng):
+    """format='auto' packs block-structured patterns to BSR (native packer)
+    and leaves scattered patterns in CSR (round-1 VERDICT #1 routing)."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    from linops_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native counter unavailable")
+    n = 512
+    # block-structured: dense 8x128 tiles
+    blocky = np.zeros((n, n), np.float64)
+    for bi in range(0, n, 8):
+        j = ((bi // 8) * 128) % n  # aligned 8x128 tiles
+        blocky[bi : bi + 8, j : j + 128] = rng.standard_normal((8, 128))
+    opb = lo.opSparse(scipy_sparse.csr_matrix(blocky), format="auto")
+    assert type(opb).__name__ == "BSROperator"
+    v = rng.standard_normal(n)
+    assert_close(opb * v, blocky @ v)
+
+    # scattered: ~2 nnz/row uniform
+    scat = rng.standard_normal((n, n)) * (rng.random((n, n)) < 2.0 / n)
+    opc = lo.opSparse(scipy_sparse.csr_matrix(scat), format="auto")
+    assert type(opc).__name__ == "CSROperator"
+    assert_close(opc * v, scat @ v)
