@@ -45,10 +45,13 @@ def _sync(out):
     np.asarray(leaf.ravel()[0])
 
 
-def _marginal_apply_time(op, v, reps: int = 3):
+def _marginal_apply_time(op, v, reps: int = 3, mode: str = "N"):
     """Seconds per apply: median of repeated (long - short) chain deltas,
     which cancels per-call dispatch/relay overhead."""
-    f = lo.matvec_chain
+
+    def f(o, x, iters):
+        return lo.matvec_chain(o, x, iters, mode=mode)
+
     _sync(f(op, v, I_SHORT))  # compile short
     _sync(f(op, v, I_LONG))  # compile long
     deltas = []
@@ -105,7 +108,7 @@ def main():
         try:
             fn()
         except Exception as e:  # record, don't die
-            detail[name] = f"error: {type(e).__name__}"
+            detail[name] = f"error: {type(e).__name__}: {str(e)[:200]}"
 
     def sec_spmv8():
         # fine-block case: default backend="auto" engages the Pallas
@@ -121,6 +124,13 @@ def main():
         opB8 = lo.BSROperator(data8)
         t8 = _marginal_apply_time(opB8, vs, reps=2)
         detail["spmv_8x128_gbs"] = round(blocks8.size * bpe / t8 / 1e9, 2)
+        if _budget_left():
+            opB8f = lo.BSROperator(data8, backend="pallas_fast")
+            t8f = _marginal_apply_time(opB8f, vs, reps=2)
+            detail["spmv_8x128_fast_gbs"] = round(blocks8.size * bpe / t8f / 1e9, 2)
+        if _budget_left():
+            t8t = _marginal_apply_time(opB8, vs, reps=2, mode="T")
+            detail["spmv_8x128_T_gbs"] = round(blocks8.size * bpe / t8t / 1e9, 2)
         if _budget_left():
             opB8x = lo.BSROperator(data8, backend="xla")
             t8x = _marginal_apply_time(opB8x, vs, reps=2)
@@ -163,27 +173,7 @@ def main():
             (csr_nnz / tA / 1e9) / (roofline / 8), 3
         )
 
-        # (b) unstructured gather path at 16 nnz/row, n = 1M
-        nu = 1 << 20
-        rows_u = np.repeat(np.arange(nu, dtype=np.int32), nnz_row)
-        cols_u = rng.integers(0, nu, nu * nnz_row).astype(np.int32)
-        vals_u = rng.standard_normal(nu * nnz_row).astype(np.float32)
-        indptr_u = np.arange(0, nu * nnz_row + 1, nnz_row, dtype=np.int32)
-        from linops_tpu.sparse.formats import CSR as CSRfmt
 
-        opU = lo.CSROperator(
-            CSRfmt(
-                vals=jnp.asarray(vals_u),
-                cols=jnp.asarray(cols_u),
-                indptr=jnp.asarray(indptr_u),
-                rows=jnp.asarray(rows_u),
-                shape=(nu, nu),
-            )
-        )
-        vu = jnp.ones((nu,), dtype)
-        tU = _marginal_apply_time(opU, vu, reps=2)
-        detail["csr_unstructured_gnnz_per_s"] = round(nu * nnz_row / tU / 1e9, 3)
-        detail["csr_unstructured_us_per_apply"] = round(tU * 1e6, 1)
 
     def sec_stencil():
         ngrid = 2048
@@ -236,6 +226,37 @@ def main():
             round((2 * (2 * mem) * n + 2 * n) * bpe / (ceil * 1e9) * 1e6, 1),
         ]
 
+        # push throughput: lazy a/b (production default, O(mem·n)) vs the
+        # eager reference recompute (O(mem²·n))
+        from jax import lax as _lax
+        from linops_tpu.qn.lbfgs import _push_plain
+
+        s0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y0 = s0 + 0.1 * jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+        def make_push_chain(with_ab):
+            @jax.jit
+            def chain(state, s, y, iters):
+                def body(i, st):
+                    f = 1.0 + 0.001 * i.astype(jnp.float32)
+                    return _push_plain(
+                        st, s * f, y * f, scaling=True, inverse=False,
+                        with_ab=with_ab,
+                    )
+
+                return _lax.fori_loop(0, iters, body, state)
+
+            return chain
+
+        Bp = lo.LBFGSOperator(jnp.float32, n, mem=mem)
+        for name_, with_ab in (("lbfgs_push_lazy_us", False), ("lbfgs_push_eager_us", True)):
+            chain = make_push_chain(with_ab)
+            _sync(chain(Bp.state, s0, y0, 5))
+            _sync(chain(Bp.state, s0, y0, 55))
+            t0 = time.perf_counter(); _sync(chain(Bp.state, s0, y0, 5)); a = time.perf_counter() - t0
+            t0 = time.perf_counter(); _sync(chain(Bp.state, s0, y0, 55)); b = time.perf_counter() - t0
+            detail[name_] = round(max(b - a, 1e-9) / 50 * 1e6, 1)
+
     def sec_stress():
         from jax import lax as _lax
 
@@ -273,6 +294,39 @@ def main():
         # bytes/s figure would over-credit.
         detail["algebra_stress_spmm_us"] = round(max(ts2 - ts1, 1e-9) / 400 * 1e6, 1)
 
+
+    def sec_csr_unstructured():
+        # raw gather+segment_sum CSR on a truly unstructured matrix
+        # (16 nnz/row). NOTE: runs LAST — at 16M nnz this op has crashed
+        # the TPU worker (see BENCH notes), so it must not poison the
+        # sections before it; size is stepped down until it survives.
+        for nu in (1 << 20, 1 << 18, 1 << 16):
+            try:
+                nnz_row = 16
+                rows_u = np.repeat(np.arange(nu, dtype=np.int32), nnz_row)
+                cols_u = rng.integers(0, nu, nu * nnz_row).astype(np.int32)
+                vals_u = rng.standard_normal(nu * nnz_row).astype(np.float32)
+                indptr_u = np.arange(0, nu * nnz_row + 1, nnz_row, dtype=np.int32)
+                from linops_tpu.sparse.formats import CSR as CSRfmt
+
+                opU = lo.CSROperator(
+                    CSRfmt(
+                        vals=jnp.asarray(vals_u),
+                        cols=jnp.asarray(cols_u),
+                        indptr=jnp.asarray(indptr_u),
+                        rows=jnp.asarray(rows_u),
+                        shape=(nu, nu),
+                    )
+                )
+                vu = jnp.ones((nu,), dtype)
+                tU = _marginal_apply_time(opU, vu, reps=2)
+                detail["csr_unstructured_n"] = nu
+                detail["csr_unstructured_gnnz_per_s"] = round(nu * nnz_row / tU / 1e9, 3)
+                detail["csr_unstructured_us_per_apply"] = round(tU * 1e6, 1)
+                return
+            except Exception as e:
+                detail["csr_unstructured_n_failed"] = f"{nu}: {type(e).__name__}"
+
     def sec_scaling():
         # multi-device scaling harness on the virtual 8-device CPU mesh
         # (parallel/scaling_bench.py): per-device work at 1 vs N devices
@@ -308,6 +362,7 @@ def main():
     section("lbfgs", sec_lbfgs)
     section("stress", sec_stress)
     section("scaling", sec_scaling)
+    section("csr_unstructured", sec_csr_unstructured)
 
     print(
         json.dumps(

@@ -50,36 +50,76 @@ __all__ = [
 ]
 
 BSR_PALLAS_MAX_X_ELEMS = 2_000_000  # x must be VMEM-resident (~8 MB f32)
-BSR_PALLAS_ONEHOT_MAX_NBCOL = 4096  # beyond this the one-hot build dominates
-_ROWS_PER_PROGRAM = 32  # ~1 MB f32 block tiles at kmax=8, bm=8, bn=128
+# One-hot gather cost scales with nbcol (3*RK*nbcol*bn madds per tile at
+# HIGHEST): at R=128/kmax=8 the selector dot stays hidden under the block
+# DMA up to nbcol ~1024; beyond that the XLA gather path wins again.
+BSR_PALLAS_ONEHOT_MAX_NBCOL = 1024
+# Per-step block-tile byte target: R is chosen so one (R·kmax, bm, bn)
+# tile is ~4 MB (measured on v5e at the bench shape, kmax=8/bm=8/bn=128:
+# R=32 -> 574, R=64 -> 653, R=128 -> 688 GB/s values-only; the kernel is
+# DMA-bound from R=64 up). Larger kmax/blocks get proportionally fewer
+# rows per step so the double-buffered tiles stay within VMEM.
+_TILE_BYTES_TARGET = 4 * 1024 * 1024
 
 # f32 x side must not be truncated on the MXU; the 0/1 selector side is
 # exact in any split. (Mosaic rejects per-operand precision.)
 _GATHER_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def bsr_pallas_rows_per_program(bm: int) -> int:
-    """Block-rows per grid step (callers pad nbrow to a multiple)."""
-    del bm  # independent of block height with the natural output layout
-    return _ROWS_PER_PROGRAM
+def bsr_pallas_rows_per_program(bm: int, kmax: int = 8, bn: int = 128,
+                                itemsize: int = 4) -> int:
+    """Block-rows per grid step (callers pad nbrow to a multiple): the
+    largest multiple of 8 in [8, 128] keeping one block tile near the
+    ~4 MB pipeline target."""
+    per_row = max(kmax * bm * bn * itemsize, 1)
+    r = _TILE_BYTES_TARGET // per_row
+    return int(max(8, min(128, (r // 8) * 8)))
 
 
-def _fwd_kernel_onehot(kmax: int, cols_ref, x_ref, blocks_ref, y_ref):
-    RK, bm, bn = blocks_ref.shape  # RK = R*kmax, flattened host-side
-    R = RK // kmax
+def _onehot_gather(cols_ref, x_ref, out_dtype, fast: bool):
+    """xg[(r,k), :] = x[block_cols[r,k], :] as a one-hot MXU contraction.
+
+    ``fast=False``: uniform HIGHEST (bf16x3) — f32-exact, 3 MXU passes.
+    ``fast=True``: split x = bf16(x) + (x - bf16(x)) and run TWO DEFAULT
+    passes — each one-hot product is a plain copy of a bf16 value, so the
+    result reconstructs ~16 mantissa bits (~1e-5 relative) at 2/3 the MXU
+    cost; at the bench shape this is 735 vs 688 GB/s (98% of the measured
+    chip ceiling) because the kernel becomes purely DMA-bound.
+    """
+    RK = cols_ref.shape[0]
     nbcol = x_ref.shape[0]
     # sel[(r,k), c] = 1 iff block_cols[r,k] == c  (no reshapes: cols comes in
     # as (RK, 1) and broadcasts against a 2-D iota)
     ids = jax.lax.broadcasted_iota(jnp.int32, (RK, nbcol), 1)
     sel = (ids == cols_ref[...]).astype(x_ref.dtype)
-    # xg[(r,k), :] = x[block_cols[r,k], :] — one MXU contraction
-    xg = jax.lax.dot_general(
-        sel,
-        x_ref[...],
-        (((1,), (0,)), ((), ())),
-        precision=_GATHER_PRECISION,
-        preferred_element_type=y_ref.dtype,
-    )  # (RK, bn)
+    if not fast:
+        return jax.lax.dot_general(
+            sel,
+            x_ref[...],
+            (((1,), (0,)), ((), ())),
+            precision=_GATHER_PRECISION,
+            preferred_element_type=out_dtype,
+        )
+    x = x_ref[...]
+    x_hi = x.astype(jnp.bfloat16).astype(x.dtype)
+    x_lo = x - x_hi
+
+    def dot(m):
+        return jax.lax.dot_general(
+            sel,
+            m,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=out_dtype,
+        )
+
+    return dot(x_hi) + dot(x_lo)
+
+
+def _fwd_kernel_onehot(kmax: int, fast: bool, cols_ref, x_ref, blocks_ref, y_ref):
+    RK, bm, bn = blocks_ref.shape  # RK = R*kmax, flattened host-side
+    R = RK // kmax
+    xg = _onehot_gather(cols_ref, x_ref, y_ref.dtype, fast)  # (RK, bn)
     z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm), VPU
     # k-sum via a second exact 0/1 selector: group[r, (r',k)] = (r' == r)
     row_of = jax.lax.broadcasted_iota(jnp.int32, (R, RK), 1) // kmax
@@ -120,17 +160,21 @@ def bsr_matvec_pallas(blocks, block_cols, x_blocks, *, interpret=False, variant=
     """
     nbrow, kmax, bm, bn = blocks.shape
     nbcol = x_blocks.shape[0]
-    R = bsr_pallas_rows_per_program(bm)
+    R = bsr_pallas_rows_per_program(bm, kmax, bn, blocks.dtype.itemsize)
     if nbrow % R != 0:
         raise ValueError(f"nbrow={nbrow} must be a multiple of {R} (pad the BSR)")
     dtype = jnp.result_type(blocks.dtype, x_blocks.dtype)
     if variant == "auto":
         variant = "onehot" if nbcol <= BSR_PALLAS_ONEHOT_MAX_NBCOL else "loop"
-    body = _fwd_kernel_onehot if variant == "onehot" else _fwd_kernel_loop
-    kernel = functools.partial(body, kmax)
+    if variant in ("onehot", "onehot_fast"):
+        kernel = functools.partial(_fwd_kernel_onehot, kmax, variant == "onehot_fast")
+    else:
+        kernel = functools.partial(_fwd_kernel_loop, kmax)
 
-    # flatten HOST-side (free, contiguous) so the kernel needs no reshapes
-    blocks_flat = blocks.reshape(nbrow * kmax, bm, bn).astype(dtype)
+    # flatten HOST-side (free, contiguous) so the kernel needs no reshapes;
+    # blocks keep their storage dtype (upcasting bf16 would double the
+    # streamed bytes — the VPU multiply promotes per element instead)
+    blocks_flat = blocks.reshape(nbrow * kmax, bm, bn)
     cols_flat = block_cols.reshape(nbrow * kmax, 1)
 
     out = pl.pallas_call(
@@ -204,13 +248,13 @@ def bsr_rmatvec_pallas(blocks, block_cols, u_blocks, nbcol: int, *, interpret=Fa
     contributes exactly nothing.
     """
     nbrow, kmax, bm, bn = blocks.shape
-    R = bsr_pallas_rows_per_program(bm)
+    R = bsr_pallas_rows_per_program(bm, kmax, bn, blocks.dtype.itemsize)
     if nbrow % R != 0:
         raise ValueError(f"nbrow={nbrow} must be a multiple of {R} (pad the BSR)")
     dtype = jnp.result_type(blocks.dtype, u_blocks.dtype)
     kernel = functools.partial(_t_kernel_onehot, kmax)
 
-    blocks_flat = blocks.reshape(nbrow * kmax, bm, bn).astype(dtype)
+    blocks_flat = blocks.reshape(nbrow * kmax, bm, bn)
     cols_flat = block_cols.reshape(nbrow * kmax, 1)
 
     return pl.pallas_call(

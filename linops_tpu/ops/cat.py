@@ -253,7 +253,10 @@ def vcat(*ops) -> LinearOperator:
 
 def hvcat(rows: Sequence[int], *ops) -> LinearOperator:
     """Block matrix from a flat list of operators with ``rows[i]`` blocks per
-    row (reference: src/cat.jl:120-129)."""
+    row (reference: src/cat.jl:120-129). Also accepts the nested-list form
+    ``hvcat([[A, B], [C, D]])``."""
+    if not ops and rows and isinstance(rows[0], (list, tuple)):
+        return vcat(*[hcat(*row) for row in rows])
     if sum(rows) != len(ops):
         raise LinearOperatorException(
             f"hvcat: rows {tuple(rows)} sum to {sum(rows)} but {len(ops)} "

@@ -259,8 +259,46 @@ def _recompute_ab(S, ys, b_insert_row, B_old, insert, gamma, mem: int):
     return A_new, B_new
 
 
-def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool) -> LBFGSState:
-    """Insert an accepted pair (reference push_common!, src/lbfgs.jl:210-255)."""
+def _recompute_all_a(state: LBFGSState) -> LBFGSState:
+    """Recompute every forward-form a-vector from (S, Y, ys, B, γ) alone —
+    the deferred half of the push when ``lazy_ab`` is on. Chronological
+    order at this point: the oldest surviving pair sits at ``state.insert``
+    (the next write slot)."""
+    mem = state.S.shape[0]
+    order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
+    S_ord = state.S[order]
+    B_ord = state.B[order]
+    valid = state.ys[order] != 0
+    idx = jnp.arange(mem)
+    gamma = state.gamma
+
+    def body(i, A_ord):
+        s_i = S_ord[i]
+        mask = (idx < i) & valid
+        bs = jnp.where(mask, B_ord @ s_i, 0.0)
+        as_ = jnp.where(mask, A_ord @ s_i, 0.0)
+        a = s_i / gamma + B_ord.T @ bs - A_ord.T @ as_
+        denom = jnp.sqrt(jnp.dot(s_i, a))
+        a = a / jnp.where(denom != 0, denom, 1.0)
+        return A_ord.at[i].set(jnp.where(valid[i], a, jnp.zeros_like(a)))
+
+    A_ord = lax.fori_loop(0, mem, body, jnp.zeros_like(B_ord))
+    A_new = jnp.zeros_like(A_ord).at[order].set(A_ord)
+    return state._replace(A=A_new)
+
+
+_recompute_all_a_jit = jax.jit(_recompute_all_a)
+
+
+def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
+                 with_ab: bool = True) -> LBFGSState:
+    """Insert an accepted pair (reference push_common!, src/lbfgs.jl:210-255).
+
+    ``with_ab=False`` (the operator's ``lazy_ab`` mode) maintains the cheap
+    pieces only — b row, ‖b‖², opnorm bound, Grams — and defers the
+    O(mem²·n) a-vector recompute to ``_recompute_all_a`` on first use
+    (diag / EJM / a-b-form apply). The hot compact-form applies never read
+    the a-vectors, so production pushes drop from O(mem²·n) to O(mem·n)."""
     mem = state.S.shape[0]
     ins = state.insert
     S = state.S.at[ins].set(s)
@@ -290,7 +328,10 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool) -
         nb2_new = jnp.real(jnp.dot(b_row, b_row))
         ub = ub - state.norm_b2[ins] + nb2_new
         nb2 = state.norm_b2.at[ins].set(nb2_new)
-        A, B = _recompute_ab(S, ysv, b_row, state.B, ins, gamma, mem)
+        if with_ab:
+            A, B = _recompute_ab(S, ysv, b_row, state.B, ins, gamma, mem)
+        else:
+            A, B = state.A, state.B.at[ins].set(b_row)
 
     return LBFGSState(
         S=S,
@@ -312,13 +353,14 @@ def _select_state(accept, new: LBFGSState, old: LBFGSState) -> LBFGSState:
     return jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, old)
 
 
-@functools.partial(jax.jit, static_argnames=("scaling", "inverse"))
-def _push_plain(state, s, y, *, scaling, inverse):
+@functools.partial(jax.jit, static_argnames=("scaling", "inverse", "with_ab"))
+def _push_plain(state, s, y, *, scaling, inverse, with_ab=True):
     """Undamped push with curvature rejection ys ≤ eps
     (reference src/lbfgs.jl:269-287)."""
     ys = jnp.dot(y, s)
     eps = jnp.finfo(state.S.dtype).eps
-    new = _push_common(state, s, y, ys, scaling=scaling, inverse=inverse)
+    new = _push_common(state, s, y, ys, scaling=scaling, inverse=inverse,
+                       with_ab=with_ab)
     return _select_state(ys > eps, new, state)
 
 
@@ -338,13 +380,15 @@ def _powell_blend(s, y, ys, Bs, sigma2, sigma3):
     return y_d, ys_d
 
 
-@functools.partial(jax.jit, static_argnames=("scaling",))
-def _push_damped_forward(state, s, y, sigma2, sigma3, *, scaling):
+@functools.partial(jax.jit, static_argnames=("scaling", "with_ab"))
+def _push_damped_forward(state, s, y, sigma2, sigma3, *, scaling, with_ab=True):
     """Damped forward push: Bs = B s, Powell blend, always insert
-    (reference src/lbfgs.jl:289-321)."""
-    Bs = forward_apply(state, s)
+    (reference src/lbfgs.jl:289-321). Bs comes from the compact form so the
+    push never needs the (possibly deferred) a-vectors."""
+    Bs = forward_apply_compact(state, s)
     y_d, ys_d = _powell_blend(s, y, jnp.dot(y, s), Bs, sigma2, sigma3)
-    return _push_common(state, s, y_d, ys_d, scaling=scaling, inverse=False)
+    return _push_common(state, s, y_d, ys_d, scaling=scaling, inverse=False,
+                        with_ab=with_ab)
 
 
 @functools.partial(jax.jit, static_argnames=("scaling",))
@@ -373,12 +417,13 @@ class LBFGSOperator(LinearOperator):
     """
 
     _fields_children = ("state",)
-    _fields_aux = ("_n", "_mem", "_scaling", "_damped", "_inverse", "_dtype_name", "_sigma2", "_sigma3")
+    _fields_aux = ("_n", "_mem", "_scaling", "_damped", "_inverse", "_dtype_name", "_sigma2", "_sigma3", "_lazy_ab")
 
     _is_inverse_ctor = False
 
     def __init__(self, *args, mem: int = 5, scaling: bool = True, damped: bool = False,
-                 sigma2: float = 0.99, sigma3: float = 10.0, dtype=None):
+                 sigma2: float = 0.99, sigma3: float = 10.0, dtype=None,
+                 lazy_ab: bool = True):
         super().__init__()
         # reference-style (T, n) or (n,) positional forms (src/lbfgs.jl:112,168)
         if len(args) == 2:
@@ -402,7 +447,11 @@ class LBFGSOperator(LinearOperator):
         self._dtype_name = jnp.dtype(dt).name
         self._sigma2 = float(sigma2)
         self._sigma3 = float(sigma3)
+        # lazy a-vector maintenance (forward form only): pushes skip the
+        # O(mem²·n) recompute; diag/EJM/a-b oracles trigger it on demand
+        self._lazy_ab = bool(lazy_ab) and not self._inverse
         self.state = _init_state(self._n, self._mem, jnp.dtype(dt), self._inverse)
+        object.__setattr__(self, "_ab_fresh", True)  # empty memory is trivially fresh
 
     # --- metadata ---
     @property
@@ -481,6 +530,7 @@ class LBFGSOperator(LinearOperator):
         dt = self.dtype
         s = jnp.asarray(s, dt)
         y = jnp.asarray(y, dt)
+        with_ab = not self._lazy_ab
         if len(args) == 0:
             if self._damped:
                 if self._inverse:
@@ -489,11 +539,12 @@ class LBFGSOperator(LinearOperator):
                     )
                 self.state = _push_damped_forward(
                     self.state, s, y, dt.type(self._sigma2), dt.type(self._sigma3),
-                    scaling=self._scaling,
+                    scaling=self._scaling, with_ab=with_ab,
                 )
             else:
                 self.state = _push_plain(
-                    self.state, s, y, scaling=self._scaling, inverse=self._inverse
+                    self.state, s, y, scaling=self._scaling, inverse=self._inverse,
+                    with_ab=with_ab,
                 )
         elif len(args) == 1:
             # push(s, y, Bs): damped forward form (reference src/lbfgs.jl:289-299)
@@ -503,7 +554,7 @@ class LBFGSOperator(LinearOperator):
                 raise ValueError("push(s, y, Bs) is for forward operators; use push(s, y, alpha, g)")
             self.state = _push_damped_forward(
                 self.state, s, y, dt.type(self._sigma2), dt.type(self._sigma3),
-                scaling=self._scaling,
+                scaling=self._scaling, with_ab=with_ab,
             )
         elif len(args) in (2, 3):
             # push(s, y, alpha, g[, Bs]): damped inverse (reference src/lbfgs.jl:323-367)
@@ -519,6 +570,20 @@ class LBFGSOperator(LinearOperator):
             )
         else:
             raise TypeError("push(s, y[, Bs] | [, alpha, g[, Bs]])")
+        if self._lazy_ab:
+            object.__setattr__(self, "_ab_fresh", False)
+        return self
+
+    def ensure_ab(self) -> "LBFGSOperator":
+        """Materialize the forward a/b vectors if a lazy push deferred them
+        (no-op for eager/inverse operators). Needed before reading
+        ``state.A`` directly (diag, EJM shifted solves, a-b-form oracles);
+        the compact-form hot applies never require it."""
+        if self._inverse or not self._lazy_ab:
+            return self
+        if not getattr(self, "_ab_fresh", False):
+            self.state = _recompute_all_a_jit(self.state)
+            object.__setattr__(self, "_ab_fresh", True)
         return self
 
     def diag(self):
@@ -528,11 +593,13 @@ class LBFGSOperator(LinearOperator):
             raise LinearOperatorException(
                 "only the diagonal of a forward L-BFGS approximation is available"
             )
+        self.ensure_ab()
         return forward_diag(self.state)
 
     def reset(self):
         """Zero the memory and counters (reference reset!, src/lbfgs.jl:397-427)."""
         self.state = _init_state(self._n, self._mem, self.dtype, self._inverse)
+        object.__setattr__(self, "_ab_fresh", True)
         self.reset_counters()
         return self
 

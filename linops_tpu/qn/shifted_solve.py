@@ -137,6 +137,7 @@ def solve_shifted_system(B: LBFGSOperator, b, sigma, *, method: str = "compact")
     if method == "compact":
         return _solve_shifted_compact(B.state, b, sigma)
     if method == "ejm":
+        B.ensure_ab()  # EJM reads the a/b vectors (lazy pushes defer them)
         if (
             _is_concrete(sigma)
             and _is_concrete(B.state.ys)

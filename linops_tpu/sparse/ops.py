@@ -199,6 +199,9 @@ class BSROperator(_SparseBase):
       f64/complex, non-TPU — uses the XLA gather+einsum path.
     - ``"pallas"``: force the kernel where structurally possible (runs in
       interpreter mode off-TPU — test use only).
+    - ``"pallas_fast"``: like ``"pallas"`` but the forward gather uses the
+      2-pass bf16 hi/lo split (~1e-5 relative instead of f32-exact; ~7%
+      faster at the bench shape — purely DMA-bound).
     - ``"xla"``: never use the kernel.
 
     Construction pads nbrow to a multiple of the kernel's rows-per-program
@@ -211,16 +214,21 @@ class BSROperator(_SparseBase):
     def __init__(self, data, symmetric: bool = False, hermitian: bool = False,
                  backend: str = "auto"):
         super().__init__(data, symmetric, hermitian)
-        if backend not in ("auto", "pallas", "xla"):
+        if backend not in ("auto", "pallas", "pallas_fast", "xla"):
             raise ValueError(f"unknown BSR backend {backend!r}")
         self._backend = backend
-        maybe_kernel = 1024 % data.block_shape[0] == 0 and (
-            backend == "pallas" or (backend == "auto" and data.block_shape[0] < 128)
+        maybe_kernel = backend != "xla" and (
+            backend != "auto" or data.block_shape[0] < 128
         )
         if maybe_kernel:
             from ..kernels.bsr_spmv import bsr_pallas_rows_per_program
 
-            R = bsr_pallas_rows_per_program(data.block_shape[0])
+            R = bsr_pallas_rows_per_program(
+                data.block_shape[0],
+                data.blocks.shape[1],
+                data.block_shape[1],
+                jnp.dtype(data.blocks.dtype).itemsize,
+            )
             blocks, cols = data.blocks, data.block_cols
             pad = (-blocks.shape[0]) % R
             if pad:
@@ -240,14 +248,21 @@ class BSROperator(_SparseBase):
         )
 
         d = self.data
-        bm = d.block_shape[0]
-        if 1024 % bm or d.blocks.shape[0] % bsr_pallas_rows_per_program(bm):
+        bm, bn = d.block_shape
+        R = bsr_pallas_rows_per_program(
+            bm, d.blocks.shape[1], bn, jnp.dtype(d.blocks.dtype).itemsize
+        )
+        if d.blocks.shape[0] % R:
             return False
         if jnp.dtype(d.blocks.dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
             return False
         if gathered_elems > BSR_PALLAS_MAX_X_ELEMS:
             return False
-        if transpose and nbcol > BSR_PALLAS_ONEHOT_MAX_NBCOL:
+        if nbcol > BSR_PALLAS_ONEHOT_MAX_NBCOL and (
+            transpose or self._backend == "auto"
+        ):
+            # beyond the one-hot window the XLA gather path wins; the
+            # scalar-loop variant exists only for forced-"pallas" callers
             return False
         if self._backend == "auto":
             if jax.default_backend() != "tpu":
@@ -274,8 +289,10 @@ class BSROperator(_SparseBase):
         if self._pallas_eligible(xb.size, nbcol, transpose=False):
             from ..kernels.bsr_spmv import bsr_matvec_pallas
 
+            variant = "onehot_fast" if self._backend == "pallas_fast" else "auto"
             y = bsr_matvec_pallas(
-                d.blocks, d.block_cols, xb, interpret=self._interpret()
+                d.blocks, d.block_cols, xb, interpret=self._interpret(),
+                variant=variant,
             ).reshape(nbrow * bm)
         else:
             y = bsr_matvec(d.blocks, d.block_cols, xb).reshape(nbrow * bm)
@@ -431,10 +448,9 @@ def opSparse(
 
                 from ..kernels.bsr_spmv import bsr_pallas_rows_per_program
 
-                pad_to = (
-                    bsr_pallas_rows_per_program(block_shape[0])
-                    if 1024 % block_shape[0] == 0
-                    else 1
+                pad_to = bsr_pallas_rows_per_program(
+                    block_shape[0], bn=block_shape[1],
+                    itemsize=np.dtype(sp.data.dtype).itemsize,
                 )
                 blocks, bcols = bsr_pack_csr(
                     sp.data, sp.indices, sp.indptr, sp.shape[0], sp.shape[1],

@@ -124,3 +124,44 @@ def test_wrapper_counters_follow_fallback_slot(rng):
     _ = fo.H * jnp.ones(4)
     assert fo.ntprod == 1 and fo.nctprod == 0
     assert fo.H.nprod == 1  # wrapper's forward count = the slot actually hit
+
+
+def test_unary_scalar_on_adjtrans(rng):
+    """Unary/scalar ops commute with adjoint/transpose views
+    (reference test_linop.jl issue #107, :596-603)."""
+    import linops_tpu as lo
+
+    A = rng.standard_normal((5, 3))
+    op = lo.LinearOperator(jnp.asarray(A))
+    for view in (lo.adjoint, lo.transpose):
+        np.testing.assert_allclose(
+            np.asarray(view(-op).to_dense()), np.asarray((-view(op)).to_dense())
+        )
+        np.testing.assert_allclose(
+            np.asarray(view(2 * op).to_dense()), np.asarray((2 * view(op)).to_dense())
+        )
+
+
+def test_sum_and_cat_with_adjtrans(rng):
+    """Sums and concatenations mixing views, operators, and raw matrices
+    (reference test_linop.jl issues #109, :605-631)."""
+    import linops_tpu as lo
+
+    A = rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))
+    opA = lo.LinearOperator(jnp.asarray(A))
+    for view, dense_view in ((lo.adjoint, lambda M: M.conj().T), (lo.transpose, lambda M: M.T)):
+        want = A + dense_view(A)
+        np.testing.assert_allclose(np.asarray((view(opA) + opA).to_dense()), want, atol=1e-12)
+        np.testing.assert_allclose(np.asarray((opA + view(opA)).to_dense()), want, atol=1e-12)
+        # operator + raw matrix autowrap
+        np.testing.assert_allclose(np.asarray((view(opA) + A).to_dense()), want, atol=1e-12)
+        # cat in every mix
+        np.testing.assert_allclose(
+            np.asarray(lo.hcat(view(opA), opA).to_dense()),
+            np.hstack([dense_view(A), A]), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(lo.vcat(opA, view(opA)).to_dense()),
+            np.vstack([A, dense_view(A)]), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(lo.hvcat([[view(opA), opA], [opA, view(opA)]]).to_dense()),
+            np.block([[dense_view(A), A], [A, dense_view(A)]]), atol=1e-12)

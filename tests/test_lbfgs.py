@@ -374,6 +374,7 @@ def test_compact_forward_equals_ab_form(rng):
                     y = s + 0.2 * rng.standard_normal(n)
                     B.push(s, y)
                 v = rng.standard_normal(n)
+                B.ensure_ab()  # lazy pushes defer the a-vectors
                 ab = np.asarray(forward_apply(B.state, jnp.asarray(v)))
                 compact = np.asarray(forward_apply_compact(B.state, jnp.asarray(v)))
                 np.testing.assert_allclose(
@@ -394,9 +395,36 @@ def test_compact_forward_identical_pairs():
     for _ in range(3):
         B.push(s, y)
     v = np.linspace(-1, 1, n)
+    B.ensure_ab()
     ab = np.asarray(forward_apply(B.state, jnp.asarray(v)))
     compact = np.asarray(forward_apply_compact(B.state, jnp.asarray(v)))
     np.testing.assert_allclose(compact, ab, rtol=1e-9, atol=1e-9)
+
+
+def test_lazy_ab_deferred_and_recomputed(rng):
+    """lazy_ab (the default) skips the O(mem²·n) a-vector loop on push but
+    reproduces the eager state exactly on demand; eager mode still works."""
+    from linops_tpu.qn.lbfgs import forward_apply
+
+    n, mem = 20, 5
+    lazy = LBFGSOperator(n, mem=mem)
+    eager = LBFGSOperator(n, mem=mem, lazy_ab=False)
+    for _ in range(mem + 2):
+        s = rng.standard_normal(n)
+        y = s + 0.2 * rng.standard_normal(n)
+        lazy.push(s, y)
+        eager.push(s, y)
+    # hot compact applies agree WITHOUT materializing a/b
+    v = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(lazy * v), np.asarray(eager * v), rtol=1e-12)
+    # deferred A differs pre-ensure, matches exactly post-ensure
+    lazy.ensure_ab()
+    np.testing.assert_allclose(np.asarray(lazy.state.A), np.asarray(eager.state.A), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lazy.diag()), np.asarray(eager.diag()), rtol=1e-10)
+    # push after ensure re-defers and still converges to the same state
+    s = rng.standard_normal(n); y = s + 0.1 * rng.standard_normal(n)
+    lazy.push(s, y); eager.push(s, y)
+    np.testing.assert_allclose(np.asarray(lazy.diag()), np.asarray(eager.diag()), rtol=1e-10)
 
 
 def test_lbfgs_complex_rejected():
