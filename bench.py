@@ -296,11 +296,15 @@ def main():
 
 
     def sec_csr_unstructured():
-        # raw gather+segment_sum CSR on a truly unstructured matrix
-        # (16 nnz/row). NOTE: runs LAST — at 16M nnz this op has crashed
-        # the TPU worker (see BENCH notes), so it must not poison the
-        # sections before it; size is stepped down until it survives.
-        for nu in (1 << 20, 1 << 18, 1 << 16):
+        # raw gather CSR on a truly unstructured matrix (16 nnz/row).
+        # Runs LAST and capped at 4M nnz: the 16M-nnz case reproducibly
+        # CRASHES the TPU worker, poisoning every later call. Measured
+        # reality on TPU (probes, n=65K-262K): segment_sum path 0.06
+        # Gnnz/s, ELL reshape-sum 0.14 Gnnz/s — fine-grained random
+        # gather is ~3 orders below roofline regardless of formulation;
+        # the production answer is structure recovery (format="auto" ->
+        # RCM + block packing), measured above as csr_routed_*.
+        for nu in (1 << 18,):
             try:
                 nnz_row = 16
                 rows_u = np.repeat(np.arange(nu, dtype=np.int32), nnz_row)
@@ -323,6 +327,14 @@ def main():
                 detail["csr_unstructured_n"] = nu
                 detail["csr_unstructured_gnnz_per_s"] = round(nu * nnz_row / tU / 1e9, 3)
                 detail["csr_unstructured_us_per_apply"] = round(tU * 1e6, 1)
+                # ELL (gather + row-sum, no scatter) on the same matrix
+                from linops_tpu.sparse.formats import ell_from_csr_parts
+
+                opE = lo.ELLOperator(
+                    ell_from_csr_parts(vals_u, cols_u, indptr_u, (nu, nu))
+                )
+                tE = _marginal_apply_time(opE, vu, reps=2)
+                detail["ell_unstructured_gnnz_per_s"] = round(nu * nnz_row / tE / 1e9, 3)
                 return
             except Exception as e:
                 detail["csr_unstructured_n_failed"] = f"{nu}: {type(e).__name__}"

@@ -80,9 +80,11 @@ from .sparse import (
     COO,
     CSR,
     BSR,
+    ELL,
     COOOperator,
     CSROperator,
     BSROperator,
+    ELLOperator,
     opSparse,
     DIAOperator,
     opDIA,
@@ -178,9 +180,11 @@ __all__ = [
     "COO",
     "CSR",
     "BSR",
+    "ELL",
     "COOOperator",
     "CSROperator",
     "BSROperator",
+    "ELLOperator",
     "opSparse",
     "DIAOperator",
     "opDIA",

@@ -30,16 +30,20 @@ from .formats import (
     BSR,
     COO,
     CSR,
+    ELL,
     bsr_from_dense,
     coo_from_dense,
     csr_from_dense,
     csr_from_parts,
+    ell_from_csr_parts,
+    ell_from_dense,
 )
 
 __all__ = [
     "COOOperator",
     "CSROperator",
     "BSROperator",
+    "ELLOperator",
     "opSparse",
 ]
 
@@ -182,6 +186,47 @@ class CSROperator(_IndexedSparse):
     segment_sum on the forward apply)."""
 
     _sorted_rows = True
+
+
+class ELLOperator(_SparseBase):
+    """ELLPACK operator: forward apply is gather + per-row sum — NO scatter
+    (``(vals · x[cols]).sum(1)``), which measures ~2× the segment-sum CSR
+    path on TPU for unstructured patterns. Both remain gather-bound
+    (~0.1 Gnnz/s on v5e — fine-grained random access is ~3 orders below
+    the streaming roofline); for production throughput recover structure
+    instead (``opSparse(format="auto")`` → RCM + block packing). Transpose
+    still scatters (segment_sum over the column ids)."""
+
+    def _prod(self, v):
+        d = self.data
+        return jnp.sum(d.vals * v[d.cols], axis=1)
+
+    def _tprod_vals(self, vals, u):
+        d = self.data
+        contrib = (vals * u[:, None]).reshape(-1)
+        return jax.ops.segment_sum(
+            contrib, d.cols.reshape(-1), num_segments=d.shape[1]
+        )
+
+    def _tprod(self, u):
+        return self._tprod_vals(self.data.vals, u)
+
+    def _ctprod(self, w):
+        return self._tprod_vals(_conj(self.data.vals), w)
+
+    def apply_matrix(self, M, mode: str = "N"):
+        d = self.data
+        if mode == "N":
+            return jnp.sum(d.vals[:, :, None] * M[d.cols], axis=1)
+        if mode == "C":
+            return _conj(
+                jnp.sum(d.vals[:, :, None] * _conj(M)[d.cols], axis=1)
+            )
+        vals = d.vals if mode == "T" else _conj(d.vals)
+        contrib = (vals[:, :, None] * M[:, None, :]).reshape(-1, M.shape[1])
+        return jax.ops.segment_sum(
+            contrib, d.cols.reshape(-1), num_segments=d.shape[1]
+        )
 
 
 class BSROperator(_SparseBase):
@@ -338,7 +383,7 @@ class BSROperator(_SparseBase):
         return Y[: d.shape[0]]
 
 
-for _cls in (COOOperator, CSROperator, BSROperator):
+for _cls in (COOOperator, CSROperator, ELLOperator, BSROperator):
     register_operator(_cls)
 
 
@@ -401,6 +446,8 @@ def opSparse(
         return COOOperator(A, symmetric, hermitian)
     if isinstance(A, CSR):
         return CSROperator(A, symmetric, hermitian)
+    if isinstance(A, ELL):
+        return ELLOperator(A, symmetric, hermitian)
     if isinstance(A, BSR):
         return BSROperator(A, symmetric, hermitian, backend=backend)
 
@@ -426,6 +473,9 @@ def opSparse(
         if format == "csr":
             data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
             return CSROperator(data, symmetric, hermitian)
+        if format == "ell":
+            data = ell_from_csr_parts(sp.data, sp.indices, sp.indptr, sp.shape)
+            return ELLOperator(data, symmetric, hermitian)
         if format == "coo":
             from .formats import check_int32_range
 
@@ -473,6 +523,8 @@ def opSparse(
         return COOOperator(coo_from_dense(A, tol), symmetric, hermitian)
     if format == "csr":
         return CSROperator(csr_from_dense(A, tol), symmetric, hermitian)
+    if format == "ell":
+        return ELLOperator(ell_from_dense(A, tol), symmetric, hermitian)
     if format == "bsr":
         if block_shape == "auto":
             try:

@@ -267,3 +267,34 @@ def test_opsparse_format_auto(rng):
     opc = lo.opSparse(scipy_sparse.csr_matrix(scat), format="auto")
     assert type(opc).__name__ == "CSROperator"
     assert_close(opc * v, scat @ v)
+
+
+def test_ell_operator(rng):
+    """ELL format: forward is gather+row-sum (no scatter); matches dense in
+    every mode, participates in algebra, handles ragged rows via padding."""
+    m, n = 37, 29
+    A = sprand(rng, m, n, 0.2)
+    A[3] = 0.0  # empty row
+    A[5, :25] = rng.standard_normal(25)  # heavy row (kmax driver)
+    for src in (A, __import__("scipy.sparse", fromlist=["csr_matrix"]).csr_matrix(A)):
+        op = opSparse(src, format="ell")
+        assert type(op).__name__ == "ELLOperator"
+        v = rng.standard_normal(n)
+        u = rng.standard_normal(m)
+        assert_close(op * v, A @ v)
+        assert_close(op.T * u, A.T @ u)
+        assert_close(op.H * u, A.T @ u)
+        assert_close(op.to_dense(), A, rtol=1e-12)
+        X = rng.standard_normal((n, 3))
+        assert_close(op.matmat(X), A @ X)
+        assert_close(op.matmat(rng.standard_normal((m, 3)), mode="T").shape, (n, 3))
+
+
+def test_ell_complex(rng):
+    m = n = 24
+    A = sprand(rng, m, n, 0.25, complex_=True)
+    op = opSparse(A, format="ell")
+    u = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    assert_close(op.H * u, A.conj().T @ u)
+    M = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
+    assert_close(op.matmat(jnp.asarray(M), mode="C"), np.conj(A) @ M)
