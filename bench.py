@@ -148,8 +148,7 @@ def main():
         # nnz/s_max = roofline_gbs/8.
         import scipy.sparse as sps
 
-        nnz_row = 16
-        # (a) block-structured: reuse the headline pattern as CSR input
+        # block-structured: reuse the headline pattern as CSR input
         indptr = np.arange(0, (ns // 128) * 4 + 1, 4, dtype=np.int64)
         # expand block pattern to scipy BSR then CSR without densifying
         sp_bsr = sps.bsr_matrix(

@@ -154,8 +154,11 @@ def mul(op: LinearOperator, v, alpha=None, beta=None, res=None, mode: str = "N",
             return _apply_mat_scaled(op, v, alpha, mode)
         if res is None:
             raise LinearOperatorException("5-arg mul with nonzero beta requires res")
-        if jnp.ndim(res) != 2:
-            raise LinearOperatorException("matrix-RHS mul needs a matrix res")
+        if jnp.shape(res) != (op.out_dim(mode), v.shape[1]):
+            raise LinearOperatorException(
+                f"matrix-RHS mul: res shape {jnp.shape(res)} != "
+                f"{(op.out_dim(mode), v.shape[1])}"
+            )
         a = 1 if alpha is None else alpha
         fn = _apply_mat_axpby_donated if donate else _apply_mat_axpby
         return fn(op, v, a, beta, res, mode)

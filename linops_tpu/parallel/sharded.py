@@ -47,9 +47,9 @@ def _qn_states():
 
 
 def _sparse_formats():
-    from ..sparse.formats import BSR, COO, CSR
+    from ..sparse.formats import BSR, COO, CSR, ELL
 
-    return COO, CSR, BSR
+    return COO, CSR, BSR, ELL
 
 
 def _place(value, mesh: Mesh, axis: str, spec_fn):
@@ -62,8 +62,7 @@ def _place(value, mesh: Mesh, axis: str, spec_fn):
             for f in value._fields
         ]
         return type(value)(*placed)
-    COO, CSR, BSR = _sparse_formats()
-    if isinstance(value, (COO, CSR, BSR)):
+    if isinstance(value, _sparse_formats()):
         return _place_sparse(value, mesh, axis)
     if hasattr(value, "_fields"):  # other NamedTuple containers: recurse
         placed = [_place(getattr(value, f), mesh, axis, spec_fn) for f in value._fields]
@@ -79,15 +78,28 @@ def _place_sparse(data, mesh: Mesh, axis: str):
 
     - BSR: block-rows split across the mesh (row partition — forward apply
       gathers x blocks, adjoint psums), block_cols alongside.
+    - ELL: rows split across the mesh (vals/cols together).
     - COO/CSR: the nnz axis is split (vals/rows/cols together); segment_sum
       over sharded segment ids psums partial row sums. ``indptr`` is
       replicated (it indexes full rows, not nnz shards).
     """
-    COO, CSR, BSR = _sparse_formats()
+    COO, CSR, BSR, ELL = _sparse_formats()
     n_dev = mesh.shape[axis]
 
     def put(arr, spec):
         return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    if isinstance(data, ELL):
+        nrow = data.vals.shape[0]
+        if nrow % n_dev:
+            warnings.warn(
+                f"shard_operator: ELL row count {nrow} is not divisible by "
+                f"the {n_dev}-device mesh axis; storage stays replicated"
+            )
+            spec = P()
+        else:
+            spec = P(axis, None)
+        return ELL(vals=put(data.vals, spec), cols=put(data.cols, spec), shape=data.shape)
 
     if isinstance(data, BSR):
         nbrow = data.blocks.shape[0]

@@ -239,9 +239,17 @@ def _recompute_ab(S, ys, b_insert_row, B_old, insert, gamma, mem: int):
     batched (mem, n) mat-vecs instead of the reference's double scalar loop."""
     B_new = B_old.at[insert].set(b_insert_row)
     order = _chrono_order(insert, mem)
-    S_ord = S[order]
-    B_ord = B_new[order]
-    valid = ys[order] != 0
+    A_new = _a_recursion(S[order], B_new[order], ys[order] != 0, gamma, order)
+    return A_new, B_new
+
+
+def _a_recursion(S_ord, B_ord, valid, gamma, order):
+    """The forward-form a-vector recursion over chronologically-ordered
+    slots (shared by the eager push recompute and the deferred
+    ``_recompute_all_a``): each step is two batched (mem, n) mat-vecs
+    instead of the reference's double scalar loop
+    (reference src/lbfgs.jl:229-251)."""
+    mem = S_ord.shape[0]
     idx = jnp.arange(mem)
 
     def body(i, A_ord):
@@ -255,8 +263,7 @@ def _recompute_ab(S, ys, b_insert_row, B_old, insert, gamma, mem: int):
         return A_ord.at[i].set(jnp.where(valid[i], a, jnp.zeros_like(a)))
 
     A_ord = lax.fori_loop(0, mem, body, jnp.zeros_like(B_ord))
-    A_new = jnp.zeros_like(A_ord).at[order].set(A_ord)
-    return A_new, B_new
+    return jnp.zeros_like(A_ord).at[order].set(A_ord)
 
 
 def _recompute_all_a(state: LBFGSState) -> LBFGSState:
@@ -266,24 +273,9 @@ def _recompute_all_a(state: LBFGSState) -> LBFGSState:
     (the next write slot)."""
     mem = state.S.shape[0]
     order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
-    S_ord = state.S[order]
-    B_ord = state.B[order]
-    valid = state.ys[order] != 0
-    idx = jnp.arange(mem)
-    gamma = state.gamma
-
-    def body(i, A_ord):
-        s_i = S_ord[i]
-        mask = (idx < i) & valid
-        bs = jnp.where(mask, B_ord @ s_i, 0.0)
-        as_ = jnp.where(mask, A_ord @ s_i, 0.0)
-        a = s_i / gamma + B_ord.T @ bs - A_ord.T @ as_
-        denom = jnp.sqrt(jnp.dot(s_i, a))
-        a = a / jnp.where(denom != 0, denom, 1.0)
-        return A_ord.at[i].set(jnp.where(valid[i], a, jnp.zeros_like(a)))
-
-    A_ord = lax.fori_loop(0, mem, body, jnp.zeros_like(B_ord))
-    A_new = jnp.zeros_like(A_ord).at[order].set(A_ord)
+    A_new = _a_recursion(
+        state.S[order], state.B[order], state.ys[order] != 0, state.gamma, order
+    )
     return state._replace(A=A_new)
 
 
@@ -570,21 +562,44 @@ class LBFGSOperator(LinearOperator):
             )
         else:
             raise TypeError("push(s, y[, Bs] | [, alpha, g[, Bs]])")
-        if self._lazy_ab:
-            object.__setattr__(self, "_ab_fresh", False)
+        # (the state assignment above already invalidated _ab_fresh)
         return self
+
+    def __setattr__(self, name, value):
+        object.__setattr__(self, name, value)
+        if name == "state":
+            # ANY state swap (push, checkpoint restore, user assignment)
+            # invalidates the deferred a-vectors; internal paths re-mark
+            # freshness AFTER assigning.
+            object.__setattr__(self, "_ab_fresh", False)
+
+    def _materialized_state(self) -> LBFGSState:
+        """State with the a-vectors guaranteed fresh. Host calls cache the
+        recompute on the operator; under an outer jit trace (where the
+        recompute yields tracers) the result is returned WITHOUT caching —
+        storing tracers on the persistent host object would corrupt it."""
+        if self._inverse or not self._lazy_ab or getattr(self, "_ab_fresh", False):
+            return self.state
+        new = _recompute_all_a_jit(self.state)
+        if not any(
+            isinstance(x, jax.core.Tracer) for x in jax.tree_util.tree_leaves(new)
+        ):
+            self.state = new
+            object.__setattr__(self, "_ab_fresh", True)
+        return new
 
     def ensure_ab(self) -> "LBFGSOperator":
         """Materialize the forward a/b vectors if a lazy push deferred them
         (no-op for eager/inverse operators). Needed before reading
         ``state.A`` directly (diag, EJM shifted solves, a-b-form oracles);
         the compact-form hot applies never require it."""
-        if self._inverse or not self._lazy_ab:
-            return self
-        if not getattr(self, "_ab_fresh", False):
-            self.state = _recompute_all_a_jit(self.state)
-            object.__setattr__(self, "_ab_fresh", True)
+        self._materialized_state()
         return self
+
+    def _before_save(self):
+        """Checkpoint hook: persist fresh a-vectors so a restored state is
+        correct regardless of the restoring operator's laziness mode."""
+        self.ensure_ab()
 
     def diag(self):
         """Diagonal of a forward L-BFGS approximation (reference
@@ -593,8 +608,7 @@ class LBFGSOperator(LinearOperator):
             raise LinearOperatorException(
                 "only the diagonal of a forward L-BFGS approximation is available"
             )
-        self.ensure_ab()
-        return forward_diag(self.state)
+        return forward_diag(self._materialized_state())
 
     def reset(self):
         """Zero the memory and counters (reference reset!, src/lbfgs.jl:397-427)."""

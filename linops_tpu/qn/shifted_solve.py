@@ -137,19 +137,21 @@ def solve_shifted_system(B: LBFGSOperator, b, sigma, *, method: str = "compact")
     if method == "compact":
         return _solve_shifted_compact(B.state, b, sigma)
     if method == "ejm":
-        B.ensure_ab()  # EJM reads the a/b vectors (lazy pushes defer them)
+        # EJM reads the a/b vectors; lazy pushes defer them. Under a trace
+        # the materialized state is used directly (never cached as tracers).
+        state = B._materialized_state()
         if (
             _is_concrete(sigma)
-            and _is_concrete(B.state.ys)
+            and _is_concrete(state.ys)
             and float(sigma) == 0
-            and bool(jnp.any(B.state.ys == 0))
+            and bool(jnp.any(state.ys == 0))
         ):
             raise ValueError(
                 "EJM is degenerate at sigma=0 on a partially-filled ring "
                 "(the oldest pair's unit a-vector makes 1 - x0<a,p> = 0); "
                 "use the default compact method"
             )
-        return _solve_shifted(B.state, b, sigma)
+        return _solve_shifted(state, b, sigma)
     raise ValueError(f"unknown method {method!r}")
 
 

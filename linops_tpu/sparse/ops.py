@@ -456,7 +456,10 @@ def opSparse(
         try:
             import scipy.sparse as sps
 
-            A = sps.csr_matrix(np.asarray(A))
+            Ad = np.asarray(A)
+            if tol > 0:  # honor tol like every other dense path
+                Ad = np.where(np.abs(Ad) > tol, Ad, 0.0)
+            A = sps.csr_matrix(Ad)
         except ImportError:
             format = "csr"
 

@@ -67,7 +67,14 @@ def _to_storable(x):
 
 def save_operator(path: str, op: LinearOperator) -> None:
     """Serialize an operator's dynamic leaves (+ a structure fingerprint)
-    to ``path`` (.npz). All dtypes round-trip, including bfloat16."""
+    to ``path`` (.npz). All dtypes round-trip, including bfloat16.
+
+    Operators may define ``_before_save()`` to materialize deferred state
+    first (e.g. lazy L-BFGS a-vectors) so the checkpoint is
+    self-contained."""
+    hook = getattr(op, "_before_save", None)
+    if hook is not None:
+        hook()
     leaves, treedef = jax.tree_util.tree_flatten(op)
     arrays = {}
     dtype_names = []

@@ -435,3 +435,50 @@ def test_lbfgs_complex_rejected():
     for ctor in (LBFGSOperator, InverseLBFGSOperator):
         with pytest.raises(lo.LinearOperatorException, match="complex"):
             ctor(jnp.complex128, 8, mem=4)
+
+
+def test_lazy_ab_checkpoint_roundtrip(rng, tmp_path):
+    """Checkpoint restore must not leave a lazy operator believing its
+    deferred a-vectors are fresh (code-review round 2 finding #1): saving
+    materializes them, and ANY state swap invalidates the freshness flag."""
+    n, mem = 16, 4
+    B = LBFGSOperator(n, mem=mem)  # lazy default
+    for _ in range(mem):
+        s = rng.standard_normal(n)
+        B.push(s, s + 0.2 * rng.standard_normal(n))
+    path = str(tmp_path / "b.npz")
+    lo.save_operator(path, B)
+    B2 = LBFGSOperator(n, mem=mem)
+    lo.load_operator_state(path, B2)
+    np.testing.assert_allclose(np.asarray(B2.diag()), np.asarray(B.diag()), rtol=1e-12)
+    # direct external state swap also invalidates
+    B3 = LBFGSOperator(n, mem=mem)
+    B3.state = B.state
+    np.testing.assert_allclose(np.asarray(B3.diag()), np.asarray(B.diag()), rtol=1e-12)
+
+
+def test_lazy_ab_closure_jit_does_not_corrupt(rng):
+    """Calling an a/b consumer under an outer jit with the operator in a
+    CLOSURE must not cache tracers on the host operator (code-review round 2
+    finding #2)."""
+    import jax
+    from linops_tpu.qn.shifted_solve import solve_shifted_system
+
+    n, mem = 12, 3
+    B = LBFGSOperator(n, mem=mem)
+    for _ in range(mem):
+        s = rng.standard_normal(n)
+        B.push(s, s + 0.2 * rng.standard_normal(n))
+    b = jnp.asarray(rng.standard_normal(n))
+
+    @jax.jit
+    def f(rhs):
+        return solve_shifted_system(B, rhs, 0.1, method="ejm")  # B in closure
+
+    x1 = np.asarray(f(b))
+    # host operator still usable afterwards (would raise UnexpectedTracerError
+    # if tracers were cached)
+    d = np.asarray(B.diag())
+    assert np.isfinite(d).all()
+    x2 = np.asarray(solve_shifted_system(B, b, 0.1, method="ejm"))
+    np.testing.assert_allclose(x1, x2, rtol=1e-9)
