@@ -1,11 +1,17 @@
 """Limited-memory SR1 operator with device-resident ring-buffer state.
 
 TPU-native redesign of the reference L-SR1 operator (reference:
-src/lsr1.jl). The forward product ``B v = v/γ + Σ aᵢ(aᵢᵀv)/⟨aᵢ,sᵢ⟩``
-(reference src/lsr1.jl:89-107) is two batched ``(mem, n)`` mat-vecs; the
-O(mem²·n) rank-1-term recomputation on push (src/lsr1.jl:166-181) is ``mem``
-steps of batched mat-vecs over the chronologically-gathered memory, exactly
-like the L-BFGS forward form.
+src/lsr1.jl). Two apply forms:
+
+- **compact (BNS thm 5.1, the default hot path)**:
+  ``B = I/γ + U M⁻¹ Uᵀ`` with ``U = Y − S/γ`` (chronological) and
+  ``M = D + L + Lᵀ − SᵀS/γ`` built from O(mem²) Gram pieces maintained
+  incrementally at push — so a push is O(mem·n) and an apply is two
+  (mem, n)-ish passes + one (mem)² solve.
+- **a-form (the reference recursion)**: ``B v = v/γ + Σ aᵢ(aᵢᵀv)/⟨aᵢ,sᵢ⟩``
+  (reference src/lsr1.jl:89-107) with the O(mem²·n) rank-1 recompute
+  (src/lsr1.jl:166-181) DEFERRED to first diag()/opnorm-bound use
+  (mirroring the L-BFGS lazy_ab design) and kept as the parity oracle.
 
 Semantics preserved: the three-part update acceptance test — well-definedness
 ``|⟨y−Bs, s⟩| ≥ ε(1 + ‖y−Bs‖‖s‖)``, sufficient curvature, and the scaling
@@ -29,16 +35,20 @@ __all__ = ["LSR1State", "LSR1Operator"]
 
 class LSR1State(NamedTuple):
     """Device pytree holding the L-SR1 memory (reference LSR1Data,
-    src/lsr1.jl:4-17). Ring indices are 0-based."""
+    src/lsr1.jl:4-17). Ring indices are 0-based. ``SY``/``SS`` are the
+    slot-order Gram matrices SᵀY / SᵀS maintained at push for the compact
+    apply; ``A``/``as_``/``opnorm_ub`` belong to the deferred a-form."""
 
     S: jax.Array  # (mem, n)
     Y: jax.Array  # (mem, n)
     ys: jax.Array  # (mem,)  curvature; 0 marks an empty slot
     A: jax.Array  # (mem, n) rank-1 vectors aᵢ = yᵢ − B₍ᵢ₋₁₎sᵢ
     as_: jax.Array  # (mem,)  ⟨aᵢ, sᵢ⟩
+    SY: jax.Array  # (mem, mem) Gram SᵀY (slot order)
+    SS: jax.Array  # (mem, mem) Gram SᵀS
     gamma: jax.Array  # () scaling factor
     insert: jax.Array  # () int32, 0-based
-    opnorm_ub: jax.Array  # () upper bound on ‖B‖₂
+    opnorm_ub: jax.Array  # () upper bound on ‖B‖₂ (a-form; lazy)
 
 
 def _init_state(n: int, mem: int, dtype) -> LSR1State:
@@ -48,6 +58,8 @@ def _init_state(n: int, mem: int, dtype) -> LSR1State:
         ys=jnp.zeros((mem,), dtype),
         A=jnp.zeros((mem, n), dtype),
         as_=jnp.zeros((mem,), dtype),
+        SY=jnp.zeros((mem, mem), dtype),
+        SS=jnp.zeros((mem, mem), dtype),
         gamma=jnp.ones((), dtype),
         insert=jnp.zeros((), jnp.int32),
         opnorm_ub=jnp.ones((), dtype),
@@ -70,19 +82,60 @@ def lsr1_apply_matrix(state: LSR1State, X):
     return X / state.gamma + state.A.T @ coef
 
 
+def _compact_parts(state: LSR1State):
+    """Chronologically-ordered compact pieces: U = Y − S/γ and
+    M = D + L + Lᵀ − SᵀS/γ (Byrd-Nocedal-Schnabel 1994, thm 5.1), with
+    unit diagonal on empty slots (their U rows are zero, so they
+    contribute exactly nothing)."""
+    mem = state.S.shape[0]
+    order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
+    valid = state.ys[order] != 0
+    vmask2 = valid[:, None] & valid[None, :]
+    SY_o = jnp.where(vmask2, state.SY[order][:, order], 0.0)
+    SS_o = jnp.where(vmask2, state.SS[order][:, order], 0.0)
+    L = jnp.tril(SY_o, k=-1)
+    M = jnp.diag(jnp.diag(SY_o)) + L + L.T - SS_o / state.gamma
+    M = jnp.where(vmask2, M, 0.0) + jnp.diag(jnp.where(valid, 0.0, 1.0))
+    U = jnp.where(
+        valid[:, None], state.Y[order] - state.S[order] / state.gamma, 0.0
+    )  # (mem, n)
+    return U, M
+
+
+def lsr1_apply_compact(state: LSR1State, x):
+    """Compact SR1 product: B v = v/γ + Uᵀ M⁻¹ (U v) — numerically equal to
+    the a-form recursion on accepted pairs, but needs NO a-vectors, so
+    pushes stay O(mem·n)."""
+    U, M = _compact_parts(state)
+    coef = jnp.linalg.solve(M, U @ x)
+    return x / state.gamma + U.T @ coef
+
+
+def lsr1_apply_matrix_compact(state: LSR1State, X):
+    U, M = _compact_parts(state)
+    coef = jnp.linalg.solve(M, U @ X)
+    return X / state.gamma + U.T @ coef
+
+
 def lsr1_diag(state: LSR1State):
     """diag(B) = 1/γ + Σ aᵢ²/⟨aᵢ,sᵢ⟩ (reference src/lsr1.jl:196-211)."""
     coef = jnp.where(state.ys != 0, _safe_div(jnp.ones_like(state.as_), state.as_), 0.0)
     return 1.0 / state.gamma + coef @ (state.A**2)
 
 
-@functools.partial(jax.jit, static_argnames=("scaling",))
-def _push(state: LSR1State, s, y, *, scaling: bool) -> LSR1State:
-    """Guarded SR1 push (reference push!, src/lsr1.jl:119-184)."""
+@functools.partial(jax.jit, static_argnames=("scaling", "with_a"))
+def _push(state: LSR1State, s, y, *, scaling: bool, with_a: bool = True) -> LSR1State:
+    """Guarded SR1 push (reference push!, src/lsr1.jl:119-184).
+
+    ``with_a=False`` (the operator's lazy default) maintains only S/Y/Grams
+    — O(mem·n) — and defers the O(mem²·n) a-vector recompute to
+    ``_recompute_all_a`` on first diag()/opnorm-bound use; the compact
+    apply never needs it. Acceptance uses the compact Bs."""
     mem, _ = state.S.shape
     eps = jnp.finfo(state.S.dtype).eps
 
-    ymBs = y - lsr1_apply(state, s)
+    Bs = lsr1_apply(state, s) if with_a else lsr1_apply_compact(state, s)
+    ymBs = y - Bs
     ys = jnp.dot(y, s)
     s_norm = jnp.linalg.norm(s)
     yy = jnp.dot(y, y)
@@ -106,12 +159,29 @@ def _push(state: LSR1State, s, y, *, scaling: bool) -> LSR1State:
     gamma = gamma_new if scaling else state.gamma
     insert_new = jnp.mod(ins + 1, mem).astype(jnp.int32)
 
-    # Recompute every rank-1 term in chronological order (oldest → newest;
-    # reference src/lsr1.jl:166-181). Inner corrections batched as mat-vecs.
-    order = jnp.mod(insert_new + jnp.arange(mem), mem)
-    S_ord = S[order]
-    Y_ord = Y[order]
-    valid = ysv[order] != 0
+    # Gram maintenance for the compact form: one row+column each of SᵀY
+    # and SᵀS — three (mem, n) matvecs.
+    SY = state.SY.at[ins, :].set(Y @ s).at[:, ins].set(S @ y)
+    ss_vec = S @ s
+    SS = state.SS.at[ins, :].set(ss_vec).at[:, ins].set(ss_vec)
+
+    new = LSR1State(S=S, Y=Y, ys=ysv, A=state.A, as_=state.as_, SY=SY, SS=SS,
+                    gamma=gamma, insert=insert_new, opnorm_ub=state.opnorm_ub)
+    if with_a:
+        new = _recompute_all_a(new)
+    return jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, state)
+
+
+def _recompute_all_a(state: LSR1State) -> LSR1State:
+    """Recompute every rank-1 a-vector and the opnorm bound from
+    (S, Y, ys, γ) alone, in chronological order (oldest → newest; reference
+    src/lsr1.jl:166-181). Inner corrections batched as mat-vecs."""
+    mem = state.S.shape[0]
+    order = jnp.mod(state.insert + jnp.arange(mem), mem)
+    S_ord = state.S[order]
+    Y_ord = state.Y[order]
+    valid = state.ys[order] != 0
+    gamma = state.gamma
     idx = jnp.arange(mem)
 
     def body(i, carry):
@@ -125,25 +195,23 @@ def _push(state: LSR1State, s, y, *, scaling: bool) -> LSR1State:
         return A_ord.at[i].set(a), as_ord.at[i].set(jnp.dot(a, s_i))
 
     A_ord, as_ord = lax.fori_loop(
-        0, mem, body, (jnp.zeros_like(S_ord), jnp.zeros_like(ysv))
+        0, mem, body, (jnp.zeros_like(S_ord), jnp.zeros_like(state.ys))
     )
     A_new = jnp.zeros_like(A_ord).at[order].set(A_ord)
     as_new = jnp.zeros_like(as_ord).at[order].set(as_ord)
 
-    # opnorm bound rebuilt from scratch each push (reference src/lsr1.jl:156-179)
-    ub = jnp.where(
-        scaling & (gamma != 0), 1.0 / jnp.abs(jnp.where(gamma != 0, gamma, 1.0)), 1.0
-    )
+    # opnorm bound rebuilt from the a-form (reference src/lsr1.jl:156-179)
+    ub = jnp.where(gamma != 0, 1.0 / jnp.abs(jnp.where(gamma != 0, gamma, 1.0)), 1.0)
     contrib = jnp.where(
-        (ysv[order] != 0) & (as_ord != 0),
+        valid & (as_ord != 0),
         _safe_div(jnp.sum(A_ord**2, axis=1), jnp.abs(as_ord)),
         0.0,
     )
     ub = ub + jnp.sum(contrib)
+    return state._replace(A=A_new, as_=as_new, opnorm_ub=ub)
 
-    new = LSR1State(S=S, Y=Y, ys=ysv, A=A_new, as_=as_new, gamma=gamma,
-                    insert=insert_new, opnorm_ub=ub)
-    return jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, state)
+
+_recompute_all_a_jit = jax.jit(_recompute_all_a)
 
 
 class LSR1Operator(LinearOperator):
@@ -152,9 +220,10 @@ class LSR1Operator(LinearOperator):
     products needed (symmetry infers them)."""
 
     _fields_children = ("state",)
-    _fields_aux = ("_n", "_mem", "_scaling", "_dtype_name")
+    _fields_aux = ("_n", "_mem", "_scaling", "_dtype_name", "_lazy_a")
 
-    def __init__(self, *args, mem: int = 5, scaling: bool = False, dtype=None):
+    def __init__(self, *args, mem: int = 5, scaling: bool = False, dtype=None,
+                 lazy_a: bool = True):
         super().__init__()
         if len(args) == 2:
             dt, n = args
@@ -173,7 +242,38 @@ class LSR1Operator(LinearOperator):
         self._mem = max(int(mem), 1)
         self._scaling = bool(scaling)
         self._dtype_name = jnp.dtype(dt).name
+        # lazy a-vector maintenance: pushes skip the O(mem²·n) recompute;
+        # diag/opnorm-bound trigger it on demand (compact apply never does)
+        self._lazy_a = bool(lazy_a)
         self.state = _init_state(self._n, self._mem, jnp.dtype(dt))
+        object.__setattr__(self, "_a_fresh", True)  # empty memory is fresh
+
+    def __setattr__(self, name, value):
+        object.__setattr__(self, name, value)
+        if name == "state":
+            object.__setattr__(self, "_a_fresh", False)
+
+    def _materialized_state(self) -> LSR1State:
+        """State with the a-form guaranteed fresh; under an outer trace the
+        result is returned without caching (see LBFGSOperator)."""
+        if not self._lazy_a or getattr(self, "_a_fresh", False):
+            return self.state
+        new = _recompute_all_a_jit(self.state)
+        if not any(
+            isinstance(x, jax.core.Tracer) for x in jax.tree_util.tree_leaves(new)
+        ):
+            self.state = new
+            object.__setattr__(self, "_a_fresh", True)
+        return new
+
+    def ensure_a(self) -> "LSR1Operator":
+        """Materialize the a-form (rank-1 vectors + opnorm bound) if lazy
+        pushes deferred it."""
+        self._materialized_state()
+        return self
+
+    def _before_save(self):
+        self.ensure_a()
 
     @property
     def nrow(self):
@@ -213,13 +313,14 @@ class LSR1Operator(LinearOperator):
 
     @property
     def opnorm_upper_bound(self) -> float:
-        return float(self.state.opnorm_ub)
+        return float(self._materialized_state().opnorm_ub)
 
     def _prod(self, v):
-        return lsr1_apply(self.state, v)
+        # compact (BNS) form: O(mem·n) without the a-vectors
+        return lsr1_apply_compact(self.state, v)
 
     def apply_matrix(self, M, mode: str = "N"):
-        return lsr1_apply_matrix(self.state, M)
+        return lsr1_apply_matrix_compact(self.state, M)
 
     def push(self, s, y):
         """Guarded SR1 insert (reference push!, src/lsr1.jl:115-184).
@@ -227,15 +328,16 @@ class LSR1Operator(LinearOperator):
         scaling conditions."""
         dt = self.dtype
         self.state = _push(self.state, jnp.asarray(s, dt), jnp.asarray(y, dt),
-                           scaling=self._scaling)
+                           scaling=self._scaling, with_a=not self._lazy_a)
         return self
 
     def diag(self):
-        return lsr1_diag(self.state)
+        return lsr1_diag(self._materialized_state())
 
     def reset(self):
         """reference reset! (src/lsr1.jl:213-240)."""
         self.state = _init_state(self._n, self._mem, self.dtype)
+        object.__setattr__(self, "_a_fresh", True)
         self.reset_counters()
         return self
 

@@ -135,3 +135,39 @@ def test_lsr1_scaling(rng):
         assert abs(B.scaling_factor - gamma) < 1e-12
         Bd = dense_sr1(np.eye(n) / gamma, s, y)
         np.testing.assert_allclose(np.asarray(B.to_dense()), Bd, rtol=1e-10)
+
+
+def test_lsr1_compact_equals_a_form(rng):
+    """The compact (BNS thm 5.1) SR1 apply equals the reference a-form
+    recursion across partial/full/wrapped rings and scaling on/off, and the
+    lazy push produces the same state as the eager one."""
+    from linops_tpu.qn.lsr1 import lsr1_apply, lsr1_apply_compact
+
+    n, mem = 24, 5
+    for scaling in (False, True):
+        for pushes in (0, 2, mem, mem + 3):
+            lazy = LSR1Operator(n, mem=mem, scaling=scaling)
+            eager = LSR1Operator(n, mem=mem, scaling=scaling, lazy_a=False)
+            for _ in range(pushes):
+                s = rng.standard_normal(n)
+                y = rng.standard_normal(n)
+                lazy.push(s, y)
+                eager.push(s, y)
+            v = rng.standard_normal(n)
+            a_form = np.asarray(lsr1_apply(eager.state, jnp.asarray(v)))
+            compact = np.asarray(lsr1_apply_compact(eager.state, jnp.asarray(v)))
+            np.testing.assert_allclose(
+                compact, a_form, rtol=1e-9, atol=1e-9,
+                err_msg=f"scaling={scaling} pushes={pushes}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(lazy * v), np.asarray(eager * v), rtol=1e-9, atol=1e-9
+            )
+            # deferred a-form materializes to the eager values
+            np.testing.assert_allclose(
+                np.asarray(lazy.diag()), np.asarray(eager.diag()),
+                rtol=1e-9, atol=1e-9,
+            )
+            assert abs(lazy.opnorm_upper_bound - eager.opnorm_upper_bound) < 1e-8 * max(
+                1.0, eager.opnorm_upper_bound
+            )
