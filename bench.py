@@ -342,6 +342,36 @@ def main():
                 errs.append(f"{nu}: {type(e).__name__}: {str(e)[:120]}")
                 detail["csr_unstructured_n_failed"] = errs
 
+    def sec_multirhs():
+        # matrix-RHS 5-arg mul with donation (reference mul!(res, op, M, a, b))
+        # on the headline BSR operator: 8 RHS amortize each block read.
+        k = 8
+        M = jnp.ones((ns, k), dtype)
+        Res = jnp.zeros((ns, k), dtype)
+
+        @jax.jit
+        def chain(op, M, Res, iters):
+            from jax import lax as _lax
+
+            def body(_, carry):
+                M, Res = carry
+                out = 1.0 * op.apply_matrix(M, "N") + 0.5 * Res
+                nrm = jnp.linalg.norm(out)
+                return out / nrm, M
+            return _lax.fori_loop(0, iters, body, (M, Res))
+
+        _sync(chain(opB, M, Res, I_SHORT))
+        _sync(chain(opB, M, Res, I_LONG))
+        t0 = time.perf_counter(); _sync(chain(opB, M, Res, I_SHORT)); a = time.perf_counter() - t0
+        t0 = time.perf_counter(); _sync(chain(opB, M, Res, I_LONG)); b = time.perf_counter() - t0
+        t = max(b - a, 1e-9) / (I_LONG - I_SHORT)
+        detail["spmm_multirhs_us_per_apply"] = round(t * 1e6, 1)
+        # NO bytes model here: at 33-35 µs/apply the operator is clearly
+        # (mostly) VMEM-resident across chain iterations, so a streaming
+        # GB/s figure would over-credit (the round-1 L-BFGS accounting
+        # trap). Report the honest compute rate instead: 2·nnz·k MACs.
+        detail["spmm_multirhs_tflops"] = round(2 * nnz * k / t / 1e12, 2)
+
     def sec_scaling():
         # multi-device scaling harness on the virtual 8-device CPU mesh
         # (parallel/scaling_bench.py): per-device work at 1 vs N devices
@@ -376,6 +406,7 @@ def main():
     section("chain", sec_chain)
     section("lbfgs", sec_lbfgs)
     section("stress", sec_stress)
+    section("multirhs", sec_multirhs)
     section("scaling", sec_scaling)
     section("csr_unstructured", sec_csr_unstructured)
 
