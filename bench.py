@@ -137,6 +137,18 @@ def main():
             opB8x = lo.BSROperator(data8, backend="xla")
             t8x = _marginal_apply_time(opB8x, vs, reps=2)
             detail["spmv_8x128_xla_gbs"] = round(blocks8.size * bpe / t8x / 1e9, 2)
+        if _budget_left():
+            # bf16 block storage: half the streamed bytes -> ~2x nnz/s at
+            # the same bandwidth (the kernel keeps storage dtype; f32 x)
+            data8h = BSR(
+                blocks=blocks8.astype(jnp.bfloat16),
+                block_cols=cols8,
+                shape=(ns, ns),
+            )
+            opB8h = lo.BSROperator(data8h)
+            t8h = _marginal_apply_time(opB8h, vs, reps=2)
+            detail["spmv_8x128_bf16_gbs"] = round(blocks8.size * 2 / t8h / 1e9, 2)
+            detail["spmv_8x128_bf16_gnnz_per_s"] = round(blocks8.size / t8h / 1e9, 2)
 
     def sec_csr():
         # CSR ingestion path (BASELINE config 2 'partitioned CSR SpMV-chain'):
@@ -306,7 +318,9 @@ def main():
         # the production answer is structure recovery (format="auto" ->
         # RCM + block packing), measured above as csr_routed_*.
         errs = []
-        for nu in (1 << 18, 1 << 16):
+        # smallest first: the larger case can crash the TPU worker, after
+        # which every later call fails UNAVAILABLE
+        for nu in (1 << 16,):
             try:
                 nnz_row = 16
                 rows_u = np.repeat(np.arange(nu, dtype=np.int32), nnz_row)

@@ -283,23 +283,34 @@ _recompute_all_a_jit = jax.jit(_recompute_all_a)
 
 
 def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
-                 with_ab: bool = True) -> LBFGSState:
+                 with_ab: bool = True, accept=None) -> LBFGSState:
     """Insert an accepted pair (reference push_common!, src/lbfgs.jl:210-255).
 
     ``with_ab=False`` (the operator's ``lazy_ab`` mode) maintains the cheap
     pieces only — b row, ‖b‖², opnorm bound, Grams — and defers the
     O(mem²·n) a-vector recompute to ``_recompute_all_a`` on first use
     (diag / EJM / a-b-form apply). The hot compact-form applies never read
-    the a-vectors, so production pushes drop from O(mem²·n) to O(mem·n)."""
+    the a-vectors, so production pushes drop from O(mem²·n) to O(mem·n).
+
+    ``accept`` (traced bool or None=always): the rejection gate is fused
+    into the ROW writes — a rejected push rewrites the slot's existing
+    values — instead of a post-hoc whole-state select (which costs an
+    extra full pass over every (mem, n) leaf)."""
     mem = state.S.shape[0]
     ins = state.insert
+    if accept is not None:
+        # gated row values: a rejected push re-writes the old slot contents
+        s = jnp.where(accept, s, state.S[ins])
+        y = jnp.where(accept, y, state.Y[ins])
+        ys = jnp.where(accept, ys, state.ys[ins])
     S = state.S.at[ins].set(s)
     Y = state.Y.at[ins].set(y)
     ysv = state.ys.at[ins].set(ys)
 
     # Gram maintenance for the compact inverse form: one row+column each of
     # SᵀY and YᵀY — three (mem, n) matvecs (O(mem·n), same order as the
-    # vector writes above).
+    # vector writes above). With gated rows a rejected push recomputes the
+    # Gram rows it already holds (idempotent by induction).
     SY = state.SY.at[ins, :].set(Y @ s).at[:, ins].set(S @ y)
     yy_vec = Y @ y
     YY = state.YY.at[ins, :].set(yy_vec).at[:, ins].set(yy_vec)
@@ -309,14 +320,20 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
     gamma = state.gamma
     ub = state.opnorm_ub
     if scaling:
-        ub = ub - _safe_inv(gamma).real
-        gamma = ys / jnp.dot(y, y)
-        ub = ub + _safe_inv(gamma).real
+        yy = jnp.dot(y, y)
+        gamma_new = ys / jnp.where(yy != 0, yy, 1.0)
+        ub_new = ub - _safe_inv(gamma).real + _safe_inv(gamma_new).real
+        if accept is None:
+            gamma, ub = gamma_new, ub_new
+        else:
+            gamma = jnp.where(accept, gamma_new, gamma)
+            ub = jnp.where(accept, ub_new, ub)
 
     if inverse:
         A, B, nb2 = state.A, state.B, state.norm_b2
     else:
-        b_row = y / jnp.sqrt(ys)
+        # guard: with a gated-away (empty-slot) rewrite ys may be 0
+        b_row = y / jnp.sqrt(jnp.where(ys != 0, ys, 1.0))
         nb2_new = jnp.real(jnp.dot(b_row, b_row))
         ub = ub - state.norm_b2[ins] + nb2_new
         nb2 = state.norm_b2.at[ins].set(nb2_new)
@@ -325,6 +342,9 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
         else:
             A, B = state.A, state.B.at[ins].set(b_row)
 
+    ins_new = jnp.mod(ins + 1, mem).astype(jnp.int32)
+    if accept is not None:
+        ins_new = jnp.where(accept, ins_new, ins).astype(jnp.int32)
     return LBFGSState(
         S=S,
         Y=Y,
@@ -336,24 +356,32 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
         YY=YY,
         SS=SS,
         gamma=gamma,
-        insert=jnp.mod(ins + 1, mem).astype(jnp.int32),
+        insert=ins_new,
         opnorm_ub=ub,
     )
 
 
-def _select_state(accept, new: LBFGSState, old: LBFGSState) -> LBFGSState:
-    return jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, old)
-
-
-@functools.partial(jax.jit, static_argnames=("scaling", "inverse", "with_ab"))
-def _push_plain(state, s, y, *, scaling, inverse, with_ab=True):
+def _push_plain_impl(state, s, y, *, scaling, inverse, with_ab=True):
     """Undamped push with curvature rejection ys ≤ eps
     (reference src/lbfgs.jl:269-287)."""
     ys = jnp.dot(y, s)
     eps = jnp.finfo(state.S.dtype).eps
-    new = _push_common(state, s, y, ys, scaling=scaling, inverse=inverse,
-                       with_ab=with_ab)
-    return _select_state(ys > eps, new, state)
+    return _push_common(state, s, y, ys, scaling=scaling, inverse=inverse,
+                        with_ab=with_ab, accept=ys > eps)
+
+
+_push_plain = jax.jit(
+    _push_plain_impl, static_argnames=("scaling", "inverse", "with_ab")
+)
+# donated variant (opt-in via LBFGSOperator(donate_push=True)): XLA updates
+# the ring buffers IN PLACE — the reference's push! semantics — so a push
+# costs only the Gram matvecs + O(n) row writes. Any alias of the previous
+# state pytree becomes invalid.
+_push_plain_donated = jax.jit(
+    _push_plain_impl,
+    static_argnames=("scaling", "inverse", "with_ab"),
+    donate_argnums=(0,),
+)
 
 
 def _powell_blend(s, y, ys, Bs, sigma2, sigma3):
@@ -409,13 +437,13 @@ class LBFGSOperator(LinearOperator):
     """
 
     _fields_children = ("state",)
-    _fields_aux = ("_n", "_mem", "_scaling", "_damped", "_inverse", "_dtype_name", "_sigma2", "_sigma3", "_lazy_ab")
+    _fields_aux = ("_n", "_mem", "_scaling", "_damped", "_inverse", "_dtype_name", "_sigma2", "_sigma3", "_lazy_ab", "_donate_push")
 
     _is_inverse_ctor = False
 
     def __init__(self, *args, mem: int = 5, scaling: bool = True, damped: bool = False,
                  sigma2: float = 0.99, sigma3: float = 10.0, dtype=None,
-                 lazy_ab: bool = True):
+                 lazy_ab: bool = True, donate_push: bool = False):
         super().__init__()
         # reference-style (T, n) or (n,) positional forms (src/lbfgs.jl:112,168)
         if len(args) == 2:
@@ -442,6 +470,10 @@ class LBFGSOperator(LinearOperator):
         # lazy a-vector maintenance (forward form only): pushes skip the
         # O(mem²·n) recompute; diag/EJM/a-b oracles trigger it on demand
         self._lazy_ab = bool(lazy_ab) and not self._inverse
+        # donate_push=True: XLA updates the ring buffers in place (the
+        # reference's push! semantics) — any alias of a previous state
+        # pytree (e.g. a kept `op.state`) becomes invalid after a push.
+        self._donate_push = bool(donate_push)
         self.state = _init_state(self._n, self._mem, jnp.dtype(dt), self._inverse)
         object.__setattr__(self, "_ab_fresh", True)  # empty memory is trivially fresh
 
@@ -534,7 +566,8 @@ class LBFGSOperator(LinearOperator):
                     scaling=self._scaling, with_ab=with_ab,
                 )
             else:
-                self.state = _push_plain(
+                push_fn = _push_plain_donated if self._donate_push else _push_plain
+                self.state = push_fn(
                     self.state, s, y, scaling=self._scaling, inverse=self._inverse,
                     with_ab=with_ab,
                 )

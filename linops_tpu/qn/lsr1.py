@@ -153,14 +153,20 @@ def _push(state: LSR1State, s, y, *, scaling: bool, with_a: bool = True) -> LSR1
         accept = well_defined
 
     ins = state.insert
+    # rejection gate fused into the ROW writes (a rejected push rewrites
+    # the slot's existing values) instead of a post-hoc whole-state select,
+    # which would cost an extra full pass over every (mem, n) leaf.
+    s = jnp.where(accept, s, state.S[ins])
+    y = jnp.where(accept, y, state.Y[ins])
+    ysv_val = jnp.where(accept, ys, state.ys[ins])
     S = state.S.at[ins].set(s)
     Y = state.Y.at[ins].set(y)
-    ysv = state.ys.at[ins].set(ys)
-    gamma = gamma_new if scaling else state.gamma
-    insert_new = jnp.mod(ins + 1, mem).astype(jnp.int32)
+    ysv = state.ys.at[ins].set(ysv_val)
+    gamma = jnp.where(accept, gamma_new, state.gamma) if scaling else state.gamma
+    insert_new = jnp.where(accept, jnp.mod(ins + 1, mem), ins).astype(jnp.int32)
 
     # Gram maintenance for the compact form: one row+column each of SᵀY
-    # and SᵀS — three (mem, n) matvecs.
+    # and SᵀS — three (mem, n) matvecs (idempotent rewrites when rejected).
     SY = state.SY.at[ins, :].set(Y @ s).at[:, ins].set(S @ y)
     ss_vec = S @ s
     SS = state.SS.at[ins, :].set(ss_vec).at[:, ins].set(ss_vec)
@@ -169,7 +175,7 @@ def _push(state: LSR1State, s, y, *, scaling: bool, with_a: bool = True) -> LSR1
                     gamma=gamma, insert=insert_new, opnorm_ub=state.opnorm_ub)
     if with_a:
         new = _recompute_all_a(new)
-    return jax.tree.map(lambda a, b: jnp.where(accept, a, b), new, state)
+    return new
 
 
 def _recompute_all_a(state: LSR1State) -> LSR1State:

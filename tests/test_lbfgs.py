@@ -482,3 +482,22 @@ def test_lazy_ab_closure_jit_does_not_corrupt(rng):
     assert np.isfinite(d).all()
     x2 = np.asarray(solve_shifted_system(B, b, 0.1, method="ejm"))
     np.testing.assert_allclose(x1, x2, rtol=1e-9)
+
+
+def test_donate_push(rng):
+    """donate_push=True produces the same states (in-place ring-buffer
+    updates, the reference's push! semantics); a previously-captured state
+    alias is invalid afterwards."""
+    n, mem = 16, 4
+    B = LBFGSOperator(n, mem=mem)
+    Bd = LBFGSOperator(n, mem=mem, donate_push=True)
+    for _ in range(mem + 2):
+        s = rng.standard_normal(n)
+        y = s + 0.2 * rng.standard_normal(n)
+        B.push(s, y)
+        Bd.push(s, y)
+    v = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(B * v), np.asarray(Bd * v), rtol=1e-12)
+    # rejected pushes still behave (gated rewrite path)
+    Bd.push(np.ones(n), -np.ones(n))
+    assert Bd.insert == B.insert

@@ -190,3 +190,27 @@ def test_sharded_replication_warns(mesh, rng):
         H_sh = shard_operator(H, mesh)
     v = rng.standard_normal(n)
     assert_close(H_sh * v, np.asarray(H.to_dense()) @ v)
+
+
+def test_sharded_ell(mesh, rng):
+    """ELL rows partition across the mesh (or warn + replicate when not
+    divisible) — code-review round 2 finding #3."""
+    P_dev = mesh.devices.size
+    n = 8 * P_dev
+    A = np.zeros((n, n))
+    idx = rng.permutation(n * n)[: 4 * n]
+    A.flat[idx] = rng.standard_normal(4 * n)
+    op = lo.opSparse(A, format="ell")
+    op_sh = shard_operator(op, mesh)
+    assert op_sh.data.vals.sharding.spec[0] == mesh.axis_names[0]
+    v = rng.standard_normal(n)
+    assert_close(op_sh * v, A @ v)
+
+    # non-divisible rows: warn + replicate, still correct
+    B = np.zeros((n + 1, n + 1))
+    B[: n // 2, : n // 2] = rng.standard_normal((n // 2, n // 2))
+    opB = lo.opSparse(B, format="ell")
+    with pytest.warns(UserWarning, match="replicated"):
+        opB_sh = shard_operator(opB, mesh)
+    w = rng.standard_normal(n + 1)
+    assert_close(opB_sh * w, B @ w)

@@ -298,3 +298,20 @@ def test_ell_complex(rng):
     assert_close(op.H * u, A.conj().T @ u)
     M = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
     assert_close(op.matmat(jnp.asarray(M), mode="C"), np.conj(A) @ M)
+
+
+def test_bsr_bf16_storage(rng):
+    """bf16 block storage: applies promote per element (no upcast copy of
+    the block array) and stay accurate to bf16 resolution."""
+    n = 256
+    A = sprand(rng, n, n, 0.2).astype(np.float32)
+    from linops_tpu.sparse.formats import bsr_from_dense, BSR as BSRfmt
+
+    b = bsr_from_dense(A, (8, 32))
+    op = lo.BSROperator(
+        BSRfmt(blocks=b.blocks.astype(jnp.bfloat16), block_cols=b.block_cols,
+               shape=b.shape)
+    )
+    v = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(op * v, dtype=np.float32)
+    np.testing.assert_allclose(got, A @ v, rtol=5e-2, atol=5e-2)
