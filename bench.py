@@ -138,8 +138,10 @@ def main():
             t8x = _marginal_apply_time(opB8x, vs, reps=2)
             detail["spmv_8x128_xla_gbs"] = round(blocks8.size * bpe / t8x / 1e9, 2)
         if _budget_left():
-            # bf16 block storage: half the streamed bytes -> ~2x nnz/s at
-            # the same bandwidth (the kernel keeps storage dtype; f32 x)
+            # bf16 block storage at bm=8: measured at ~f32 speed — each
+            # (8, 128) bf16 slab fills only half its native (16, 128)
+            # Mosaic tile, so the DMA sees no byte savings (use bm>=16
+            # blocks for the 2x; kernels/bsr_spmv.py docstring)
             data8h = BSR(
                 blocks=blocks8.astype(jnp.bfloat16),
                 block_cols=cols8,

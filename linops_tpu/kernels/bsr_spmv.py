@@ -24,6 +24,10 @@ relayout reshapes crashed the Mosaic compiler):
   VPU (native f32 — no MXU truncation); the per-row k-sum is a SECOND
   exact 0/1 selector dot (``group[r, (r',k)] = (r' == r)``), again
   avoiding any reshape.
+- bf16 block storage halves the stored bytes, but with bm < 16 each
+  (bm, 128) slab occupies only half of the native bf16 (16, 128) Mosaic
+  tile, so the DMA sees no byte savings (measured: 8×128 bf16 runs at
+  f32 speed). Use bm ≥ 16 blocks to realize the 2× from bf16.
 - For larger x (one-hot width is O(nbcol) per tile) a "loop" variant
   gathers x rows by scalar index instead; beyond the VMEM bound callers
   fall back to the XLA path.
