@@ -40,9 +40,7 @@ def _budget_left() -> bool:
     return time.time() - _t_start < TIME_BUDGET_S
 
 
-def _sync(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.ravel()[0])
+from linops_tpu.utils.timing import marginal_chain_time, sync as _sync
 
 
 def _marginal_apply_time(op, v, reps: int = 3, mode: str = "N"):
@@ -52,18 +50,9 @@ def _marginal_apply_time(op, v, reps: int = 3, mode: str = "N"):
     def f(o, x, iters):
         return lo.matvec_chain(o, x, iters, mode=mode)
 
-    _sync(f(op, v, I_SHORT))  # compile short
-    _sync(f(op, v, I_LONG))  # compile long
-    deltas = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _sync(f(op, v, I_SHORT))
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync(f(op, v, I_LONG))
-        t_long = time.perf_counter() - t0
-        deltas.append(t_long - t_short)
-    return max(float(np.median(deltas)), 1e-9) / (I_LONG - I_SHORT)
+    return marginal_chain_time(
+        f, op, v, iters_short=I_SHORT, iters_long=I_LONG, reps=reps
+    )
 
 
 def main():
@@ -151,6 +140,19 @@ def main():
             t8h = _marginal_apply_time(opB8h, vs, reps=2)
             detail["spmv_8x128_bf16_gbs"] = round(blocks8.size * 2 / t8h / 1e9, 2)
             detail["spmv_8x128_bf16_gnnz_per_s"] = round(blocks8.size / t8h / 1e9, 2)
+        if _budget_left():
+            # 16x128 bf16: fills the native (16, 128) bf16 tile exactly, so
+            # the halved bytes DO stream — the 2x-capacity configuration
+            blocks16 = jnp.asarray(
+                rng.standard_normal((ns // 16, 8, 16, 128)).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            cols16 = jnp.asarray(
+                rng.integers(0, ns // 128, size=(ns // 16, 8)).astype(np.int32)
+            )
+            op16h = lo.BSROperator(BSR(blocks=blocks16, block_cols=cols16, shape=(ns, ns)))
+            t16h = _marginal_apply_time(op16h, vs, reps=2)
+            detail["spmv_16x128_bf16_gbs"] = round(blocks16.size * 2 / t16h / 1e9, 2)
+            detail["spmv_16x128_bf16_gnnz_per_s"] = round(blocks16.size / t16h / 1e9, 2)
 
     def sec_csr():
         # CSR ingestion path (BASELINE config 2 'partitioned CSR SpMV-chain'):

@@ -24,33 +24,11 @@ under-credit the timing. Prints one JSON line. Usage (virtual mesh):
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
 
-def _sync(out):
-    """Force completion via a host fetch — block_until_ready can be a no-op
-    on remote relays (same contract as bench.py)."""
-    import jax
-
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-
-
-def _chain_time(run, *args, iters_short=5, iters_long=55, reps=3):
-    """Marginal seconds/iteration of a compiled chain."""
-    _sync(run(*args, iters_short))
-    _sync(run(*args, iters_long))
-    deltas = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _sync(run(*args, iters_short))
-        a = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync(run(*args, iters_long))
-        b = time.perf_counter() - t0
-        deltas.append(b - a)
-    return max(float(np.median(deltas)), 1e-9) / (iters_long - iters_short)
+from ..utils.timing import marginal_chain_time as _chain_time  # noqa: E402
 
 
 def _banded(n, band, rng, dtype):

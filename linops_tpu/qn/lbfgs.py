@@ -595,7 +595,10 @@ class LBFGSOperator(LinearOperator):
             )
         else:
             raise TypeError("push(s, y[, Bs] | [, alpha, g[, Bs]])")
-        # (the state assignment above already invalidated _ab_fresh)
+        # the state assignment invalidated _ab_fresh; an eager (or inverse)
+        # push maintains the a/b form in-line, so re-mark it fresh
+        if not self._lazy_ab:
+            object.__setattr__(self, "_ab_fresh", True)
         return self
 
     def __setattr__(self, name, value):
@@ -610,8 +613,13 @@ class LBFGSOperator(LinearOperator):
         """State with the a-vectors guaranteed fresh. Host calls cache the
         recompute on the operator; under an outer jit trace (where the
         recompute yields tracers) the result is returned WITHOUT caching —
-        storing tracers on the persistent host object would corrupt it."""
-        if self._inverse or not self._lazy_ab or getattr(self, "_ab_fresh", False):
+        storing tracers on the persistent host object would corrupt it.
+
+        The freshness flag is honored for EAGER operators too: an external
+        ``op.state = ...`` swap (e.g. a state produced by a lazy operator)
+        clears it, so consumers recompute instead of trusting foreign
+        a-vectors."""
+        if self._inverse or getattr(self, "_ab_fresh", False):
             return self.state
         new = _recompute_all_a_jit(self.state)
         if not any(

@@ -261,8 +261,9 @@ class LSR1Operator(LinearOperator):
 
     def _materialized_state(self) -> LSR1State:
         """State with the a-form guaranteed fresh; under an outer trace the
-        result is returned without caching (see LBFGSOperator)."""
-        if not self._lazy_a or getattr(self, "_a_fresh", False):
+        result is returned without caching (see LBFGSOperator). Honored for
+        eager operators too (an external state swap clears the flag)."""
+        if getattr(self, "_a_fresh", False):
             return self.state
         new = _recompute_all_a_jit(self.state)
         if not any(
@@ -333,8 +334,13 @@ class LSR1Operator(LinearOperator):
         Silently rejects updates failing the well-definedness / curvature /
         scaling conditions."""
         dt = self.dtype
-        self.state = _push(self.state, jnp.asarray(s, dt), jnp.asarray(y, dt),
+        # the EAGER push's acceptance test reads the a-form (lsr1_apply),
+        # so materialize first if the current state came from elsewhere
+        base = self.state if self._lazy_a else self._materialized_state()
+        self.state = _push(base, jnp.asarray(s, dt), jnp.asarray(y, dt),
                            scaling=self._scaling, with_a=not self._lazy_a)
+        if not self._lazy_a:
+            object.__setattr__(self, "_a_fresh", True)
         return self
 
     def diag(self):

@@ -304,10 +304,11 @@ class BSROperator(_SparseBase):
         if gathered_elems > BSR_PALLAS_MAX_X_ELEMS:
             return False
         if nbcol > BSR_PALLAS_ONEHOT_MAX_NBCOL and (
-            transpose or self._backend == "auto"
+            transpose or self._backend in ("auto", "pallas_fast")
         ):
-            # beyond the one-hot window the XLA gather path wins; the
-            # scalar-loop variant exists only for forced-"pallas" callers
+            # beyond the one-hot window the XLA gather path wins (and the
+            # fast variant HAS no loop fallback); the scalar-loop variant
+            # exists only for forced-"pallas" callers
             return False
         if self._backend == "auto":
             if jax.default_backend() != "tpu":
@@ -432,15 +433,18 @@ def opSparse(
     symmetric: bool = False,
     hermitian: bool = False,
     tol: float = 0.0,
-    backend: str = "xla",
+    backend: str = "auto",
 ) -> _SparseBase:
     """Build a sparse operator from a dense array, a scipy sparse matrix, or
-    a prebuilt COO/CSR/BSR pytree. ``format`` in {'coo', 'csr', 'bsr',
-    'auto'}; ``block_shape="auto"`` picks the BSR tile minimizing stored
-    bytes; ``format="auto"`` additionally routes to CSR when the best BSR
-    packing would stream MORE bytes per apply than the 12 B/nnz
+    a prebuilt COO/CSR/BSR/ELL pytree. ``format`` in {'coo', 'csr', 'bsr',
+    'ell', 'auto'}; ``block_shape="auto"`` picks the BSR tile minimizing
+    stored bytes; ``format="auto"`` additionally routes to CSR when the
+    best BSR packing would stream MORE bytes per apply than the 12 B/nnz
     (vals+cols+rows) CSR layout — i.e. block-structured patterns pack to
     BSR (the TPU-native path), scattered ones stay gather/segment-sum CSR.
+    ``backend`` (BSR only) selects the apply kernels — "auto" (default)
+    engages the Pallas VMEM-gather kernels on TPU for fine blocks; see
+    ``BSROperator``.
     """
     if isinstance(A, COO):
         return COOOperator(A, symmetric, hermitian)

@@ -70,11 +70,22 @@ def save_operator(path: str, op: LinearOperator) -> None:
     to ``path`` (.npz). All dtypes round-trip, including bfloat16.
 
     Operators may define ``_before_save()`` to materialize deferred state
-    first (e.g. lazy L-BFGS a-vectors) so the checkpoint is
-    self-contained."""
-    hook = getattr(op, "_before_save", None)
-    if hook is not None:
-        hook()
+    first (e.g. lazy quasi-Newton a-vectors); the hook is invoked on EVERY
+    operator in the graph (a QN operator nested in a composition is
+    materialized too) so the checkpoint is self-contained."""
+
+    def run_hooks(x):
+        if isinstance(x, LinearOperator):
+            hook = getattr(x, "_before_save", None)
+            if hook is not None:
+                hook()
+            for f in type(x)._fields_children:
+                run_hooks(getattr(x, f))
+        elif isinstance(x, (tuple, list)):
+            for v in x:
+                run_hooks(v)
+
+    run_hooks(op)
     leaves, treedef = jax.tree_util.tree_flatten(op)
     arrays = {}
     dtype_names = []

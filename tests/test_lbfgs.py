@@ -501,3 +501,31 @@ def test_donate_push(rng):
     # rejected pushes still behave (gated rewrite path)
     Bd.push(np.ones(n), -np.ones(n))
     assert Bd.insert == B.insert
+
+
+def test_eager_op_rejects_foreign_stale_state(rng):
+    """An EAGER operator receiving a state produced by a lazy operator must
+    not trust its stale a-vectors (code-review round 2b finding #1)."""
+    n, mem = 12, 3
+    lazy = LBFGSOperator(n, mem=mem)
+    for _ in range(mem + 1):
+        s = rng.standard_normal(n)
+        lazy.push(s, s + 0.2 * rng.standard_normal(n))
+    eager = LBFGSOperator(n, mem=mem, lazy_ab=False)
+    eager.state = lazy.state  # foreign (deferred) state
+    ref = LBFGSOperator(n, mem=mem, lazy_ab=False)
+    ref.state = lazy.state
+    lazy.ensure_ab()
+    np.testing.assert_allclose(
+        np.asarray(eager.diag()), np.asarray(lazy.diag()), rtol=1e-10
+    )
+    # nested-graph checkpoint materializes the inner operator's a-vectors
+    import tempfile, os
+    lazy2 = LBFGSOperator(n, mem=mem)
+    for _ in range(mem):
+        s = rng.standard_normal(n)
+        lazy2.push(s, s + 0.2 * rng.standard_normal(n))
+    graph = 2.0 * lazy2
+    p = os.path.join(tempfile.mkdtemp(), "g.npz")
+    lo.save_operator(p, graph)
+    assert getattr(lazy2, "_ab_fresh", False)  # hook recursed into the graph

@@ -141,7 +141,12 @@ def test_lsr1_compact_equals_a_form(rng):
     """The compact (BNS thm 5.1) SR1 apply equals the reference a-form
     recursion across partial/full/wrapped rings and scaling on/off, and the
     lazy push produces the same state as the eager one."""
-    from linops_tpu.qn.lsr1 import lsr1_apply, lsr1_apply_compact
+    from linops_tpu.qn.lsr1 import (
+        lsr1_apply,
+        lsr1_apply_compact,
+        lsr1_apply_matrix,
+        lsr1_apply_matrix_compact,
+    )
 
     n, mem = 24, 5
     for scaling in (False, True):
@@ -162,6 +167,13 @@ def test_lsr1_compact_equals_a_form(rng):
             )
             np.testing.assert_allclose(
                 np.asarray(lazy * v), np.asarray(eager * v), rtol=1e-9, atol=1e-9
+            )
+            # matrix applies agree too (a-form oracle vs compact)
+            X = jnp.asarray(rng.standard_normal((n, 3)))
+            np.testing.assert_allclose(
+                np.asarray(lsr1_apply_matrix_compact(eager.state, X)),
+                np.asarray(lsr1_apply_matrix(eager.state, X)),
+                rtol=1e-9, atol=1e-9,
             )
             # deferred a-form materializes to the eager values
             np.testing.assert_allclose(
