@@ -18,8 +18,11 @@ relayout reshapes crashed the Mosaic compiler):
 - The x gather is VECTORIZED as a one-hot contraction: build
   ``sel[(r,k), c] = (block_cols[r,k] == c)`` with broadcasted_iota and
   contract it with the VMEM-resident x on the MXU — zero scalar loads,
-  zero dynamic slices. Precision HIGHEST keeps the f32 x side exact
-  (bf16x3); the 0/1 selector side is exact in any bf16 split.
+  zero dynamic slices. The 0/1 selector is exact in one bf16 pass, so a
+  manual hi/mid/lo split of x gives f32-exactness in 3 DEFAULT passes
+  (half the MXU cost of uniform HIGHEST): measured 707 GB/s f32-exact at
+  the bench shape, rel err 1.2e-7 vs an f64 oracle (the XLA f32 path
+  itself sits at 2.2e-7).
 - The block contraction is elementwise multiply + lane reduction on the
   VPU (native f32 — no MXU truncation); the per-row k-sum is a SECOND
   exact 0/1 selector dot (``group[r, (r',k)] = (r' == r)``), again
@@ -83,12 +86,14 @@ def bsr_pallas_rows_per_program(bm: int, kmax: int = 8, bn: int = 128,
 def _onehot_gather(cols_ref, x_ref, out_dtype, fast: bool):
     """xg[(r,k), :] = x[block_cols[r,k], :] as a one-hot MXU contraction.
 
-    ``fast=False``: uniform HIGHEST (bf16x3) — f32-exact, 3 MXU passes.
-    ``fast=True``: split x = bf16(x) + (x - bf16(x)) and run TWO DEFAULT
-    passes — each one-hot product is a plain copy of a bf16 value, so the
-    result reconstructs ~16 mantissa bits (~1e-5 relative) at 2/3 the MXU
-    cost; at the bench shape this is 735 vs 688 GB/s (98% of the measured
-    chip ceiling) because the kernel becomes purely DMA-bound.
+    The 0/1 selector is exact in a SINGLE bf16 pass, so only the x operand
+    needs splitting — a manual bf16 hi/mid/lo decomposition (24 mantissa
+    bits = 3×8) reconstructs x f32-exactly in THREE DEFAULT passes, half
+    the MXU cost of uniform HIGHEST (which splits both operands).
+
+    ``fast=True`` drops the lo term (TWO passes, ~16 mantissa bits ≈ 1e-5
+    relative) — at the bench shape both variants are DMA-bound, the fast
+    one with a little more headroom.
     """
     RK = cols_ref.shape[0]
     nbcol = x_ref.shape[0]
@@ -96,17 +101,6 @@ def _onehot_gather(cols_ref, x_ref, out_dtype, fast: bool):
     # as (RK, 1) and broadcasts against a 2-D iota)
     ids = jax.lax.broadcasted_iota(jnp.int32, (RK, nbcol), 1)
     sel = (ids == cols_ref[...]).astype(x_ref.dtype)
-    if not fast:
-        return jax.lax.dot_general(
-            sel,
-            x_ref[...],
-            (((1,), (0,)), ((), ())),
-            precision=_GATHER_PRECISION,
-            preferred_element_type=out_dtype,
-        )
-    x = x_ref[...]
-    x_hi = x.astype(jnp.bfloat16).astype(x.dtype)
-    x_lo = x - x_hi
 
     def dot(m):
         return jax.lax.dot_general(
@@ -117,7 +111,15 @@ def _onehot_gather(cols_ref, x_ref, out_dtype, fast: bool):
             preferred_element_type=out_dtype,
         )
 
-    return dot(x_hi) + dot(x_lo)
+    x = x_ref[...]
+    x_hi = x.astype(jnp.bfloat16).astype(x.dtype)
+    r1 = x - x_hi
+    x_mid = r1.astype(jnp.bfloat16).astype(x.dtype)
+    out = dot(x_hi) + dot(x_mid)
+    if fast:
+        return out
+    x_lo = r1 - x_mid
+    return out + dot(x_lo)
 
 
 def _fwd_kernel_onehot(kmax: int, fast: bool, cols_ref, x_ref, blocks_ref, y_ref):
@@ -225,7 +227,10 @@ def _t_kernel_onehot(kmax: int, cols_ref, u_ref, blocks_ref, out_ref):
     contrib = jnp.sum(blocks_ref[...] * u_rk[:, :, None], axis=1)  # (RK, bn)
     ids = jax.lax.broadcasted_iota(jnp.int32, (RK, nbcol), 1)
     sel = (ids == cols_ref[...]).astype(out_ref.dtype)
-    # scatter-add through the transposed selector: (nbcol, RK) @ (RK, bn)
+
+    # scatter-add through the transposed selector: (nbcol, RK) @ (RK, bn).
+    # (The forward gather's 3-pass manual split crashes Mosaic on THIS
+    # transposed-contraction form — measured; keep uniform HIGHEST here.)
     upd = jax.lax.dot_general(
         sel,
         contrib,
