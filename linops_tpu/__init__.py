@@ -99,7 +99,8 @@ from .sparse import (
 )
 
 from .utils.norm import normest, estimate_opnorm
-from .utils.krylov import matvec_chain, cg, gmres, power_iteration
+from .utils.krylov import (matvec_chain, cg, gmres, minres, bicgstab, lsqr,
+                           power_iteration)
 from .utils.checkpoint import save_operator, load_operator_state, op_state
 from .utils.checks import check_ctranspose, check_hermitian, check_positive_definite
 
@@ -200,6 +201,9 @@ __all__ = [
     "matvec_chain",
     "cg",
     "gmres",
+    "minres",
+    "bicgstab",
+    "lsqr",
     "power_iteration",
     "save_operator",
     "load_operator_state",

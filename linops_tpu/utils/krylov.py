@@ -21,7 +21,8 @@ from jax import lax
 
 from ..core.base import LinearOperator
 
-__all__ = ["matvec_chain", "cg", "gmres", "power_iteration"]
+__all__ = ["matvec_chain", "cg", "gmres", "minres", "bicgstab", "lsqr",
+           "power_iteration"]
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "mode", "normalize"))
@@ -133,6 +134,194 @@ def gmres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
     res0 = jnp.linalg.norm(b - op.apply(x, "N"))
     x, k, res = lax.while_loop(cond, body, (x, jnp.zeros((), jnp.int32), res0))
     return x, k, res
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def minres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
+           maxiter: int = 100, M: LinearOperator = None):
+    """MINRES (Paige–Saunders) for symmetric/Hermitian — possibly
+    *indefinite* — operators, the solver JSO trust-region clients pair with
+    opHermitian/L-SR1 models (reference models are merely symmetric, not SPD:
+    /root/reference/src/lsr1.jl). Optional SPD preconditioner ``M ≈ A⁻¹``.
+    One compiled ``while_loop``; returns (x, iterations, preconditioned
+    residual norm estimate ``phibar``)."""
+    dt = jnp.result_type(b.dtype, op.dtype)
+    b = b.astype(dt)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dt)
+    rdt = jnp.zeros((), dt).real.dtype
+    eps = jnp.finfo(rdt).eps
+
+    def prec(v):
+        return M.apply(v, "N") if M is not None else v
+
+    r1 = b - op.apply(x, "N")
+    y = prec(r1)
+    beta1 = jnp.sqrt(jnp.maximum(jnp.vdot(r1, y).real, 0.0))
+    tol_abs = tol * jnp.where(beta1 == 0, 1.0, beta1)
+
+    # carry: x, y, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn, k
+    zero = jnp.zeros((), rdt)
+    init = (x, y, r1, r1, jnp.zeros_like(b), jnp.zeros_like(b),
+            zero, beta1, zero, zero, beta1, -jnp.ones((), rdt), zero,
+            jnp.zeros((), jnp.int32))
+
+    def cond(state):
+        phibar, k = state[10], state[13]
+        return (phibar > tol_abs) & (k < maxiter)
+
+    def body(state):
+        (x, y, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar,
+         cs, sn, k) = state
+        safe_beta = jnp.where(beta == 0, 1.0, beta)
+        v = y / safe_beta.astype(dt)
+        y = op.apply(v, "N")
+        y = jnp.where(k >= 1, y - (beta / jnp.where(oldb == 0, 1.0, oldb)
+                                   ).astype(dt) * r1, y)
+        alfa = jnp.vdot(v, y).real  # real for Hermitian op
+        y = y - (alfa / safe_beta).astype(dt) * r2
+        r1, r2 = r2, y
+        y = prec(r2)
+        oldb = beta
+        beta = jnp.sqrt(jnp.maximum(jnp.vdot(r2, y).real, 0.0))
+
+        # previous Givens rotation applied to the new Lanczos column
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln = sn * beta
+        dbar = -cs * beta
+        # next rotation
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta * beta), eps)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * phibar
+        phibar = sn * phibar
+
+        w1 = w2
+        w2 = w
+        w = (v - oldeps.astype(dt) * w1 - delta.astype(dt) * w2) \
+            / gamma.astype(dt)
+        x = x + phi.astype(dt) * w
+        return (x, y, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar,
+                cs, sn, k + 1)
+
+    out = lax.while_loop(cond, body, init)
+    return out[0], out[13], out[10]
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def bicgstab(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
+             maxiter: int = 100, M: LinearOperator = None):
+    """BiCGSTAB (van der Vorst) for general nonsymmetric square operators,
+    with an optional right preconditioner ``M ≈ A⁻¹``. One compiled
+    ``while_loop``; two operator applies (+ two M applies) per iteration.
+    Returns (x, iterations, final residual norm)."""
+    dt = jnp.result_type(b.dtype, op.dtype)
+    b = b.astype(dt)
+    x = jnp.zeros_like(b) if x0 is None else x0.astype(dt)
+
+    def prec(v):
+        return M.apply(v, "N") if M is not None else v
+
+    r = b - op.apply(x, "N")
+    rhat = r  # shadow residual, fixed
+    one = jnp.ones((), dt)
+    bnorm = jnp.linalg.norm(b)
+    tol_abs = tol * jnp.where(bnorm == 0, 1.0, bnorm)
+
+    # carry: x, r, p, v, rho, alpha, omega, k
+    init = (x, r, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+            jnp.zeros((), jnp.int32))
+
+    def cond(state):
+        r, k = state[1], state[7]
+        return (jnp.linalg.norm(r) > tol_abs) & (k < maxiter)
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, k = state
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = prec(p)
+        v = op.apply(phat, "N")
+        alpha = rho_new / jnp.vdot(rhat, v)
+        s = r - alpha * v
+        shat = prec(s)
+        t = op.apply(shat, "N")
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / jnp.where(tt == 0, 1.0, tt)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return x, r, p, v, rho_new, alpha, omega, k + 1
+
+    x, r, *_, k = lax.while_loop(cond, body, init)
+    return x, k, jnp.linalg.norm(r)
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def lsqr(op: LinearOperator, b, *, damp: float = 0.0, tol: float = 1e-8,
+         maxiter: int = 100):
+    """LSQR (Paige–Saunders) — min ‖Ax − b‖² + damp²‖x‖² for general
+    (rectangular) operators via Golub–Kahan bidiagonalization. This is the
+    canonical least-squares client of the reference's rectangular operators
+    (opRestriction/opExtension products etc.); only ``N`` and adjoint
+    applies are needed. One compiled ``while_loop``; returns
+    (x, iterations, ‖Aᴴr‖ estimate)."""
+    dt = jnp.result_type(b.dtype, op.dtype)
+    b = b.astype(dt)
+    rdt = jnp.zeros((), dt).real.dtype
+    n = op.shape[1]
+    dampf = jnp.asarray(damp, rdt)
+
+    def nrm(v):
+        return jnp.linalg.norm(v).astype(rdt)
+
+    beta = nrm(b)
+    u = b / jnp.where(beta == 0, 1.0, beta).astype(dt)
+    v = op.apply(u, "H")
+    alpha = nrm(v)
+    v = v / jnp.where(alpha == 0, 1.0, alpha).astype(dt)
+    arnorm0 = alpha * beta  # ‖Aᴴ b‖ scale for the stopping test
+    tol_abs = tol * jnp.where(arnorm0 == 0, 1.0, arnorm0)
+
+    # carry: x, u, v, w, phibar, rhobar, alpha, arnorm, k
+    init = (jnp.zeros((n,), dt), u, v, v, beta, alpha, alpha, arnorm0,
+            jnp.zeros((), jnp.int32))
+
+    def cond(state):
+        arnorm, k = state[7], state[8]
+        return (arnorm > tol_abs) & (k < maxiter)
+
+    def body(state):
+        x, u, v, w, phibar, rhobar, alpha, _, k = state
+        # bidiagonalization step
+        u = op.apply(v, "N") - alpha.astype(dt) * u
+        beta = nrm(u)
+        u = u / jnp.where(beta == 0, 1.0, beta).astype(dt)
+        v = op.apply(u, "H") - beta.astype(dt) * v
+        alpha_new = nrm(v)
+        v = v / jnp.where(alpha_new == 0, 1.0, alpha_new).astype(dt)
+        # eliminate the damping term (rotation into the rhobar row)
+        rhobar1 = jnp.sqrt(rhobar * rhobar + dampf * dampf)
+        c1 = rhobar / rhobar1
+        phibar1 = c1 * phibar
+        # QR rotation on the lower-bidiagonal column
+        rho = jnp.sqrt(rhobar1 * rhobar1 + beta * beta)
+        c = rhobar1 / rho
+        s = beta / rho
+        theta = s * alpha_new
+        rhobar_new = -c * alpha_new
+        phi = c * phibar1
+        phibar_new = s * phibar1
+        x = x + (phi / rho).astype(dt) * w
+        w = v - (theta / rho).astype(dt) * w
+        # (rhobar, phibar) are defined only up to a joint sign flip (the
+        # damping rotation may negate both), so take |·| for the estimate
+        arnorm = jnp.abs(phibar_new * alpha_new * c)
+        return x, u, v, w, phibar_new, rhobar_new, alpha_new, arnorm, k + 1
+
+    out = lax.while_loop(cond, body, init)
+    return out[0], out[8], out[7]
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))

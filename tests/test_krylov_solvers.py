@@ -1,0 +1,196 @@
+"""MINRES / BiCGSTAB / LSQR driver tests (all on device, one jit each).
+
+The reference leaves iterative solvers to its JSO clients (Krylov.jl); on
+TPU the per-apply dispatch cost makes host loops non-viable, so these live
+in-package (SURVEY.md §6, utils/krylov.py module docstring). Oracles are
+dense numpy solves / lstsq.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import linops_tpu as lo
+
+
+def _relres(A, x, b):
+    return np.linalg.norm(A @ np.asarray(x) - np.asarray(b)) / np.linalg.norm(b)
+
+
+# ---------------------------------------------------------------- MINRES
+
+def test_minres_spd(rng):
+    n = 40
+    M = rng.standard_normal((n, n))
+    A = M @ M.T + n * np.eye(n)
+    op = lo.LinearOperator(jnp.asarray(A), symmetric=True, hermitian=True)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, k, phibar = lo.minres(op, b, tol=1e-12, maxiter=4 * n)
+    assert _relres(A, x, b) < 1e-8
+    assert int(k) <= n + 5
+
+
+def test_minres_indefinite(rng):
+    """The case CG cannot handle: symmetric with mixed-sign spectrum."""
+    n = 50
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.concatenate([rng.random(n // 2) + 1.0, -(rng.random(n - n // 2) + 1.0)])
+    A = (Q * lam) @ Q.T
+    op = lo.LinearOperator(jnp.asarray(A), symmetric=True, hermitian=True)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, k, _ = lo.minres(op, b, tol=1e-12, maxiter=6 * n)
+    assert _relres(A, x, b) < 1e-7
+
+
+def test_minres_preconditioned(rng):
+    n = 60
+    d = rng.random(n) * 100.0 + 1.0
+    A = np.diag(d) + rng.standard_normal((n, n)) * 0.01
+    A = (A + A.T) / 2
+    op = lo.LinearOperator(jnp.asarray(A), symmetric=True, hermitian=True)
+    Mi = lo.opDiagonal(1.0 / jnp.asarray(d))  # SPD Jacobi preconditioner
+    b = jnp.asarray(rng.standard_normal(n))
+    x0, k0, _ = lo.minres(op, b, tol=1e-10, maxiter=8 * n)
+    x1, k1, _ = lo.minres(op, b, tol=1e-10, maxiter=8 * n, M=Mi)
+    assert _relres(A, x0, b) < 1e-7
+    assert _relres(A, x1, b) < 1e-7
+    assert int(k1) <= int(k0)  # preconditioning must not be worse here
+
+
+def test_minres_hermitian_complex(rng):
+    n = 24
+    M = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = M @ M.conj().T + n * np.eye(n)
+    op = lo.LinearOperator(jnp.asarray(A), symmetric=False, hermitian=True)
+    b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    x, k, _ = lo.minres(op, b, tol=1e-12, maxiter=6 * n)
+    assert _relres(A, x, b) < 1e-8
+
+
+def test_minres_on_lsr1_model(rng):
+    """MINRES over a (possibly indefinite) L-SR1 model operator — the
+    trust-region pairing this solver exists for."""
+    n = 30
+    B = lo.LSR1Operator(n, mem=5, dtype=jnp.float64)
+    for _ in range(6):
+        s = jnp.asarray(rng.standard_normal(n))
+        y = jnp.asarray(rng.standard_normal(n))
+        B.push(s, y)
+    A = np.asarray(B.to_dense())
+    b = jnp.asarray(rng.standard_normal(n))
+    x, k, _ = lo.minres(B, b, tol=1e-11, maxiter=8 * n)
+    assert _relres(A, x, b) < 1e-6
+
+
+# -------------------------------------------------------------- BiCGSTAB
+
+def test_bicgstab_nonsymmetric(rng):
+    n = 40
+    A = rng.standard_normal((n, n)) + n * np.eye(n)
+    op = lo.LinearOperator(jnp.asarray(A))
+    b = jnp.asarray(rng.standard_normal(n))
+    x, k, res = lo.bicgstab(op, b, tol=1e-12, maxiter=4 * n)
+    assert _relres(A, x, b) < 1e-8
+
+
+def test_bicgstab_preconditioned(rng):
+    n = 60
+    d = rng.random(n) + 1.0
+    A = rng.standard_normal((n, n)) * 0.05 + np.diag(d)
+    op = lo.LinearOperator(jnp.asarray(A))
+    Mi = lo.opDiagonal(1.0 / jnp.asarray(d))
+    b = jnp.asarray(rng.standard_normal(n))
+    x, k, _ = lo.bicgstab(op, b, tol=1e-11, maxiter=4 * n, M=Mi)
+    assert _relres(A, x, b) < 1e-8
+
+
+def test_bicgstab_complex(rng):
+    n = 20
+    A = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+         + n * np.eye(n))
+    op = lo.LinearOperator(jnp.asarray(A))
+    b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    x, k, _ = lo.bicgstab(op, b, tol=1e-12, maxiter=4 * n)
+    assert _relres(A, x, b) < 1e-8
+
+
+def test_bicgstab_matches_gmres(rng):
+    n = 32
+    A = rng.standard_normal((n, n)) + n * np.eye(n)
+    op = lo.LinearOperator(jnp.asarray(A))
+    b = jnp.asarray(rng.standard_normal(n))
+    xb, *_ = lo.bicgstab(op, b, tol=1e-12, maxiter=4 * n)
+    xg, *_ = lo.gmres(op, b, tol=1e-12, restart=n, maxiter=4)
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(xg), atol=1e-6)
+
+
+# ------------------------------------------------------------------ LSQR
+
+def test_lsqr_overdetermined(rng):
+    m, n = 80, 30
+    A = rng.standard_normal((m, n))
+    op = lo.LinearOperator(jnp.asarray(A))
+    b = jnp.asarray(rng.standard_normal(m))
+    x, k, arnorm = lo.lsqr(op, b, tol=1e-12, maxiter=6 * n)
+    x_ref = np.linalg.lstsq(A, np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-7)
+
+
+def test_lsqr_underdetermined_consistent(rng):
+    """Underdetermined consistent system: LSQR converges to the min-norm
+    solution (the lstsq oracle's answer)."""
+    m, n = 20, 50
+    A = rng.standard_normal((m, n))
+    op = lo.LinearOperator(jnp.asarray(A))
+    b = jnp.asarray(A @ rng.standard_normal(n))
+    x, k, _ = lo.lsqr(op, b, tol=1e-13, maxiter=8 * m)
+    x_ref = np.linalg.lstsq(A, np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-7)
+
+
+def test_lsqr_damped(rng):
+    """damp > 0 solves the Tikhonov system (AᵀA + damp²I) x = Aᵀ b."""
+    m, n, damp = 60, 25, 0.7
+    A = rng.standard_normal((m, n))
+    op = lo.LinearOperator(jnp.asarray(A))
+    b = jnp.asarray(rng.standard_normal(m))
+    x, k, _ = lo.lsqr(op, b, damp=damp, tol=1e-13, maxiter=10 * n)
+    x_ref = np.linalg.solve(A.T @ A + damp**2 * np.eye(n), A.T @ np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-7)
+
+
+def test_lsqr_complex(rng):
+    m, n = 40, 15
+    A = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+    op = lo.LinearOperator(jnp.asarray(A))
+    b = jnp.asarray(rng.standard_normal(m) + 1j * rng.standard_normal(m))
+    x, k, _ = lo.lsqr(op, b, tol=1e-13, maxiter=8 * n)
+    x_ref = np.linalg.lstsq(A, np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-6)
+
+
+def test_lsqr_on_restriction_product(rng):
+    """Rectangular composite graph (R @ A): the class of operator the
+    reference builds with opRestriction products (src/special-operators.jl)."""
+    n, m = 48, 20
+    A = rng.standard_normal((n, n))
+    rows = np.sort(rng.choice(n, size=m, replace=False))
+    op = lo.opRestriction(jnp.asarray(rows), n) @ lo.LinearOperator(jnp.asarray(A))
+    b = jnp.asarray(rng.standard_normal(m))
+    x, k, _ = lo.lsqr(op, b, tol=1e-12, maxiter=10 * n)
+    x_ref = np.linalg.lstsq(A[rows, :], np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-6)
+
+
+def test_solvers_zero_rhs(rng):
+    """b = 0 must return x = 0 without NaNs (guarded normalizations)."""
+    n = 16
+    M = rng.standard_normal((n, n))
+    A = M @ M.T + n * np.eye(n)
+    op = lo.LinearOperator(jnp.asarray(A), symmetric=True, hermitian=True)
+    b = jnp.zeros((n,))
+    for solver in (lo.minres, lo.bicgstab, lo.lsqr):
+        x, k, _ = solver(op, b, maxiter=10)
+        assert np.all(np.isfinite(np.asarray(x)))
+        np.testing.assert_allclose(np.asarray(x), 0.0, atol=1e-12)
+        assert int(k) == 0
