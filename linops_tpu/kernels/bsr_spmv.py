@@ -34,9 +34,14 @@ relayout reshapes crashed the Mosaic compiler):
 - For larger x (one-hot width is O(nbcol) per tile) a "loop" variant
   gathers x rows by scalar index instead; beyond the VMEM bound callers
   fall back to the XLA path.
-- Transpose mode scatters per-block contributions back through the SAME
-  one-hot selector (``selᵀ @ contrib``), accumulating into a VMEM-resident
-  output across sequential grid steps.
+- Transpose mode scatters per-block contributions back through a
+  pre-oriented ``(nbcol, RK)`` one-hot selector (standard matmul dims —
+  contracting dim 0 of the forward-oriented selector crashes Mosaic at
+  nbcol ≳ 512), accumulating into a VMEM-resident output across
+  sequential grid steps. The pre-orientation makes the forward 3-pass
+  split legal here too, but the kernel is DMA-bound and HIGHEST measured
+  marginally faster at the bench shape (689 vs 678 GB/s), so HIGHEST is
+  kept for f32.
 """
 
 from __future__ import annotations
@@ -207,7 +212,7 @@ def bsr_matvec_pallas(blocks, block_cols, x_blocks, *, interpret=False, variant=
     return out
 
 
-def _t_kernel_onehot(kmax: int, cols_ref, u_ref, blocks_ref, out_ref):
+def _t_kernel_onehot(kmax: int, cols_t_ref, u_ref, blocks_ref, out_ref):
     RK, bm, bn = blocks_ref.shape
     R = RK // kmax
     nbcol = out_ref.shape[0]
@@ -225,17 +230,25 @@ def _t_kernel_onehot(kmax: int, cols_ref, u_ref, blocks_ref, out_ref):
     )  # (RK, bm)
     # contrib[(r,k), :] = sum_m blocks[(r,k),m,:]*u[r,m]  (VPU, exact f32)
     contrib = jnp.sum(blocks_ref[...] * u_rk[:, :, None], axis=1)  # (RK, bn)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (RK, nbcol), 1)
-    sel = (ids == cols_ref[...]).astype(out_ref.dtype)
 
-    # scatter-add through the transposed selector: (nbcol, RK) @ (RK, bn).
-    # (The forward gather's 3-pass manual split crashes Mosaic on THIS
-    # transposed-contraction form — measured; keep uniform HIGHEST here.)
+    # scatter-add as a STANDARD matmul: the selector is built directly in
+    # (nbcol, RK) orientation from the host-side (1, RK) cols layout.
+    # Contracting dim0 of a (RK, nbcol) selector instead ("transposed
+    # contraction") crashes Mosaic once nbcol ≳ 512 (measured: 64 ok, 512
+    # HTTP-500 at any grid size; tools/probe_transpose_split.py). The
+    # pre-oriented selector also admits the forward kernel's 3-pass bf16
+    # split, but the kernel is DMA-bound here so the MXU saving does not
+    # pay (A/B at the bench shape: split3 678 vs HIGHEST 689 GB/s) —
+    # single HIGHEST pass kept for f32, single DEFAULT pass for bf16
+    # (0/1 selector and bf16 contrib are both MXU-exact there).
+    ids = jax.lax.broadcasted_iota(jnp.int32, (nbcol, RK), 0)
+    selT = (ids == cols_t_ref[...]).astype(out_ref.dtype)  # (nbcol, RK)
     upd = jax.lax.dot_general(
-        sel,
+        selT,
         contrib,
-        (((0,), (0,)), ((), ())),
-        precision=_GATHER_PRECISION,
+        (((1,), (0,)), ((), ())),
+        precision=(_GATHER_PRECISION if contrib.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
         preferred_element_type=out_ref.dtype,
     )  # (nbcol, bn)
 
@@ -264,13 +277,15 @@ def bsr_rmatvec_pallas(blocks, block_cols, u_blocks, nbcol: int, *, interpret=Fa
     kernel = functools.partial(_t_kernel_onehot, kmax)
 
     blocks_flat = blocks.reshape(nbrow * kmax, bm, bn)
-    cols_flat = block_cols.reshape(nbrow * kmax, 1)
+    # (1, RK) layout so the kernel can build the selector pre-oriented as
+    # (nbcol, RK) without any in-kernel transpose (see _t_kernel_onehot)
+    cols_flat = block_cols.reshape(1, nbrow * kmax)
 
     return pl.pallas_call(
         kernel,
         grid=(nbrow // R,),
         in_specs=[
-            pl.BlockSpec((R * kmax, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R * kmax), lambda i: (0, i), memory_space=pltpu.VMEM),
             # u in the natural (nbrow, bm) layout, like the forward output
             pl.BlockSpec((R, bm), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -280,6 +295,10 @@ def bsr_rmatvec_pallas(blocks, block_cols, u_blocks, nbcol: int, *, interpret=Fa
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # full, accumulated
         out_shape=jax.ShapeDtypeStruct((nbcol, bn), dtype),
         interpret=interpret,
+        # headroom above the 16 MB scoped-VMEM default (the selector +
+        # accumulator sit near it at bench scale; the A/B-verified
+        # configuration compiled under this cap)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * blocks.size,
             bytes_accessed=blocks.size * blocks.dtype.itemsize

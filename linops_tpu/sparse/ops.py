@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.base import LinearOperator, register_operator
+from ..core.base import (LinearOperator, LinearOperatorException,
+                         register_operator)
 from .formats import (
     BSR,
     COO,
@@ -117,6 +118,17 @@ class _SparseBase(LinearOperator):
         self.data = data
         self._symmetric = bool(symmetric)
         self._hermitian = bool(hermitian)
+
+    def apply(self, v, mode: str = "N"):
+        # Sparse applies gather (clamping out-of-range indices) or pad to
+        # block multiples, so a wrong-length vector would be ACCEPTED
+        # silently — validate the true dims up front (dense operators fail
+        # loudly via dot shape checks; reference contract:
+        # /root/reference/src/operations.jl:9-12).
+        need = self.shape[1] if mode in ("N", "C") else self.shape[0]
+        if getattr(v, "ndim", 1) != 1 or v.shape[0] != need:
+            raise LinearOperatorException("shape mismatch")
+        return super().apply(v, mode)
 
     @property
     def nrow(self):

@@ -315,3 +315,21 @@ def test_bsr_bf16_storage(rng):
     v = rng.standard_normal(n).astype(np.float32)
     got = np.asarray(op * v, dtype=np.float32)
     np.testing.assert_allclose(got, A @ v, rtol=5e-2, atol=5e-2)
+
+
+def test_sparse_apply_rejects_wrong_length(rng):
+    """Sparse applies gather/pad, which would silently ACCEPT wrong-length
+    vectors (JAX clamps out-of-range gather indices) — the base-class
+    validation must raise instead, for every format and mode."""
+    import pytest as _pytest
+    n = 64
+    A = (rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.3))
+    A[np.arange(n), np.arange(n)] = 1.0
+    for fmt in ("coo", "csr", "ell", "bsr"):
+        op = lo.opSparse(A, format=fmt) if fmt != "bsr" else lo.opSparse(
+            A, format="bsr", block_shape=(8, 8))
+        for mode in ("N", "T", "C", "H"):
+            with _pytest.raises(lo.LinearOperatorException):
+                op.apply(jnp.zeros(n - 3), mode)
+            with _pytest.raises(lo.LinearOperatorException):
+                op.apply(jnp.zeros((n, 2)), mode)
