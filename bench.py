@@ -390,6 +390,31 @@ def main():
         # trap). Report the honest compute rate instead: 2·nnz·k MACs.
         detail["spmm_multirhs_tflops"] = round(2 * nnz * k / t / 1e12, 2)
 
+    def sec_solvers():
+        # on-device Krylov drivers on a 2048² 5-pt Laplacian (n=4.19M):
+        # marginal per-iteration cost (tol=0 forces full maxiter; two
+        # maxiter values, difference cancels compile/dispatch).
+        ng = 2048
+        Astencil = lo.laplacian_2d(ng, ng, dtype=dtype)
+        bsol = jnp.ones((ng * ng,), dtype)
+
+        def per_iter(fn, lo_it, hi_it, **kw):
+            ds = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _sync(fn(Astencil, bsol, tol=0.0, maxiter=lo_it, **kw)[0])
+                a = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _sync(fn(Astencil, bsol, tol=0.0, maxiter=hi_it, **kw)[0])
+                b = time.perf_counter() - t0
+                ds.append(max(b - a, 1e-9) / (hi_it - lo_it))
+            return sorted(ds)[1]
+
+        detail["cg_us_per_iter"] = round(per_iter(lo.cg, 10, 110) * 1e6, 1)
+        if _budget_left():
+            detail["minres_us_per_iter"] = round(
+                per_iter(lo.minres, 10, 110) * 1e6, 1)
+
     def sec_scaling():
         # multi-device scaling harness on the virtual 8-device CPU mesh
         # (parallel/scaling_bench.py): per-device work at 1 vs N devices
@@ -425,6 +450,7 @@ def main():
     section("lbfgs", sec_lbfgs)
     section("stress", sec_stress)
     section("multirhs", sec_multirhs)
+    section("solvers", sec_solvers)
     section("scaling", sec_scaling)
     section("csr_unstructured", sec_csr_unstructured)
 

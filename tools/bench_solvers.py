@@ -43,7 +43,7 @@ def per_iter(fn, op, b, lo_it, hi_it, reps=3, **kw):
 def main():
     ngrid = 2048
     n = ngrid * ngrid
-    A = lo.laplacian_2d(ngrid, dtype=jnp.float32)
+    A = lo.laplacian_2d(ngrid, ngrid, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
