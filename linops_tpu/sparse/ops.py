@@ -125,10 +125,14 @@ class _SparseBase(LinearOperator):
         # silently — validate the true dims up front (dense operators fail
         # loudly via dot shape checks; reference contract:
         # /root/reference/src/operations.jl:9-12).
-        need = self.shape[1] if mode in ("N", "C") else self.shape[0]
-        if getattr(v, "ndim", 1) != 1 or v.shape[0] != need:
+        if getattr(v, "ndim", 1) != 1 or v.shape[0] != self.in_dim(mode):
             raise LinearOperatorException("shape mismatch")
         return super().apply(v, mode)
+
+    def _check_mat(self, M, mode: str):
+        # Same clamping-gather hazard as apply, for the matrix path.
+        if getattr(M, "ndim", 2) != 2 or M.shape[0] != self.in_dim(mode):
+            raise LinearOperatorException("shape mismatch")
 
     @property
     def nrow(self):
@@ -173,6 +177,7 @@ class _IndexedSparse(_SparseBase):
         return coo_matvec(_conj(d.vals), d.cols, d.rows, d.shape[1], w)
 
     def apply_matrix(self, M, mode: str = "N"):
+        self._check_mat(M, mode)
         d = self.data
         if mode == "N":
             return coo_matmat(d.vals, d.rows, d.cols, d.shape[0], M,
@@ -227,6 +232,7 @@ class ELLOperator(_SparseBase):
         return self._tprod_vals(_conj(self.data.vals), w)
 
     def apply_matrix(self, M, mode: str = "N"):
+        self._check_mat(M, mode)
         d = self.data
         if mode == "N":
             return jnp.sum(d.vals[:, :, None] * M[d.cols], axis=1)
@@ -381,6 +387,7 @@ class BSROperator(_SparseBase):
         return self._tprod_impl(jnp.conj(self.data.blocks), w)
 
     def apply_matrix(self, M, mode: str = "N"):
+        self._check_mat(M, mode)
         if mode != "N":
             return super().apply_matrix(M, mode)
         d = self.data

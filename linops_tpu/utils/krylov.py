@@ -52,7 +52,9 @@ def cg(op: LinearOperator, b, x0=None, *, tol: float = 1e-8, maxiter: int = 100,
     b = b.astype(dt)
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dt)
     r = b - op.apply(x, "N")
-    z = M.apply(r, "N") if M is not None else r
+    # preconditioner output is cast to the solver dtype so the while_loop
+    # carry stays type-stable even for mixed-precision M
+    z = M.apply(r, "N").astype(dt) if M is not None else r
     p = z
     rz = jnp.vdot(r, z)
     bnorm = jnp.linalg.norm(b)
@@ -68,7 +70,7 @@ def cg(op: LinearOperator, b, x0=None, *, tol: float = 1e-8, maxiter: int = 100,
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = M.apply(r, "N") if M is not None else r
+        z = M.apply(r, "N").astype(dt) if M is not None else r
         rz_new = jnp.vdot(r, z)
         p = z + (rz_new / rz) * p
         return x, r, p, rz_new, k + 1, jnp.sqrt(jnp.vdot(r, r).real)
@@ -95,7 +97,7 @@ def gmres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
     tol_abs = tol * jnp.where(bnorm == 0, 1.0, bnorm)
 
     def prec(v):
-        return M.apply(v, "N") if M is not None else v
+        return M.apply(v, "N").astype(dt) if M is not None else v
 
     def arnoldi_cycle(x):
         r = prec(b - op.apply(x, "N"))
@@ -152,7 +154,7 @@ def minres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
     eps = jnp.finfo(rdt).eps
 
     def prec(v):
-        return M.apply(v, "N") if M is not None else v
+        return M.apply(v, "N").astype(dt) if M is not None else v
 
     r1 = b - op.apply(x, "N")
     y = prec(r1)
@@ -215,13 +217,19 @@ def bicgstab(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
     """BiCGSTAB (van der Vorst) for general nonsymmetric square operators,
     with an optional right preconditioner ``M ≈ A⁻¹``. One compiled
     ``while_loop``; two operator applies (+ two M applies) per iteration.
-    Returns (x, iterations, final residual norm)."""
+    Returns (x, iterations, final residual norm). On a Lanczos breakdown
+    (rho = r̂·r ≈ 0, r̂·v ≈ 0, or stabilizer omega ≈ 0 — e.g. skew-symmetric
+    A) the loop stops with the last iterate and its TRUE residual norm, so
+    non-convergence is visible as ``res > tol·‖b‖`` rather than silent
+    NaNs (scipy signals the same condition via ``info < 0``)."""
     dt = jnp.result_type(b.dtype, op.dtype)
     b = b.astype(dt)
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dt)
+    rdt = jnp.zeros((), dt).real.dtype
+    tiny = jnp.sqrt(jnp.finfo(rdt).tiny)  # catches exact/denormal zeros
 
     def prec(v):
-        return M.apply(v, "N") if M is not None else v
+        return M.apply(v, "N").astype(dt) if M is not None else v
 
     r = b - op.apply(x, "N")
     rhat = r  # shadow residual, fixed
@@ -229,32 +237,40 @@ def bicgstab(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
     bnorm = jnp.linalg.norm(b)
     tol_abs = tol * jnp.where(bnorm == 0, 1.0, bnorm)
 
-    # carry: x, r, p, v, rho, alpha, omega, k
+    # carry: x, r, p, v, rho, alpha, omega, brk, k
     init = (x, r, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
-            jnp.zeros((), jnp.int32))
+            jnp.zeros((), bool), jnp.zeros((), jnp.int32))
 
     def cond(state):
-        r, k = state[1], state[7]
-        return (jnp.linalg.norm(r) > tol_abs) & (k < maxiter)
+        r, brk, k = state[1], state[7], state[8]
+        return (jnp.linalg.norm(r) > tol_abs) & (k < maxiter) & ~brk
 
     def body(state):
-        x, r, p, v, rho, alpha, omega, k = state
+        x, r, p, v, rho, alpha, omega, _, k = state
         rho_new = jnp.vdot(rhat, r)
         beta = (rho_new / rho) * (alpha / omega)
-        p = r + beta * (p - omega * v)
-        phat = prec(p)
-        v = op.apply(phat, "N")
-        alpha = rho_new / jnp.vdot(rhat, v)
-        s = r - alpha * v
+        p_new = r + beta * (p - omega * v)
+        phat = prec(p_new)
+        v_new = op.apply(phat, "N")
+        rhv = jnp.vdot(rhat, v_new)
+        brk = (jnp.abs(rho_new) <= tiny) | (jnp.abs(rhv) <= tiny)
+        alpha_new = rho_new / jnp.where(brk, one, rhv)
+        s = r - alpha_new * v_new
         shat = prec(s)
         t = op.apply(shat, "N")
         tt = jnp.vdot(t, t)
-        omega = jnp.vdot(t, s) / jnp.where(tt == 0, 1.0, tt)
-        x = x + alpha * phat + omega * shat
-        r = s - omega * t
-        return x, r, p, v, rho_new, alpha, omega, k + 1
+        omega_new = jnp.vdot(t, s) / jnp.where(tt == 0, 1.0, tt)
+        brk = brk | (jnp.abs(omega_new) <= tiny)
+        x_new = x + alpha_new * phat + omega_new * shat
+        r_new = s - omega_new * t
+        # on breakdown freeze the iterate (cond exits next check)
+        keep = lambda new, old: jnp.where(brk, old, new)
+        return (keep(x_new, x), keep(r_new, r), keep(p_new, p),
+                keep(v_new, v), keep(rho_new, rho), keep(alpha_new, alpha),
+                keep(omega_new, omega), brk, k + 1)
 
-    x, r, *_, k = lax.while_loop(cond, body, init)
+    x, r, *_rest = lax.while_loop(cond, body, init)
+    k = _rest[-1]
     return x, k, jnp.linalg.norm(r)
 
 

@@ -194,3 +194,34 @@ def test_solvers_zero_rhs(rng):
         assert np.all(np.isfinite(np.asarray(x)))
         np.testing.assert_allclose(np.asarray(x), 0.0, atol=1e-12)
         assert int(k) == 0
+
+def test_bicgstab_breakdown_no_nan(rng):
+    """Skew-symmetric A makes r̂·v = 0 at step 1 (classic BiCG breakdown):
+    the driver must stop with the last finite iterate and its TRUE residual
+    — never NaN-poisoned x with a small-k 'converged' look."""
+    A = np.array([[0.0, 1.0], [-1.0, 0.0]])
+    b = jnp.asarray([1.0, 0.0])
+    x, k, res = lo.bicgstab(lo.LinearOperator(jnp.asarray(A)), b,
+                            tol=1e-10, maxiter=50)
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert np.isfinite(float(res))
+    # non-convergence is visible: res > tol*||b||
+    assert float(res) > 1e-10
+
+
+def test_solvers_mixed_precision_preconditioner(rng):
+    """An f64 preconditioner with an f32 operator must not break the
+    while_loop carry dtype (prec output is cast to the solver dtype)."""
+    n = 24
+    M = rng.standard_normal((n, n))
+    A = (M @ M.T + n * np.eye(n)).astype(np.float32)
+    op = lo.LinearOperator(jnp.asarray(A), symmetric=True, hermitian=True)
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    Mpre = lo.opDiagonal(jnp.asarray(1.0 / np.diag(A), dtype=jnp.float64))
+    for solver in (lo.cg, lo.minres, lo.bicgstab):
+        x, k, res = solver(op, b, tol=1e-5, maxiter=5 * n, M=Mpre)
+        assert x.dtype == jnp.float32
+        assert _relres(A, x, b) < 1e-4
+    x, k, res = lo.gmres(op, b, tol=1e-5, maxiter=3 * n, M=Mpre)
+    assert x.dtype == jnp.float32
+    assert _relres(A, x, b) < 1e-4

@@ -333,3 +333,19 @@ def test_sparse_apply_rejects_wrong_length(rng):
                 op.apply(jnp.zeros(n - 3), mode)
             with _pytest.raises(lo.LinearOperatorException):
                 op.apply(jnp.zeros((n, 2)), mode)
+
+def test_sparse_apply_matrix_rejects_wrong_shape(rng):
+    """apply_matrix has the same clamping-gather hazard as apply: a
+    wrong-height (or non-2D) matrix must raise, for every format/mode."""
+    import pytest as _pytest
+    n = 64
+    A = (rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.3))
+    A[np.arange(n), np.arange(n)] = 1.0
+    for fmt in ("coo", "csr", "ell", "bsr"):
+        op = lo.opSparse(A, format=fmt) if fmt != "bsr" else lo.opSparse(
+            A, format="bsr", block_shape=(8, 8))
+        for mode in ("N", "T", "C", "H"):
+            with _pytest.raises(lo.LinearOperatorException):
+                op.apply_matrix(jnp.zeros((n - 3, 2)), mode)
+            with _pytest.raises(lo.LinearOperatorException):
+                op.apply_matrix(jnp.zeros(n), mode)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HI = jax.lax.Precision.HIGHEEST if hasattr(jax.lax.Precision, "HIGHEEST") else jax.lax.Precision.HIGHEST
+HI = jax.lax.Precision.HIGHEST
 DEF = jax.lax.Precision.DEFAULT
 
 
