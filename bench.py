@@ -84,12 +84,25 @@ def main():
     vs = jnp.ones((ns,), dtype)
     t0 = time.time()
     t_spmv = _marginal_apply_time(opB, vs, reps=3)
+    # plausibility guard: a reading above the measured streaming ceiling
+    # means the marginal deltas came out low (observed once on the relay);
+    # re-measure and keep the slower (physically admissible) timing.
+    if blocks.size * bpe / t_spmv / 1e9 > 747.0 * 1.02:
+        t_spmv = max(t_spmv, _marginal_apply_time(opB, vs, reps=3))
     detail["headline_measure_s"] = round(time.time() - t0, 1)  # incl. compiles
     nnz = int(blocks.size)
     spmv_gbs = nnz * bpe / t_spmv / 1e9
     detail["spmv_traffic_model"] = "stored block values only (lower bound)"
+    detail["spmv_precision"] = "f32-exact (HIGHEST; bf16-truncating DEFAULT measured identical: HBM-bound)"
     detail["spmv_gnnz_per_s"] = round(nnz / t_spmv / 1e9, 3)
     detail["spmv_us_per_apply"] = round(t_spmv * 1e6, 1)
+
+    # bf16 storage tier: half the bytes/nnz, also ~roofline
+    opB16 = lo.BSROperator(
+        BSR(blocks=blocks.astype(jnp.bfloat16), block_cols=cols, shape=(ns, ns)))
+    t16 = _marginal_apply_time(opB16, vs.astype(jnp.bfloat16), reps=3)
+    detail["spmv_bf16_gnnz_per_s"] = round(nnz / t16 / 1e9, 3)
+    detail["spmv_bf16_gbs_2B"] = round(nnz * 2 / t16 / 1e9, 2)
 
     # --- optional sections (fault-tolerant, budget-guarded) ----------------
     def section(name, fn):
@@ -378,17 +391,30 @@ def main():
                 return out / nrm, M
             return _lax.fori_loop(0, iters, body, (M, Res))
 
-        _sync(chain(opB, M, Res, I_SHORT))
-        _sync(chain(opB, M, Res, I_LONG))
-        t0 = time.perf_counter(); _sync(chain(opB, M, Res, I_SHORT)); a = time.perf_counter() - t0
-        t0 = time.perf_counter(); _sync(chain(opB, M, Res, I_LONG)); b = time.perf_counter() - t0
-        t = max(b - a, 1e-9) / (I_LONG - I_SHORT)
+        def run(op):
+            _sync(chain(op, M, Res, I_SHORT))
+            _sync(chain(op, M, Res, I_LONG))
+            t0 = time.perf_counter(); _sync(chain(op, M, Res, I_SHORT)); a = time.perf_counter() - t0
+            t0 = time.perf_counter(); _sync(chain(op, M, Res, I_LONG)); b = time.perf_counter() - t0
+            return max(b - a, 1e-9) / (I_LONG - I_SHORT)
+
+        # f32 storage = f32-exact math (HIGHEST; see sparse/ops._bsr_precision)
+        t = run(opB)
         detail["spmm_multirhs_us_per_apply"] = round(t * 1e6, 1)
-        # NO bytes model here: at 33-35 µs/apply the operator is clearly
-        # (mostly) VMEM-resident across chain iterations, so a streaming
-        # GB/s figure would over-credit (the round-1 L-BFGS accounting
-        # trap). Report the honest compute rate instead: 2·nnz·k MACs.
+        # Report the honest compute rate (2·nnz·k MACs), no bytes model:
+        # chain-resident caching would make a streaming GB/s over-credit
+        # (the round-1 L-BFGS accounting trap).
         detail["spmm_multirhs_tflops"] = round(2 * nnz * k / t / 1e12, 2)
+        if _budget_left():
+            # bf16 storage opts into the fast MXU path (single exact bf16
+            # pass; XLA may keep the 64 MiB block array VMEM-resident
+            # across the chain) — the TPU-native speed tier.
+            opB16 = lo.BSROperator(
+                BSR(blocks=opB.data.blocks.astype(jnp.bfloat16),
+                    block_cols=opB.data.block_cols, shape=opB.data.shape))
+            t16 = run(opB16)
+            detail["spmm_multirhs_bf16_us_per_apply"] = round(t16 * 1e6, 1)
+            detail["spmm_multirhs_bf16_tflops"] = round(2 * nnz * k / t16 / 1e12, 2)
 
     def sec_solvers():
         # on-device Krylov drivers on a 2048² 5-pt Laplacian (n=4.19M):

@@ -13,6 +13,7 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 
 from .base import LinearOperator, LinearOperatorException, register_operator
+from .precision import pmatmul
 
 __all__ = ["MatrixOperator", "FunctionOperator", "make_operator", "aslinearoperator"]
 
@@ -56,25 +57,25 @@ class MatrixOperator(LinearOperator):
         return self._hermitian
 
     def _prod(self, v):
-        return self.A @ v
+        return pmatmul(self.A, v)
 
     def _tprod(self, u):
         # u @ A == Aᵀ u without a transpose copy
-        return u @ self.A
+        return pmatmul(u, self.A)
 
     def _ctprod(self, w):
         if jnp.iscomplexobj(self.A) or jnp.iscomplexobj(w):
-            return jnp.conj(jnp.conj(w) @ self.A)
-        return w @ self.A
+            return jnp.conj(pmatmul(jnp.conj(w), self.A))
+        return pmatmul(w, self.A)
 
     def apply_matrix(self, M, mode: str = "N"):
         if mode == "N":
-            return self.A @ M
+            return pmatmul(self.A, M)
         if mode == "T":
-            return self.A.T @ M
+            return pmatmul(self.A.T, M)
         if mode == "H":
-            return jnp.conj(self.A).T @ M
-        return jnp.conj(self.A) @ M
+            return pmatmul(jnp.conj(self.A).T, M)
+        return pmatmul(jnp.conj(self.A), M)
 
     def _name(self):
         return "Matrix operator"

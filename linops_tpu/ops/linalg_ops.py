@@ -9,6 +9,7 @@ apply (reference semantics, src/linalg.jl:20-32).
 from __future__ import annotations
 
 import jax
+from ..core.precision import pdot, pmatmul, pvdot
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
@@ -278,7 +279,7 @@ class HouseholderOperator(LinearOperator):
     def _prod(self, v):
         h = self.h
         # dot(h, v) conjugates the first argument (Julia dot)
-        return v - 2.0 * jnp.vdot(h, v) * h
+        return v - 2.0 * pvdot(h, v) * h
 
     def _ctprod(self, w):
         return self._prod(w)  # reference passes ctprod=prod (src/linalg.jl:94)
@@ -286,7 +287,7 @@ class HouseholderOperator(LinearOperator):
     def apply_matrix(self, M, mode: str = "N"):
         h = self.h
         if mode in ("N", "H"):
-            return M - 2.0 * jnp.outer(h, jnp.conj(h) @ M)
+            return M - 2.0 * jnp.outer(h, pmatmul(jnp.conj(h), M))
         return super().apply_matrix(M, mode)
 
     def _name(self):
@@ -338,20 +339,20 @@ class HermitianOperator(LinearOperator):
 
     def _prod(self, v):
         L = self.L
-        lv = L @ v
+        lv = pmatmul(L, v)
         # L^H v without materializing L^H: conj(conj(v) @ L)
         if jnp.iscomplexobj(L) or jnp.iscomplexobj(v):
-            lhv = jnp.conj(jnp.conj(v) @ L)
+            lhv = jnp.conj(pmatmul(jnp.conj(v), L))
         else:
-            lhv = v @ L
+            lhv = pmatmul(v, L)
         return self.d * v + lv + lhv
 
     def apply_matrix(self, M, mode: str = "N"):
         L = self.L
         if mode in ("N", "H"):
-            return self.d[:, None] * M + L @ M + jnp.conj(L).T @ M
+            return self.d[:, None] * M + pmatmul(L, M) + pmatmul(jnp.conj(L).T, M)
         Mc = jnp.conj(M)
-        return jnp.conj(self.d[:, None] * Mc + L @ Mc + jnp.conj(L).T @ Mc)
+        return jnp.conj(self.d[:, None] * Mc + pmatmul(L, Mc) + pmatmul(jnp.conj(L).T, Mc))
 
     def _name(self):
         return "Hermitian operator"

@@ -22,6 +22,7 @@ import functools
 from typing import Optional
 
 import jax
+from ..core.precision import pdot, pmatmul, pvdot
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -55,23 +56,23 @@ def _halo_matvec(A_int, A_left, A_right, x_local, axis: str):
         x_local[:h], axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
     )
 
-    y = A_int @ x_local  # overlap: no dependence on the permutes
+    y = pmatmul(A_int, x_local)  # overlap: no dependence on the permutes
 
     # mask the wrapped-around ends (non-periodic boundary)
     from_left = jnp.where(p == 0, 0.0, from_left)
     from_right = jnp.where(p == n_dev - 1, 0.0, from_right)
-    return y + A_left @ from_left + A_right @ from_right
+    return y + pmatmul(A_left, from_left) + pmatmul(A_right, from_right)
 
 
 def _halo_transpose_body(A_int, A_left, A_right, u_local, *, axis: str):
     p = lax.axis_index(axis)
     n_dev = lax.axis_size(axis)
     h = A_left.shape[1]
-    y = A_int.T @ u_local
+    y = pmatmul(A_int.T, u_local)
     # contribution of u_local through A_left lands on the LEFT neighbor's
     # tail; through A_right on the right neighbor's head.
-    to_left = A_left.T @ u_local  # (h,)
-    to_right = A_right.T @ u_local
+    to_left = pmatmul(A_left.T, u_local)  # (h,)
+    to_right = pmatmul(A_right.T, u_local)
     to_left = jnp.where(p == 0, 0.0, to_left)
     to_right = jnp.where(p == n_dev - 1, 0.0, to_right)
     recv_r = lax.ppermute(  # from right neighbor's to_left

@@ -19,6 +19,7 @@ where the reference's do):
 from __future__ import annotations
 
 import jax
+from ..core.precision import pdot, pmatmul, pvdot
 import jax.numpy as jnp
 
 from ..core.base import LinearOperator, register_operator
@@ -43,10 +44,10 @@ def _psb_update(d, s, y):
     src/DiagonalHessianApproximation.jl:45-64). The sᵀBs = sᵀy relation is
     norm-scaled exactly as the reference does for stability."""
     s2 = s * s
-    sn2 = jnp.dot(s, s)
-    trA2 = jnp.dot(s2, s2) / sn2**2
-    sT_y = jnp.dot(s, y) / sn2
-    sT_B_s = jnp.dot(s2, d) / sn2
+    sn2 = pdot(s, s)
+    trA2 = pdot(s2, s2) / sn2**2
+    sT_y = pdot(s, y) / sn2
+    sT_B_s = pdot(s2, d) / sn2
     q = (sT_y - sT_B_s) / trA2
     return d + q / sn2 * s2
 
@@ -56,10 +57,10 @@ def _andrei_update(d, s, y):
     """Andrei's diagonal update (reference
     src/DiagonalHessianApproximation.jl:120-141)."""
     s2 = s * s
-    sn2 = jnp.dot(s, s)
-    trA2 = jnp.dot(s2, s2) / sn2**2
-    sT_y = jnp.dot(s, y) / sn2
-    sT_B_s = jnp.dot(s2, d) / sn2
+    sn2 = pdot(s, s)
+    trA2 = pdot(s2, s2) / sn2**2
+    sT_y = pdot(s, y) / sn2
+    sT_B_s = pdot(s2, d) / sn2
     q = (sT_y - sT_B_s + 1.0) / trA2  # sT_s/sn2 == 1 after scaling
     return d + q / sn2 * s2 - 1.0
 
@@ -68,15 +69,15 @@ def _andrei_update(d, s, y):
 def _spg_update(d, s, y):
     """Barzilai-Borwein spectral coefficient σ = ⟨s,y⟩/⟨s,s⟩ (reference
     src/DiagonalHessianApproximation.jl:186-196)."""
-    return jnp.full_like(d, jnp.dot(s, y) / jnp.dot(s, s))
+    return jnp.full_like(d, pdot(s, y) / pdot(s, s))
 
 
 @jax.jit
 def _dbfgs_update(d, s, y):
     """Diagonal BFGS-inspired update: d = |y| · Σ|y| / (sᵀy/‖s‖²)
     (reference src/DiagonalHessianApproximation.jl:234-248)."""
-    sn2 = jnp.dot(s, s)
-    sT_y = jnp.dot(s, y) / sn2
+    sn2 = pdot(s, s)
+    sT_y = pdot(s, y) / sn2
     ay = jnp.abs(y)
     return ay * (jnp.sum(ay) / sT_y)
 

@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..core.precision import pdot, pmatmul
 from ..core.base import LinearOperator, LinearOperatorException, register_operator
 
 __all__ = ["LBFGSState", "LBFGSOperator", "InverseLBFGSOperator"]
@@ -105,7 +106,7 @@ def inverse_apply(state: LBFGSState, x):
     def loop1(i, carry):
         q, alph = carry
         k = jnp.mod(state.insert - i - 1, mem)
-        ak = rho[k] * jnp.dot(state.S[k], q)
+        ak = rho[k] * pdot(state.S[k], q)
         q = q - ak * state.Y[k]
         return q, alph.at[k].set(ak)
 
@@ -114,7 +115,7 @@ def inverse_apply(state: LBFGSState, x):
 
     def loop2(i, q):
         k = jnp.mod(state.insert + i, mem)
-        beta = alph[k] - rho[k] * jnp.dot(state.Y[k], q)
+        beta = alph[k] - rho[k] * pdot(state.Y[k], q)
         return q + beta * state.S[k]
 
     return lax.fori_loop(0, mem, loop2, q)
@@ -153,18 +154,18 @@ def inverse_apply_compact(state: LBFGSState, x):
 
     # one pass: [Sᵀv; Yᵀv]
     W = jnp.concatenate([S_o, Y_o], axis=0)  # (2mem, n)
-    pq = W @ x
+    pq = pmatmul(W, x)
     p, q = pq[:mem], pq[mem:]
 
     from jax.scipy.linalg import solve_triangular
 
     w1 = solve_triangular(R, p, lower=False)
-    u = D * w1 + gamma * (YYm @ w1) - gamma * q
+    u = D * w1 + gamma * pmatmul(YYm, w1) - gamma * q
     w2 = solve_triangular(R, u, lower=False, trans=1)
 
     # second pass: γv + Sᵀ·w2 − γYᵀ·w1 as one (n, 2mem)-style contraction
     coeff = jnp.concatenate([w2, -gamma * w1])
-    return gamma * x + W.T @ coeff
+    return gamma * x + pmatmul(W.T, coeff)
 
 
 def _forward_compact_parts(state: LBFGSState, *, with_grams: bool = False):
@@ -201,8 +202,8 @@ def forward_apply_compact(state: LBFGSState, x):
     inverse apply; numerically identical to the a/b form
     (reference src/lbfgs.jl:173-202)."""
     theta, K, W = _forward_compact_parts(state)
-    coef = jnp.linalg.solve(K, W @ x)
-    return theta * x - W.T @ coef
+    coef = jnp.linalg.solve(K, pmatmul(W, x))
+    return theta * x - pmatmul(W.T, coef)
 
 
 def forward_apply(state: LBFGSState, x):
@@ -211,9 +212,9 @@ def forward_apply(state: LBFGSState, x):
     hold zero rows). Kept as the parity/reference path; the operator's hot
     apply uses ``forward_apply_compact``."""
     q = x / state.gamma
-    bx = state.B @ x
-    ax = state.A @ x
-    return q + state.B.T @ bx - state.A.T @ ax
+    bx = pmatmul(state.B, x)
+    ax = pmatmul(state.A, x)
+    return q + pmatmul(state.B.T, bx) - pmatmul(state.A.T, ax)
 
 
 def forward_diag(state: LBFGSState):
@@ -255,10 +256,10 @@ def _a_recursion(S_ord, B_ord, valid, gamma, order):
     def body(i, A_ord):
         s_i = S_ord[i]
         mask = (idx < i) & valid
-        bs = jnp.where(mask, B_ord @ s_i, 0.0)
-        as_ = jnp.where(mask, A_ord @ s_i, 0.0)
-        a = s_i / gamma + B_ord.T @ bs - A_ord.T @ as_
-        denom = jnp.sqrt(jnp.dot(s_i, a))
+        bs = jnp.where(mask, pmatmul(B_ord, s_i), 0.0)
+        as_ = jnp.where(mask, pmatmul(A_ord, s_i), 0.0)
+        a = s_i / gamma + pmatmul(B_ord.T, bs) - pmatmul(A_ord.T, as_)
+        denom = jnp.sqrt(pdot(s_i, a))
         a = a / jnp.where(denom != 0, denom, 1.0)
         return A_ord.at[i].set(jnp.where(valid[i], a, jnp.zeros_like(a)))
 
@@ -311,16 +312,16 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
     # SᵀY and YᵀY — three (mem, n) matvecs (O(mem·n), same order as the
     # vector writes above). With gated rows a rejected push recomputes the
     # Gram rows it already holds (idempotent by induction).
-    SY = state.SY.at[ins, :].set(Y @ s).at[:, ins].set(S @ y)
-    yy_vec = Y @ y
+    SY = state.SY.at[ins, :].set(pmatmul(Y, s)).at[:, ins].set(pmatmul(S, y))
+    yy_vec = pmatmul(Y, y)
     YY = state.YY.at[ins, :].set(yy_vec).at[:, ins].set(yy_vec)
-    ss_vec = S @ s
+    ss_vec = pmatmul(S, s)
     SS = state.SS.at[ins, :].set(ss_vec).at[:, ins].set(ss_vec)
 
     gamma = state.gamma
     ub = state.opnorm_ub
     if scaling:
-        yy = jnp.dot(y, y)
+        yy = pdot(y, y)
         gamma_new = ys / jnp.where(yy != 0, yy, 1.0)
         ub_new = ub - _safe_inv(gamma).real + _safe_inv(gamma_new).real
         if accept is None:
@@ -334,7 +335,7 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
     else:
         # guard: with a gated-away (empty-slot) rewrite ys may be 0
         b_row = y / jnp.sqrt(jnp.where(ys != 0, ys, 1.0))
-        nb2_new = jnp.real(jnp.dot(b_row, b_row))
+        nb2_new = jnp.real(pdot(b_row, b_row))
         ub = ub - state.norm_b2[ins] + nb2_new
         nb2 = state.norm_b2.at[ins].set(nb2_new)
         if with_ab:
@@ -364,7 +365,7 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
 def _push_plain_impl(state, s, y, *, scaling, inverse, with_ab=True):
     """Undamped push with curvature rejection ys ≤ eps
     (reference src/lbfgs.jl:269-287)."""
-    ys = jnp.dot(y, s)
+    ys = pdot(y, s)
     eps = jnp.finfo(state.S.dtype).eps
     return _push_common(state, s, y, ys, scaling=scaling, inverse=inverse,
                         with_ab=with_ab, accept=ys > eps)
@@ -386,7 +387,7 @@ _push_plain_donated = jax.jit(
 
 def _powell_blend(s, y, ys, Bs, sigma2, sigma3):
     """Powell's damped update strategy (reference src/lbfgs.jl:304-318)."""
-    sBs = jnp.dot(s, Bs)
+    sBs = pdot(s, Bs)
     lo = ys < (1 - sigma2) * sBs
     hi = ys > (1 + sigma3) * sBs
     theta = jnp.where(
@@ -406,7 +407,7 @@ def _push_damped_forward(state, s, y, sigma2, sigma3, *, scaling, with_ab=True):
     (reference src/lbfgs.jl:289-321). Bs comes from the compact form so the
     push never needs the (possibly deferred) a-vectors."""
     Bs = forward_apply_compact(state, s)
-    y_d, ys_d = _powell_blend(s, y, jnp.dot(y, s), Bs, sigma2, sigma3)
+    y_d, ys_d = _powell_blend(s, y, pdot(y, s), Bs, sigma2, sigma3)
     return _push_common(state, s, y_d, ys_d, scaling=scaling, inverse=False,
                         with_ab=with_ab)
 
@@ -416,7 +417,7 @@ def _push_damped_inverse(state, s, y, alpha, g, sigma2, sigma3, *, scaling):
     """Damped inverse push: Bs = −α g, Powell blend, always insert
     (reference src/lbfgs.jl:323-357)."""
     Bs = -alpha * g
-    y_d, ys_d = _powell_blend(s, y, jnp.dot(y, s), Bs, sigma2, sigma3)
+    y_d, ys_d = _powell_blend(s, y, pdot(y, s), Bs, sigma2, sigma3)
     return _push_common(state, s, y_d, ys_d, scaling=scaling, inverse=True)
 
 
@@ -540,7 +541,7 @@ class LBFGSOperator(LinearOperator):
     def apply_matrix(self, M, mode: str = "N"):
         if not self._inverse:
             theta, K, W = _forward_compact_parts(self.state)
-            return theta * M - W.T @ jnp.linalg.solve(K, W @ M)
+            return theta * M - pmatmul(W.T, jnp.linalg.solve(K, pmatmul(W, M)))
         return super().apply_matrix(M, mode)
 
     # --- state updates ---

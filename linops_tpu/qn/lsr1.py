@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..core.precision import pdot, pmatmul
 from ..core.base import LinearOperator, LinearOperatorException, register_operator
 
 __all__ = ["LSR1State", "LSR1Operator"]
@@ -73,13 +74,13 @@ def _safe_div(num, den):
 def lsr1_apply(state: LSR1State, x):
     """B v = v/γ + Aᵀ((A v)/as) with empty/degenerate slots masked out
     (reference src/lsr1.jl:89-107)."""
-    coef = jnp.where(state.ys != 0, _safe_div(state.A @ x, state.as_), 0.0)
-    return x / state.gamma + state.A.T @ coef
+    coef = jnp.where(state.ys != 0, _safe_div(pmatmul(state.A, x), state.as_), 0.0)
+    return x / state.gamma + pmatmul(state.A.T, coef)
 
 
 def lsr1_apply_matrix(state: LSR1State, X):
-    coef = jnp.where((state.ys != 0)[:, None], _safe_div(state.A @ X, state.as_[:, None]), 0.0)
-    return X / state.gamma + state.A.T @ coef
+    coef = jnp.where((state.ys != 0)[:, None], _safe_div(pmatmul(state.A, X), state.as_[:, None]), 0.0)
+    return X / state.gamma + pmatmul(state.A.T, coef)
 
 
 def _compact_parts(state: LSR1State):
@@ -107,14 +108,14 @@ def lsr1_apply_compact(state: LSR1State, x):
     the a-form recursion on accepted pairs, but needs NO a-vectors, so
     pushes stay O(mem·n)."""
     U, M = _compact_parts(state)
-    coef = jnp.linalg.solve(M, U @ x)
-    return x / state.gamma + U.T @ coef
+    coef = jnp.linalg.solve(M, pmatmul(U, x))
+    return x / state.gamma + pmatmul(U.T, coef)
 
 
 def lsr1_apply_matrix_compact(state: LSR1State, X):
     U, M = _compact_parts(state)
-    coef = jnp.linalg.solve(M, U @ X)
-    return X / state.gamma + U.T @ coef
+    coef = jnp.linalg.solve(M, pmatmul(U, X))
+    return X / state.gamma + pmatmul(U.T, coef)
 
 
 def lsr1_diag(state: LSR1State):
@@ -136,11 +137,11 @@ def _push(state: LSR1State, s, y, *, scaling: bool, with_a: bool = True) -> LSR1
 
     Bs = lsr1_apply(state, s) if with_a else lsr1_apply_compact(state, s)
     ymBs = y - Bs
-    ys = jnp.dot(y, s)
+    ys = pdot(y, s)
     s_norm = jnp.linalg.norm(s)
-    yy = jnp.dot(y, y)
+    yy = pdot(y, y)
 
-    well_defined = jnp.abs(jnp.dot(ymBs, s)) >= eps + eps * jnp.linalg.norm(ymBs) * s_norm
+    well_defined = jnp.abs(pdot(ymBs, s)) >= eps + eps * jnp.linalg.norm(ymBs) * s_norm
     if scaling:
         y_norm = jnp.sqrt(yy)
         sufficient_curvature = jnp.abs(ys) >= eps * y_norm * s_norm
@@ -167,8 +168,8 @@ def _push(state: LSR1State, s, y, *, scaling: bool, with_a: bool = True) -> LSR1
 
     # Gram maintenance for the compact form: one row+column each of SᵀY
     # and SᵀS — three (mem, n) matvecs (idempotent rewrites when rejected).
-    SY = state.SY.at[ins, :].set(Y @ s).at[:, ins].set(S @ y)
-    ss_vec = S @ s
+    SY = state.SY.at[ins, :].set(pmatmul(Y, s)).at[:, ins].set(pmatmul(S, y))
+    ss_vec = pmatmul(S, s)
     SS = state.SS.at[ins, :].set(ss_vec).at[:, ins].set(ss_vec)
 
     new = LSR1State(S=S, Y=Y, ys=ysv, A=state.A, as_=state.as_, SY=SY, SS=SS,
@@ -195,10 +196,10 @@ def _recompute_all_a(state: LSR1State) -> LSR1State:
         s_i = S_ord[i]
         a = Y_ord[i] - s_i / gamma
         mask = (idx < i) & valid
-        coef = jnp.where(mask, _safe_div(A_ord @ s_i, as_ord), 0.0)
-        a = a - A_ord.T @ coef
+        coef = jnp.where(mask, _safe_div(pmatmul(A_ord, s_i), as_ord), 0.0)
+        a = a - pmatmul(A_ord.T, coef)
         a = jnp.where(valid[i], a, jnp.zeros_like(a))
-        return A_ord.at[i].set(a), as_ord.at[i].set(jnp.dot(a, s_i))
+        return A_ord.at[i].set(a), as_ord.at[i].set(pdot(a, s_i))
 
     A_ord, as_ord = lax.fori_loop(
         0, mem, body, (jnp.zeros_like(S_ord), jnp.zeros_like(state.ys))

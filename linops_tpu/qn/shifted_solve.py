@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 
 import jax
+from ..core.precision import pdot, pmatmul, pvdot
 import jax.numpy as jnp
 from jax import lax
 
@@ -60,11 +61,11 @@ def _solve_shifted(state: LBFGSState, b, sigma):
         u = jnp.where(sign_i == 1, state.A[k], state.B[k])
 
         # p_i = x0·u + Σ_{t<i} sign_t·v[t]·⟨p_t, u⟩·p_t  — one (2mem,n) matvec
-        c = jnp.where(t_idx < i, t_signs * v * (P @ u), 0.0)
-        p_i = x0 * u + P.T @ c
+        c = jnp.where(t_idx < i, t_signs * v * pmatmul(P, u), 0.0)
+        p_i = x0 * u + pmatmul(P.T, c)
 
-        v_i = 1.0 / (1.0 - sign_i * jnp.dot(u, p_i))
-        x = x + sign_i * v_i * jnp.dot(p_i, b) * p_i
+        v_i = 1.0 / (1.0 - sign_i * pdot(u, p_i))
+        x = x + sign_i * v_i * pdot(p_i, b) * p_i
         return x, P.at[i].set(p_i), v.at[i].set(v_i)
 
     x, _, _ = lax.fori_loop(
@@ -104,9 +105,9 @@ def _solve_shifted_compact(state: LBFGSState, b, sigma):
     M = jnp.where(valid2[:, None] & valid2[None, :], M, 0.0) + jnp.diag(
         jnp.where(valid2, 0.0, 1.0)
     )
-    Utb = W @ b
+    Utb = pmatmul(W, b)
     coef = jnp.linalg.solve(M, Utb)
-    return b / c + (W.T @ coef) / c
+    return b / c + pmatmul(W.T, coef) / c
 
 
 def _is_concrete(x) -> bool:

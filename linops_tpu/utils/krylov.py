@@ -16,6 +16,7 @@ from __future__ import annotations
 import functools
 
 import jax
+from ..core.precision import pmatmul, pvdot
 import jax.numpy as jnp
 from jax import lax
 
@@ -56,24 +57,24 @@ def cg(op: LinearOperator, b, x0=None, *, tol: float = 1e-8, maxiter: int = 100,
     # carry stays type-stable even for mixed-precision M
     z = M.apply(r, "N").astype(dt) if M is not None else r
     p = z
-    rz = jnp.vdot(r, z)
+    rz = pvdot(r, z)
     bnorm = jnp.linalg.norm(b)
     tol2 = (tol * bnorm) ** 2
 
     def cond(state):
         _, r, _, _, k, _ = state
-        return (jnp.vdot(r, r).real > tol2) & (k < maxiter)
+        return (pvdot(r, r).real > tol2) & (k < maxiter)
 
     def body(state):
         x, r, p, rz, k, _ = state
         Ap = op.apply(p, "N")
-        alpha = rz / jnp.vdot(p, Ap)
+        alpha = rz / pvdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M.apply(r, "N").astype(dt) if M is not None else r
-        rz_new = jnp.vdot(r, z)
+        rz_new = pvdot(r, z)
         p = z + (rz_new / rz) * p
-        return x, r, p, rz_new, k + 1, jnp.sqrt(jnp.vdot(r, r).real)
+        return x, r, p, rz_new, k + 1, jnp.sqrt(pvdot(r, r).real)
 
     init = (x, r, p, rz, jnp.zeros((), jnp.int32), jnp.linalg.norm(r))
     x, r, _, _, k, res = lax.while_loop(cond, body, init)
@@ -108,10 +109,10 @@ def gmres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
         def arnoldi_step(j, carry):
             V, H = carry
             w = prec(op.apply(V[j], "N"))
-            hcol = jnp.conj(V) @ w  # rows > j are zero vectors -> 0 coeffs
+            hcol = pmatmul(jnp.conj(V), w)  # rows > j are zero vectors -> 0 coeffs
             mask = jnp.arange(m + 1) <= j
             hcol = jnp.where(mask, hcol, 0.0)
-            w = w - V.T @ hcol
+            w = w - pmatmul(V.T, hcol)
             hj1 = jnp.linalg.norm(w)
             V = V.at[j + 1].set(w / jnp.where(hj1 == 0, 1.0, hj1))
             H = H.at[:, j].set(hcol).at[j + 1, j].set(hj1.astype(dt))
@@ -121,7 +122,7 @@ def gmres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
         # least squares min ||beta e1 - H y||
         e1 = jnp.zeros((m + 1,), dt).at[0].set(beta)
         y = jnp.linalg.lstsq(H, e1)[0]
-        return x + V[:m].T @ y
+        return x + pmatmul(V[:m].T, y)
 
     def cond(state):
         x, k, res = state
@@ -158,7 +159,7 @@ def minres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
 
     r1 = b - op.apply(x, "N")
     y = prec(r1)
-    beta1 = jnp.sqrt(jnp.maximum(jnp.vdot(r1, y).real, 0.0))
+    beta1 = jnp.sqrt(jnp.maximum(pvdot(r1, y).real, 0.0))
     tol_abs = tol * jnp.where(beta1 == 0, 1.0, beta1)
 
     # carry: x, y, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn, k
@@ -179,12 +180,12 @@ def minres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
         y = op.apply(v, "N")
         y = jnp.where(k >= 1, y - (beta / jnp.where(oldb == 0, 1.0, oldb)
                                    ).astype(dt) * r1, y)
-        alfa = jnp.vdot(v, y).real  # real for Hermitian op
+        alfa = pvdot(v, y).real  # real for Hermitian op
         y = y - (alfa / safe_beta).astype(dt) * r2
         r1, r2 = r2, y
         y = prec(r2)
         oldb = beta
-        beta = jnp.sqrt(jnp.maximum(jnp.vdot(r2, y).real, 0.0))
+        beta = jnp.sqrt(jnp.maximum(pvdot(r2, y).real, 0.0))
 
         # previous Givens rotation applied to the new Lanczos column
         oldeps = epsln
@@ -247,19 +248,19 @@ def bicgstab(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
 
     def body(state):
         x, r, p, v, rho, alpha, omega, _, k = state
-        rho_new = jnp.vdot(rhat, r)
+        rho_new = pvdot(rhat, r)
         beta = (rho_new / rho) * (alpha / omega)
         p_new = r + beta * (p - omega * v)
         phat = prec(p_new)
         v_new = op.apply(phat, "N")
-        rhv = jnp.vdot(rhat, v_new)
+        rhv = pvdot(rhat, v_new)
         brk = (jnp.abs(rho_new) <= tiny) | (jnp.abs(rhv) <= tiny)
         alpha_new = rho_new / jnp.where(brk, one, rhv)
         s = r - alpha_new * v_new
         shat = prec(s)
         t = op.apply(shat, "N")
-        tt = jnp.vdot(t, t)
-        omega_new = jnp.vdot(t, s) / jnp.where(tt == 0, 1.0, tt)
+        tt = pvdot(t, t)
+        omega_new = pvdot(t, s) / jnp.where(tt == 0, 1.0, tt)
         brk = brk | (jnp.abs(omega_new) <= tiny)
         x_new = x + alpha_new * phat + omega_new * shat
         r_new = s - omega_new * t
@@ -348,7 +349,7 @@ def power_iteration(op: LinearOperator, v0, iters: int = 50):
     def body(_, carry):
         v, _ = carry
         w = op.apply(v, "N")
-        lam = jnp.vdot(v, w)
+        lam = pvdot(v, w)
         return w / jnp.linalg.norm(w), lam
 
     v = v0 / jnp.linalg.norm(v0)

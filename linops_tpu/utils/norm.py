@@ -16,6 +16,7 @@ import functools
 import warnings
 
 import jax
+from ..core.precision import pdot, pmatmul, pvdot
 import jax.numpy as jnp
 
 from ..core.base import LinearOperator
@@ -118,13 +119,13 @@ def _lanczos_extreme(op, v0, ncv, gram):
         V, alphas, betas, v, beta_prev = carry
         V = V.at[j].set(v)
         w = matvec(v)
-        alpha = jnp.real(jnp.vdot(v, w))
+        alpha = jnp.real(pvdot(v, w))
         w = w - alpha * v
         # full reorthogonalization against all previous basis vectors
-        coeffs = jnp.conj(V) @ w  # (ncv,) — rows >= j+1 are zero
-        w = w - V.T @ coeffs
-        coeffs2 = jnp.conj(V) @ w
-        w = w - V.T @ coeffs2
+        coeffs = pmatmul(jnp.conj(V), w)  # (ncv,) — rows >= j+1 are zero
+        w = w - pmatmul(V.T, coeffs)
+        coeffs2 = pmatmul(jnp.conj(V), w)
+        w = w - pmatmul(V.T, coeffs2)
         beta = jnp.linalg.norm(w)
         v_next = w / jnp.where(beta == 0, 1.0, beta)
         alphas = alphas.at[j].set(alpha)
