@@ -97,13 +97,6 @@ def main():
     detail["spmv_gnnz_per_s"] = round(nnz / t_spmv / 1e9, 3)
     detail["spmv_us_per_apply"] = round(t_spmv * 1e6, 1)
 
-    # bf16 storage tier: half the bytes/nnz, also ~roofline
-    opB16 = lo.BSROperator(
-        BSR(blocks=blocks.astype(jnp.bfloat16), block_cols=cols, shape=(ns, ns)))
-    t16 = _marginal_apply_time(opB16, vs.astype(jnp.bfloat16), reps=3)
-    detail["spmv_bf16_gnnz_per_s"] = round(nnz / t16 / 1e9, 3)
-    detail["spmv_bf16_gbs_2B"] = round(nnz * 2 / t16 / 1e9, 2)
-
     # --- optional sections (fault-tolerant, budget-guarded) ----------------
     def section(name, fn):
         if not _budget_left():
@@ -113,6 +106,17 @@ def main():
             fn()
         except Exception as e:  # record, don't die
             detail[name] = f"error: {type(e).__name__}: {str(e)[:200]}"
+
+    def sec_spmv_bf16():
+        # bf16 storage tier on the headline 128x128 shape: half the bytes
+        # per nnz, still streaming-bound (measured 95.7 us = 350.6 Gnnz/s
+        # = 701 GB/s at 2 B/nnz ~ 0.94 of the measured ceiling)
+        opB16 = lo.BSROperator(
+            BSR(blocks=blocks.astype(jnp.bfloat16), block_cols=cols,
+                shape=(ns, ns)))
+        t16 = _marginal_apply_time(opB16, vs.astype(jnp.bfloat16), reps=2)
+        detail["spmv_bf16_gnnz_per_s"] = round(nnz / t16 / 1e9, 3)
+        detail["spmv_bf16_gbs_2B"] = round(nnz * 2 / t16 / 1e9, 2)
 
     def sec_spmv8():
         # fine-block case: default backend="auto" engages the Pallas
@@ -469,6 +473,7 @@ def main():
         )
         detail["scaling"] = _json.loads(out.stdout.strip().splitlines()[-1])
 
+    section("spmv_bf16", sec_spmv_bf16)
     section("spmv_8x128_gbs", sec_spmv8)
     section("csr", sec_csr)
     section("stencil", sec_stencil)
