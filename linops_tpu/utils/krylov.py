@@ -17,6 +17,7 @@ import functools
 
 import jax
 from ..core.precision import pmatmul, pvdot
+from .residency import chain_resident
 import jax.numpy as jnp
 from jax import lax
 
@@ -33,6 +34,7 @@ def matvec_chain(op: LinearOperator, v, iters: int = 100, mode: str = "N",
     normalizing each step to keep magnitudes bounded). Returns the final
     vector. The whole chain is ONE XLA computation: zero per-apply dispatch,
     compositions fused."""
+    op = chain_resident(op, v)
 
     def body(_, x):
         y = op.apply(x, mode)
@@ -51,6 +53,7 @@ def cg(op: LinearOperator, b, x0=None, *, tol: float = 1e-8, maxiter: int = 100,
     Returns (x, iterations, final residual norm). Entirely on device."""
     dt = jnp.result_type(b.dtype, op.dtype)
     b = b.astype(dt)
+    op, M = chain_resident((op, M), b)
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dt)
     r = b - op.apply(x, "N")
     # preconditioner output is cast to the solver dtype so the while_loop
@@ -92,6 +95,7 @@ def gmres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
     n = b.shape[0]
     dt = jnp.result_type(b.dtype, op.dtype)
     b = b.astype(dt)
+    op, M = chain_resident((op, M), b)
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dt)
     m = min(restart, n)
     bnorm = jnp.linalg.norm(b)
@@ -150,6 +154,7 @@ def minres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
     residual norm estimate ``phibar``)."""
     dt = jnp.result_type(b.dtype, op.dtype)
     b = b.astype(dt)
+    op, M = chain_resident((op, M), b)
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dt)
     rdt = jnp.zeros((), dt).real.dtype
     eps = jnp.finfo(rdt).eps
@@ -225,6 +230,7 @@ def bicgstab(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
     NaNs (scipy signals the same condition via ``info < 0``)."""
     dt = jnp.result_type(b.dtype, op.dtype)
     b = b.astype(dt)
+    op, M = chain_resident((op, M), b)
     x = jnp.zeros_like(b) if x0 is None else x0.astype(dt)
     rdt = jnp.zeros((), dt).real.dtype
     tiny = jnp.sqrt(jnp.finfo(rdt).tiny)  # catches exact/denormal zeros
@@ -286,6 +292,7 @@ def lsqr(op: LinearOperator, b, *, damp: float = 0.0, tol: float = 1e-8,
     (x, iterations, ‖Aᴴr‖ estimate)."""
     dt = jnp.result_type(b.dtype, op.dtype)
     b = b.astype(dt)
+    op = chain_resident(op, b)
     rdt = jnp.zeros((), dt).real.dtype
     n = op.shape[1]
     dampf = jnp.asarray(damp, rdt)
@@ -345,6 +352,7 @@ def lsqr(op: LinearOperator, b, *, damp: float = 0.0, tol: float = 1e-8,
 def power_iteration(op: LinearOperator, v0, iters: int = 50):
     """Largest-|eigenvalue| estimate of a square operator by power iteration
     in one compiled loop. Returns (eigenvalue estimate, eigenvector)."""
+    op = chain_resident(op, v0)
 
     def body(_, carry):
         v, _ = carry

@@ -1,0 +1,58 @@
+"""On-chip residency hint for chain drivers.
+
+When a jitted loop (``matvec_chain``, the Krylov drivers) re-applies the
+same operator hundreds of times, the operator's arrays are loop-invariant.
+XLA:TPU will keep such a buffer in fast on-chip memory across iterations —
+but only when the buffer is *produced inside the computation*; plain jit
+arguments stay in HBM. Measured on v5e at the bench BSR shape (64 MiB of
+bf16 128×128 blocks): streamed-from-HBM chain 95.7 µs/apply vs on-chip
+27.6 µs/apply (1215 Gnnz/s, ~3.5×), and multi-RHS SpMM 114 → 32 µs.
+
+``chain_resident`` therefore rematerializes large bf16 leaves through a
+multiply by a data-dependent exact 1 (unfoldable: XLA cannot simplify
+``x*0`` under NaN/Inf semantics, and the ``where`` pins the value to 0
+even then). The multiply runs ONCE per jit call (hoisted out of the
+loop), so it costs one extra pass over the data — amortized to noise
+over a chain — and is numerically exact (bf16 ``v*1 == v``).
+
+Only bf16 leaves are hoisted: f32 operators at interesting sizes exceed
+on-chip capacity, and small operators gain nothing. The budget below is
+empirical (64 MiB measured resident on v5e); oversized totals skip the
+hint entirely so no copy is wasted.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["chain_resident"]
+
+_MIN_LEAF_BYTES = 1 << 20  # don't bother under 1 MiB
+_BUDGET_BYTES = 96 << 20  # empirical: 64 MiB measured resident on v5e
+
+
+def _candidate(leaf) -> bool:
+    return (
+        hasattr(leaf, "dtype")
+        and leaf.dtype == jnp.bfloat16
+        and leaf.size * 2 >= _MIN_LEAF_BYTES
+    )
+
+
+def chain_resident(tree, x):
+    """Return ``tree`` with large bf16 leaves rematerialized so a chain
+    loop over it can keep them on-chip. ``x`` is any traced array of the
+    computation (used to derive the unfoldable exact-1 scalar). No-op when
+    nothing qualifies or the total exceeds the on-chip budget."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    total = sum(leaf.size * 2 for leaf in leaves if _candidate(leaf))
+    if total == 0 or total > _BUDGET_BYTES:
+        return tree
+    z = jnp.real(x.ravel()[0])
+    one = (jnp.where(jnp.isfinite(z), z * 0, jnp.zeros_like(z)) + 1).astype(
+        jnp.bfloat16
+    )
+    return jax.tree_util.tree_map(
+        lambda leaf: leaf * one if _candidate(leaf) else leaf, tree
+    )

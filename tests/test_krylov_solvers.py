@@ -225,3 +225,35 @@ def test_solvers_mixed_precision_preconditioner(rng):
     x, k, res = lo.gmres(op, b, tol=1e-5, maxiter=3 * n, M=Mpre)
     assert x.dtype == jnp.float32
     assert _relres(A, x, b) < 1e-4
+
+
+def test_chain_resident_exact_bf16(rng):
+    """The residency hint (utils/residency.py) multiplies big bf16 leaves
+    by a data-dependent exact 1 — results must be bit-identical, and small
+    or f32 operators must pass through untouched."""
+    from linops_tpu.utils import residency as res
+    n = 1024
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    from linops_tpu.sparse.formats import bsr_from_dense, BSR as BSRfmt
+    b = bsr_from_dense(A, (8, 32))
+    op16 = lo.BSROperator(
+        BSRfmt(blocks=b.blocks.astype(jnp.bfloat16), block_cols=b.block_cols,
+               shape=b.shape))
+    v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    # force the hint to engage at this small size
+    old = res._MIN_LEAF_BYTES
+    res._MIN_LEAF_BYTES = 1
+    try:
+        got = np.asarray(lo.matvec_chain(op16, v, 7))
+    finally:
+        res._MIN_LEAF_BYTES = old
+    # manual loop oracle (no hint at default threshold)
+    x = v
+    for _ in range(7):
+        y = op16 @ x
+        x = y / jnp.linalg.norm(y)
+    np.testing.assert_array_equal(got, np.asarray(x))
+    # f32 pass-through: same object tree (no leaf touched)
+    opf = lo.LinearOperator(jnp.asarray(A))
+    hinted = res.chain_resident(opf, v)
+    assert hinted.A is opf.A
