@@ -118,6 +118,21 @@ def main():
         detail["spmv_bf16_gnnz_per_s"] = round(nnz / t16 / 1e9, 3)
         detail["spmv_bf16_gbs_2B"] = round(nnz * 2 / t16 / 1e9, 2)
 
+    def sec_spmv_resident():
+        # on-chip residency tier (utils/residency.py): operators whose
+        # arrays fit the ~96 MiB budget run chains MXU-bound, f32-exact
+        # (measured 13.6 us = 1230 Gnnz/s vs 94 us streamed at this shape)
+        ns2 = 32768
+        blocks2 = jnp.asarray(
+            rng.standard_normal((ns2 // 128, 4, 128, 128)).astype(np.float32))
+        cols2 = jnp.asarray(
+            rng.integers(0, ns2 // 128, size=(ns2 // 128, 4)).astype(np.int32))
+        op2 = lo.BSROperator(BSR(blocks=blocks2, block_cols=cols2,
+                                 shape=(ns2, ns2)))
+        t2 = _marginal_apply_time(op2, jnp.ones((ns2,), dtype), reps=2)
+        detail["spmv_resident_f32_us"] = round(t2 * 1e6, 1)
+        detail["spmv_resident_f32_gnnz_per_s"] = round(blocks2.size / t2 / 1e9, 3)
+
     def sec_spmv8():
         # fine-block case: default backend="auto" engages the Pallas
         # VMEM-gather kernel on TPU (kernels/bsr_spmv.py); backend="xla"
@@ -474,6 +489,7 @@ def main():
         detail["scaling"] = _json.loads(out.stdout.strip().splitlines()[-1])
 
     section("spmv_bf16", sec_spmv_bf16)
+    section("spmv_resident", sec_spmv_resident)
     section("spmv_8x128_gbs", sec_spmv8)
     section("csr", sec_csr)
     section("stencil", sec_stencil)

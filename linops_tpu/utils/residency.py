@@ -15,8 +15,8 @@ even then). The multiply runs ONCE per jit call (hoisted out of the
 loop), so it costs one extra pass over the data — amortized to noise
 over a chain — and is numerically exact (bf16 ``v*1 == v``).
 
-Only bf16 leaves are hoisted: f32 operators at interesting sizes exceed
-on-chip capacity, and small operators gain nothing. The budget below is
+bf16 and f32 float leaves are hoisted (the multiply by 1 is exact in
+both); small leaves gain nothing and are skipped. The budget below is
 empirical (64 MiB measured resident on v5e); oversized totals skip the
 hint entirely so no copy is wasted.
 """
@@ -30,29 +30,33 @@ __all__ = ["chain_resident"]
 
 _MIN_LEAF_BYTES = 1 << 20  # don't bother under 1 MiB
 _BUDGET_BYTES = 96 << 20  # empirical: 64 MiB measured resident on v5e
+_DTYPES = (jnp.bfloat16, jnp.float32)
+
+
+def _nbytes(leaf) -> int:
+    return leaf.size * jnp.dtype(leaf.dtype).itemsize
 
 
 def _candidate(leaf) -> bool:
     return (
         hasattr(leaf, "dtype")
-        and leaf.dtype == jnp.bfloat16
-        and leaf.size * 2 >= _MIN_LEAF_BYTES
+        and any(leaf.dtype == d for d in _DTYPES)
+        and _nbytes(leaf) >= _MIN_LEAF_BYTES
     )
 
 
 def chain_resident(tree, x):
-    """Return ``tree`` with large bf16 leaves rematerialized so a chain
+    """Return ``tree`` with large float leaves rematerialized so a chain
     loop over it can keep them on-chip. ``x`` is any traced array of the
     computation (used to derive the unfoldable exact-1 scalar). No-op when
     nothing qualifies or the total exceeds the on-chip budget."""
     leaves = jax.tree_util.tree_leaves(tree)
-    total = sum(leaf.size * 2 for leaf in leaves if _candidate(leaf))
+    total = sum(_nbytes(leaf) for leaf in leaves if _candidate(leaf))
     if total == 0 or total > _BUDGET_BYTES:
         return tree
     z = jnp.real(x.ravel()[0])
-    one = (jnp.where(jnp.isfinite(z), z * 0, jnp.zeros_like(z)) + 1).astype(
-        jnp.bfloat16
-    )
+    one = jnp.where(jnp.isfinite(z), z * 0, jnp.zeros_like(z)) + 1
     return jax.tree_util.tree_map(
-        lambda leaf: leaf * one if _candidate(leaf) else leaf, tree
+        lambda leaf: leaf * one.astype(leaf.dtype) if _candidate(leaf) else leaf,
+        tree,
     )

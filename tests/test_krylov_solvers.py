@@ -253,7 +253,22 @@ def test_chain_resident_exact_bf16(rng):
         y = op16 @ x
         x = y / jnp.linalg.norm(y)
     np.testing.assert_array_equal(got, np.asarray(x))
-    # f32 pass-through: same object tree (no leaf touched)
-    opf = lo.LinearOperator(jnp.asarray(A))
-    hinted = res.chain_resident(opf, v)
+    # sub-threshold pass-through: same object tree (no leaf touched)
+    opf = lo.LinearOperator(jnp.asarray(A[:64, :64]))
+    hinted = res.chain_resident(opf, v[:64])
     assert hinted.A is opf.A
+    # over-budget f32 pass-through (budget check without allocating: fake
+    # big leaves by lowering the budget)
+    old_budget = res._BUDGET_BYTES
+    res._BUDGET_BYTES = 1 << 20
+    try:
+        opf2 = lo.LinearOperator(jnp.asarray(A))  # 4 MiB > 1 MiB budget
+        hinted2 = res.chain_resident(opf2, v)
+        assert hinted2.A is opf2.A
+    finally:
+        res._BUDGET_BYTES = old_budget
+    # f32 within budget: rematerialized but exact
+    opf3 = lo.LinearOperator(jnp.asarray(A))
+    hinted3 = res.chain_resident(opf3, v)
+    assert hinted3.A is not opf3.A
+    np.testing.assert_array_equal(np.asarray(hinted3.A), np.asarray(opf3.A))
