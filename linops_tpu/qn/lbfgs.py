@@ -157,6 +157,10 @@ def inverse_apply_compact(state: LBFGSState, x):
     pq = pmatmul(W, x)
     p, q = pq[:mem], pq[mem:]
 
+    # middle stage: two (mem, mem) triangular substitutions. Measured
+    # FASTER on TPU than the algebraically-equivalent single (2mem, 2mem)
+    # dense solve of [[0, R], [Rᵀ, D+γYᵀY]] (349 vs 529 µs at n=1e6,
+    # mem=16): the 32×32 LU costs more than two 16×16 substitutions.
     from jax.scipy.linalg import solve_triangular
 
     w1 = solve_triangular(R, p, lower=False)
