@@ -399,10 +399,13 @@ def main():
         M = jnp.ones((ns, k), dtype)
         Res = jnp.zeros((ns, k), dtype)
 
+        from linops_tpu.utils.residency import chain_resident
+
         @jax.jit
         def chain(op, M, Res, iters):
             from jax import lax as _lax
 
+            op = chain_resident(op, M)  # bf16 tier fits on-chip; f32 skips
             def body(_, carry):
                 M, Res = carry
                 out = 1.0 * op.apply_matrix(M, "N") + 0.5 * Res
