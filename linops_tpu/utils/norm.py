@@ -16,6 +16,7 @@ import functools
 import warnings
 
 import jax
+from .residency import chain_resident
 from ..core.precision import pdot, pmatmul, pvdot
 import jax.numpy as jnp
 
@@ -32,6 +33,7 @@ def _real_eps(dtype) -> float:
 @functools.partial(jax.jit, static_argnames=("maxiter",))
 def _normest_jit(op, v0, reseed_noise, tol, maxiter):
     dt = v0.dtype
+    op = chain_resident(op, v0)
 
     x = op.apply(v0, "H")
     e0_init = jnp.linalg.norm(x)
@@ -101,6 +103,7 @@ def _lanczos_extreme(op, v0, ncv, gram):
     """Lanczos with full reorthogonalization; returns (theta, resid) for the
     largest-|.|-eigenvalue Ritz pair of `op` (gram=False, hermitian op) or of
     A^H A (gram=True)."""
+    op = chain_resident(op, v0)
     n = v0.shape[0]
     dt = v0.dtype
 
