@@ -116,7 +116,7 @@ def main():
                 shape=(ns, ns)))
         t16 = _marginal_apply_time(opB16, vs.astype(jnp.bfloat16), reps=2)
         detail["spmv_bf16_gnnz_per_s"] = round(nnz / t16 / 1e9, 3)
-        detail["spmv_bf16_gbs_2B"] = round(nnz * 2 / t16 / 1e9, 2)
+        detail["spmv_bf16_us_per_apply"] = round(t16 * 1e6, 1)
 
     def sec_spmv_resident():
         # on-chip residency tier (utils/residency.py): operators whose
@@ -229,7 +229,10 @@ def main():
         L = lo.laplacian_2d(ngrid, ngrid, dtype=dtype)  # n ≈ 4.2M
         vl = jnp.ones((ngrid * ngrid,), dtype)
         t = _marginal_apply_time(L, vl, reps=2)
-        detail["stencil_dia_gbs"] = round(7 * ngrid * ngrid * bpe / t / 1e9, 2)
+        # APPARENT bandwidth (nominal traffic / time): the working set is
+        # VMEM-resident across the chain, so this exceeds the HBM ceiling
+        # by design and is not a streaming claim
+        detail["stencil_dia_apparent_gbs"] = round(7 * ngrid * ngrid * bpe / t / 1e9, 2)
         detail["stencil_dia_gnnz_per_s"] = round(5 * ngrid * ngrid / t / 1e9, 3)
         detail["stencil_us_per_apply"] = round(t * 1e6, 1)
 
@@ -242,7 +245,8 @@ def main():
         )
         t = _marginal_apply_time(chain, jnp.ones((n,), dtype), reps=2)
         detail["chain_us_per_apply"] = round(t * 1e6, 1)
-        detail["chain_gbs"] = round(4 * n * bpe / t / 1e9, 2)
+        # APPARENT bandwidth (see stencil note): VMEM-resident working set
+        detail["chain_apparent_gbs"] = round(4 * n * bpe / t / 1e9, 2)
 
     def sec_lbfgs():
         n = 1_000_000
