@@ -86,9 +86,14 @@ def main():
     t_spmv = _marginal_apply_time(opB, vs, reps=3)
     # plausibility guard: a reading above the measured streaming ceiling
     # means the marginal deltas came out low (observed once on the relay);
-    # re-measure and keep the slower (physically admissible) timing.
-    if blocks.size * bpe / t_spmv / 1e9 > 747.0 * 1.02:
+    # re-measure (bounded) and keep the slower (physically admissible)
+    # timing, flagging the JSON if it still exceeds the ceiling.
+    for _ in range(2):
+        if blocks.size * bpe / t_spmv / 1e9 <= 747.0 * 1.02:
+            break
         t_spmv = max(t_spmv, _marginal_apply_time(opB, vs, reps=3))
+    if blocks.size * bpe / t_spmv / 1e9 > 747.0 * 1.02:
+        detail["spmv_implausible_above_ceiling"] = True
     detail["headline_measure_s"] = round(time.time() - t0, 1)  # incl. compiles
     nnz = int(blocks.size)
     spmv_gbs = nnz * bpe / t_spmv / 1e9
@@ -108,9 +113,11 @@ def main():
             detail[name] = f"error: {type(e).__name__}: {str(e)[:200]}"
 
     def sec_spmv_bf16():
-        # bf16 storage tier on the headline 128x128 shape: half the bytes
-        # per nnz, still streaming-bound (measured 95.7 us = 350.6 Gnnz/s
-        # = 701 GB/s at 2 B/nnz ~ 0.94 of the measured ceiling)
+        # bf16 storage tier on the headline 128x128 shape. The 67 MB of
+        # bf16 blocks fit the residency budget, so the chain drivers keep
+        # them ON-CHIP (utils/residency.py) and this records the
+        # MXU-bound resident rate (~27 us, ~1275 Gnnz/s) — NOT a
+        # streaming figure (streamed-from-HBM reference: 95.7 us)
         opB16 = lo.BSROperator(
             BSR(blocks=blocks.astype(jnp.bfloat16), block_cols=cols,
                 shape=(ns, ns)))

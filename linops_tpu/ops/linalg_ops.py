@@ -9,7 +9,7 @@ apply (reference semantics, src/linalg.jl:20-32).
 from __future__ import annotations
 
 import jax
-from ..core.precision import pdot, pmatmul, pvdot
+from ..core.precision import pmatmul, pvdot
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 

@@ -22,7 +22,7 @@ import functools
 from typing import Optional
 
 import jax
-from ..core.precision import pdot, pmatmul, pvdot
+from ..core.precision import pmatmul
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

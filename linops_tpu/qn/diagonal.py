@@ -19,7 +19,7 @@ where the reference's do):
 from __future__ import annotations
 
 import jax
-from ..core.precision import pdot, pmatmul, pvdot
+from ..core.precision import pdot
 import jax.numpy as jnp
 
 from ..core.base import LinearOperator, register_operator

@@ -121,7 +121,7 @@ def lsr1_apply_matrix_compact(state: LSR1State, X):
 def lsr1_diag(state: LSR1State):
     """diag(B) = 1/γ + Σ aᵢ²/⟨aᵢ,sᵢ⟩ (reference src/lsr1.jl:196-211)."""
     coef = jnp.where(state.ys != 0, _safe_div(jnp.ones_like(state.as_), state.as_), 0.0)
-    return 1.0 / state.gamma + coef @ (state.A**2)
+    return 1.0 / state.gamma + pmatmul(coef, state.A**2)
 
 
 @functools.partial(jax.jit, static_argnames=("scaling", "with_a"))

@@ -25,7 +25,7 @@ from __future__ import annotations
 import functools
 
 import jax
-from ..core.precision import pdot, pmatmul, pvdot
+from ..core.precision import pdot, pmatmul
 import jax.numpy as jnp
 from jax import lax
 

@@ -27,6 +27,9 @@ import numpy as np
 
 from ..core.base import (LinearOperator, LinearOperatorException,
                          register_operator)
+# precision follows storage (HIGHEST for f32+, DEFAULT for bf16 inputs);
+# rationale and measurements: core/precision.py and docs/performance.md
+from ..core.precision import matmul_precision
 from .formats import (
     BSR,
     COO,
@@ -71,27 +74,13 @@ def coo_matmat(vals, rows, cols, nrow, X, sorted_rows=False):
     )
 
 
-def _bsr_precision(*dtypes):
-    """Precision follows storage: TPU MXU matmuls at DEFAULT truncate f32
-    inputs to bf16 (measured rel err 1.7e-3 at the bench shape) — and XLA
-    may hoist that convert out of chain loops and cache the shrunken
-    blocks in VMEM, silently trading accuracy for speed. For f32+ inputs
-    we force HIGHEST (3 bf16 passes, f32-exact): free on the HBM-bound
-    matvecs (182.7 vs 183.9 µs/apply). Callers who want the fast MXU path
-    opt in by STORING bf16 blocks (any bf16 input → DEFAULT = the single
-    exact bf16 pass)."""
-    if any(jnp.dtype(d) == jnp.bfloat16 for d in dtypes):
-        return jax.lax.Precision.DEFAULT
-    return jax.lax.Precision.HIGHEST
-
-
 def bsr_matvec(blocks, block_cols, x_padded_blocks):
     """y-blocks = Σ_k blocks[r,k] @ x_blocks[block_cols[r,k]] — one batched
     contraction (nbrow·kmax small matvecs fused by XLA onto the MXU)."""
     xg = x_padded_blocks[block_cols]  # (nbrow, kmax, bn)
     return jnp.einsum(
         "rkmn,rkn->rm", blocks, xg,
-        precision=_bsr_precision(blocks.dtype, xg.dtype),
+        precision=matmul_precision(blocks.dtype, xg.dtype),
         preferred_element_type=jnp.result_type(blocks.dtype, xg.dtype),
     )
 
@@ -103,7 +92,7 @@ def bsr_matmat(blocks, block_cols, X_blocks):
     Xg = X_blocks[block_cols]  # (nbrow, kmax, bn, k)
     return jnp.einsum(
         "rkmn,rknc->rmc", blocks, Xg,
-        precision=_bsr_precision(blocks.dtype, Xg.dtype),
+        precision=matmul_precision(blocks.dtype, Xg.dtype),
         preferred_element_type=jnp.result_type(blocks.dtype, Xg.dtype),
     )
 
@@ -112,7 +101,7 @@ def bsr_rmatvec(blocks, block_cols, u_blocks, nbcol):
     """Transpose apply: scatter blockᵀ·u contributions to column blocks."""
     contrib = jnp.einsum(
         "rkmn,rm->rkn", blocks, u_blocks,
-        precision=_bsr_precision(blocks.dtype, u_blocks.dtype),
+        precision=matmul_precision(blocks.dtype, u_blocks.dtype),
         preferred_element_type=jnp.result_type(blocks.dtype, u_blocks.dtype),
     )  # (nbrow, kmax, bn)
     kflat = contrib.reshape(-1, contrib.shape[-1])
