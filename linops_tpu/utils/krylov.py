@@ -50,7 +50,14 @@ def cg(op: LinearOperator, b, x0=None, *, tol: float = 1e-8, maxiter: int = 100,
        M: LinearOperator = None):
     """Conjugate gradients on a symmetric positive-definite operator, with an
     optional operator preconditioner M ≈ A⁻¹ (e.g. an InverseLBFGSOperator).
-    Returns (x, iterations, final residual norm). Entirely on device."""
+    Returns (x, iterations, final residual norm). Entirely on device.
+
+    A 2-D ``b`` of shape (n, k) solves all k systems simultaneously
+    (independent per-column recurrences over multi-RHS ``apply_matrix``,
+    so every operator read is amortized over k columns; converged columns
+    freeze). Returns (X, iterations, per-column residual norms)."""
+    if getattr(b, "ndim", 1) == 2:
+        return _cg_multi(op, b, x0, tol=tol, maxiter=maxiter, M=M)
     dt = jnp.result_type(b.dtype, op.dtype)
     b = b.astype(dt)
     op, M = chain_resident((op, M), b)
@@ -82,6 +89,56 @@ def cg(op: LinearOperator, b, x0=None, *, tol: float = 1e-8, maxiter: int = 100,
     init = (x, r, p, rz, jnp.zeros((), jnp.int32), jnp.linalg.norm(r))
     x, r, _, _, k, res = lax.while_loop(cond, body, init)
     return x, k, res
+
+
+def _cg_multi(op: LinearOperator, B, X0=None, *, tol: float = 1e-8,
+              maxiter: int = 100, M: LinearOperator = None):
+    """Multi-RHS CG: k independent per-column recurrences in ONE compiled
+    loop over ``apply_matrix`` (each operator read amortized over the k
+    columns — the SpMM tier). Converged or broken-down columns freeze
+    (their α is forced to 0), so late columns don't NaN early ones."""
+    dt = jnp.result_type(B.dtype, op.dtype)
+    B = B.astype(dt)
+    op, M = chain_resident((op, M), B)
+    X = jnp.zeros_like(B) if X0 is None else X0.astype(dt)
+
+    def prec(R):
+        return M.apply_matrix(R, "N").astype(dt) if M is not None else R
+
+    def cdot(U, V):  # per-column <u, v>
+        return jnp.sum(jnp.conj(U) * V, axis=0)
+
+    R = B - op.apply_matrix(X, "N")
+    Z = prec(R)
+    P = Z
+    rz = cdot(R, Z)
+    tol2 = (tol * jnp.linalg.norm(B, axis=0)) ** 2
+
+    def active(R):
+        return cdot(R, R).real > tol2
+
+    def cond(state):
+        _, R, _, _, k = state
+        return jnp.any(active(R)) & (k < maxiter)
+
+    def body(state):
+        X, R, P, rz, k = state
+        act = active(R)
+        AP = op.apply_matrix(P, "N")
+        pAp = cdot(P, AP)
+        safe = jnp.where(act & (pAp != 0), pAp, 1.0)
+        alpha = jnp.where(act, rz / safe, 0.0)
+        X = X + P * alpha[None, :]
+        R = R - AP * alpha[None, :]
+        Z = prec(R)
+        rz_new = cdot(R, Z)
+        beta = jnp.where(act & (rz != 0), rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        P = Z + P * beta[None, :]
+        return X, R, P, rz_new, k + 1
+
+    init = (X, R, P, rz, jnp.zeros((), jnp.int32))
+    X, R, _, _, k = lax.while_loop(cond, body, init)
+    return X, k, jnp.sqrt(cdot(R, R).real)
 
 
 @functools.partial(jax.jit, static_argnames=("restart", "maxiter"))

@@ -272,3 +272,38 @@ def test_chain_resident_exact_bf16(rng):
     hinted3 = res.chain_resident(opf3, v)
     assert hinted3.A is not opf3.A
     np.testing.assert_array_equal(np.asarray(hinted3.A), np.asarray(opf3.A))
+
+
+# ---------------------------------------------------------------- multi-RHS CG
+
+def test_cg_multi_rhs(rng):
+    """2-D b solves all k systems in one loop over apply_matrix; each
+    column matches the dense solve."""
+    n, k = 48, 5
+    Mx = rng.standard_normal((n, n))
+    A = Mx @ Mx.T + n * np.eye(n)
+    op = lo.LinearOperator(jnp.asarray(A), symmetric=True, hermitian=True)
+    B = rng.standard_normal((n, k))
+    X, it, res = lo.cg(op, jnp.asarray(B), tol=1e-12, maxiter=4 * n)
+    assert res.shape == (k,)
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(A, B),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_cg_multi_rhs_preconditioned_and_freeze(rng):
+    """Mixed convergence speeds: an already-solved column (b = A e_0
+    scaled tiny) must freeze without poisoning the others; Jacobi
+    preconditioning works columnwise."""
+    n, k = 40, 3
+    Mx = rng.standard_normal((n, n))
+    A = Mx @ Mx.T + np.diag(np.linspace(1, 100, n))
+    op = lo.LinearOperator(jnp.asarray(A), symmetric=True, hermitian=True)
+    B = rng.standard_normal((n, k))
+    B[:, 0] = 0.0  # zero column converges at iteration 0
+    Mpre = lo.opDiagonal(jnp.asarray(1.0 / np.diag(A)))
+    X, it, res = lo.cg(op, jnp.asarray(B), tol=1e-10, maxiter=6 * n, M=Mpre)
+    assert np.all(np.isfinite(np.asarray(X)))
+    np.testing.assert_allclose(np.asarray(X[:, 0]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(X[:, 1:]),
+                               np.linalg.solve(A, B[:, 1:]),
+                               rtol=1e-6, atol=1e-7)
