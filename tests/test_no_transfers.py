@@ -34,7 +34,8 @@ def test_hot_paths_no_host_transfers(rng):
     _ = lo.matvec_chain(op, v, 5)
     B.push(s, y)
     _ = B @ v
-    _ = lo.mul(op, v, 2.0, 0.5, jnp.zeros_like(v))
+    res0 = jnp.zeros_like(v)
+    _ = lo.mul(op, v, two, tol, res0)
 
     with jax.transfer_guard("disallow"):
         for _ in range(3):
@@ -43,7 +44,7 @@ def test_hot_paths_no_host_transfers(rng):
         _ = lo.matvec_chain(op, w, 5)
         B.push(jnp.sin(v), jnp.cos(v) * two)  # QN state swap
         _ = B @ v
-        _ = lo.mul(op, v, two, tol, jnp.zeros_like(v))  # 5-arg axpby
+        _ = lo.mul(op, v, two, tol, res0)  # 5-arg axpby
     # host fetch OUTSIDE the guard
     assert np.all(np.isfinite(np.asarray(x)))
     assert np.all(np.isfinite(np.asarray(w)))
