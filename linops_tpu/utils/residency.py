@@ -18,7 +18,10 @@ over a chain — and is numerically exact (bf16 ``v*1 == v``).
 bf16 and f32 float leaves are hoisted (the multiply by 1 is exact in
 both); small leaves gain nothing and are skipped. The budget below is
 empirical (64 MiB measured resident on v5e); oversized totals skip the
-hint entirely so no copy is wasted.
+hint entirely so no copy is wasted. The check uses GLOBAL leaf sizes, so
+sharded operators whose per-device shards would fit are conservatively
+skipped — a safe under-approximation (the hint is an optimization, never
+a semantic change).
 """
 
 from __future__ import annotations
