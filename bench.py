@@ -458,6 +458,9 @@ def main():
         bsol = jnp.ones((ng * ng,), dtype)
 
         def per_iter(fn, lo_it, hi_it, **kw):
+            # span must dwarf the relay's per-call jitter (~10-30 ms): at
+            # ~200-300 us/iter a 500-iteration delta gives a 100-150 ms
+            # signal (a 100-iteration delta measured 0.0 once)
             ds = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -469,10 +472,10 @@ def main():
                 ds.append(max(b - a, 1e-9) / (hi_it - lo_it))
             return sorted(ds)[1]
 
-        detail["cg_us_per_iter"] = round(per_iter(lo.cg, 10, 110) * 1e6, 1)
+        detail["cg_us_per_iter"] = round(per_iter(lo.cg, 10, 510) * 1e6, 1)
         if _budget_left():
             detail["minres_us_per_iter"] = round(
-                per_iter(lo.minres, 10, 110) * 1e6, 1)
+                per_iter(lo.minres, 10, 510) * 1e6, 1)
 
     def sec_scaling():
         # multi-device scaling harness on the virtual 8-device CPU mesh
