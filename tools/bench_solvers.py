@@ -47,17 +47,17 @@ def main():
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
-    t = per_iter(lo.cg, A, b, 10, 110)
+    t = per_iter(lo.cg, A, b, 10, 510)
     # CG touches ~5 n-vectors per iteration (x,r,p,Ap,z) at ~2 passes each
     print(f"cg:       {t*1e6:8.1f} us/iter", flush=True)
 
-    t = per_iter(lo.minres, A, b, 10, 110)
+    t = per_iter(lo.minres, A, b, 10, 510)
     print(f"minres:   {t*1e6:8.1f} us/iter", flush=True)
 
-    t = per_iter(lo.bicgstab, A, b, 10, 110)
+    t = per_iter(lo.bicgstab, A, b, 10, 510)
     print(f"bicgstab: {t*1e6:8.1f} us/iter (2 applies/iter)", flush=True)
 
-    t = per_iter(lo.lsqr, A, b, 10, 110)
+    t = per_iter(lo.lsqr, A, b, 10, 510)
     print(f"lsqr:     {t*1e6:8.1f} us/iter (fwd+adj applies)", flush=True)
 
     # GMRES: marginal cost per RESTART CYCLE (30 Arnoldi steps + small
