@@ -99,6 +99,7 @@ from .sparse import (
 )
 
 from .utils.norm import normest, estimate_opnorm
+from .utils.estimate import estimate_trace, estimate_diagonal
 from .utils.krylov import (matvec_chain, cg, gmres, minres, bicgstab, lsqr,
                            power_iteration)
 from .utils.checkpoint import save_operator, load_operator_state, op_state
@@ -209,6 +210,8 @@ __all__ = [
     "load_operator_state",
     "op_state",
     "estimate_opnorm",
+    "estimate_trace",
+    "estimate_diagonal",
     "check_ctranspose",
     "check_hermitian",
     "check_positive_definite",

@@ -1,0 +1,122 @@
+"""Stochastic trace/diagonal estimation (capability upgrade; no reference
+counterpart — LinearOperators.jl leaves probe loops to clients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import linops_tpu as lo
+from helpers import simple_matrix
+
+KEY = jax.random.PRNGKey(7)
+
+
+def test_hutchinson_trace_matches_dense(rng):
+    A = simple_matrix(np.float64, 60, 60, rng)
+    op = lo.LinearOperator(A)
+    true_tr = float(np.trace(A))
+    est, se = lo.estimate_trace(op, probes=4000, key=KEY, method="hutchinson")
+    assert isinstance(est, float)
+    assert abs(est - true_tr) < 6 * max(se, 1e-12)
+
+
+def test_hutchpp_exact_on_low_rank(rng):
+    # Hutch++'s sketch captures a rank-r operator exactly once the sketch
+    # width exceeds r: the deflated residual is the zero operator.
+    n, r = 80, 5
+    U = rng.standard_normal((n, r))
+    V = rng.standard_normal((n, r))
+    A = U @ V.T
+    op = lo.LinearOperator(A)
+    est, se = lo.estimate_trace(op, probes=3 * 12, key=KEY, method="hutchpp")
+    true_tr = float(np.trace(A))
+    assert abs(est - true_tr) < 1e-8 * max(abs(true_tr), 1.0)
+    assert se < 1e-8
+
+
+def test_hutchpp_beats_hutchinson_on_decaying_spectrum(rng):
+    n = 120
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = 1.0 / (1.0 + np.arange(n)) ** 2
+    A = (Q * lam) @ Q.T
+    op = lo.LinearOperator(A)
+    true_tr = float(np.trace(A))
+    errs_pp, errs_h = [], []
+    for s in range(5):
+        k = jax.random.PRNGKey(100 + s)
+        e1, _ = lo.estimate_trace(op, probes=30, key=k, method="hutchpp")
+        e2, _ = lo.estimate_trace(op, probes=30, key=k, method="hutchinson")
+        errs_pp.append(abs(e1 - true_tr))
+        errs_h.append(abs(e2 - true_tr))
+    assert np.median(errs_pp) <= np.median(errs_h)
+
+
+def test_trace_on_lazy_graph(rng):
+    # estimators see only apply(): any graph node works
+    n = 50
+    d = jnp.asarray(rng.standard_normal(n))
+    A = simple_matrix(np.float64, n, n, rng)
+    graph = 2.0 * lo.opDiagonal(d) + lo.LinearOperator(A) @ lo.opEye(n, dtype=jnp.float64)
+    true_tr = float(2.0 * np.sum(np.asarray(d)) + np.trace(A))
+    est, se = lo.estimate_trace(graph, probes=3000, key=KEY, method="hutchinson")
+    assert abs(est - true_tr) < 6 * max(se, 1e-12)
+
+
+def test_trace_complex(rng):
+    n = 40
+    A = simple_matrix(np.complex128, n, n, rng)
+    op = lo.LinearOperator(A)
+    est, se = lo.estimate_trace(op, probes=3 * 20, key=KEY, method="hutchpp")
+    assert isinstance(est, complex)
+    true_tr = complex(np.trace(A))
+    assert abs(est - true_tr) < 10 * max(se, 1e-10) + 0.3 * abs(true_tr)
+
+
+def test_trace_rejects_rectangular(rng):
+    A = simple_matrix(np.float64, 10, 7, rng)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.estimate_trace(lo.LinearOperator(A))
+    with pytest.raises(lo.LinearOperatorException):
+        lo.estimate_diagonal(lo.LinearOperator(A))
+    with pytest.raises(ValueError):
+        lo.estimate_trace(lo.LinearOperator(simple_matrix(np.float64, 5, 5, rng)),
+                          probes=0)
+    with pytest.raises(ValueError):
+        lo.estimate_trace(lo.LinearOperator(simple_matrix(np.float64, 5, 5, rng)),
+                          method="nope")
+
+
+def test_diagonal_exact_on_diagonal_operator(rng):
+    # zero off-diagonal mass -> zero estimator variance: exact at 1 probe
+    d = jnp.asarray(rng.standard_normal(64))
+    est, se = lo.estimate_diagonal(lo.opDiagonal(d), probes=1, key=KEY)
+    np.testing.assert_allclose(np.asarray(est), np.asarray(d), rtol=1e-12)
+    assert float(jnp.max(se)) == 0.0
+
+
+def test_diagonal_converges_on_dense(rng):
+    A = simple_matrix(np.float64, 48, 48, rng)
+    op = lo.LinearOperator(A)
+    est, se = lo.estimate_diagonal(op, probes=6000, key=KEY)
+    err = np.abs(np.asarray(est) - np.diag(A))
+    tol = 6 * np.maximum(np.asarray(se), 1e-12)
+    assert np.all(err < tol)
+
+
+def test_estimators_accept_bare_matrices(rng):
+    A = simple_matrix(np.float64, 16, 16, rng)
+    est, _ = lo.estimate_trace(A, probes=2000, key=KEY, method="hutchinson")
+    assert abs(est - np.trace(A)) < 2.0
+    d, _ = lo.estimate_diagonal(A, probes=2000, key=KEY)
+    assert d.shape == (16,)
+
+
+def test_trace_fresh_keys_differ(rng):
+    # default key=None draws OS entropy: two calls should (overwhelmingly)
+    # not collide on a noisy operator
+    A = simple_matrix(np.float64, 30, 30, rng)
+    op = lo.LinearOperator(A)
+    e1, _ = lo.estimate_trace(op, probes=4, method="hutchinson")
+    e2, _ = lo.estimate_trace(op, probes=4, method="hutchinson")
+    assert e1 != e2
