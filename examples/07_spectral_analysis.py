@@ -1,0 +1,63 @@
+"""Matrix-free spectral analysis of an operator graph.
+
+Round-2+ capabilities working together on a pure operator (never
+densified): LOBPCG extremal eigenpairs, Hutch++ trace, Bekas diagonal
+probes, and a Lanczos opnorm — all batched block applies that ride the
+MXU on TPU.
+
+Run: JAX_PLATFORMS=cpu python examples/07_spectral_analysis.py
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+import linops_tpu as lo
+
+# A graph-structured hermitian operator: 2-D Laplacian + a strongly
+# varying diagonal potential (a discrete Schroedinger operator)
+ng = 48
+n = ng * ng
+key = jax.random.PRNGKey(0)
+potential = 0.5 + 50.0 * jax.random.uniform(key, (n,), dtype=jnp.float64) ** 4
+A = lo.laplacian_2d(ng, ng, dtype=jnp.float64) + lo.opDiagonal(potential)
+assert A.hermitian
+
+# --- extremal eigenpairs (ground states of the discrete Schroedinger op) ---
+# Jacobi preconditioning (the diagonal is known analytically here)
+M = lo.opDiagonal(1.0 / (4.0 + potential))
+theta, X, res, iters_m = lo.lobpcg(A, k=4, tol=1e-8, maxiter=500, M=M,
+                                   key=jax.random.PRNGKey(1))
+print(f"lowest 4 eigenvalues: {np.asarray(theta)}  ({iters_m} iterations)")
+_, _, _, iters = lo.lobpcg(A, k=4, tol=1e-8, maxiter=500,
+                           key=jax.random.PRNGKey(1))
+print(f"without the Jacobi preconditioner: {iters} iterations")
+
+# --- trace: exact value is 4n + sum(potential); Hutch++ nails the
+# smooth spectrum with a small probe budget -------------------------------
+tr_true = 4.0 * n + float(jnp.sum(potential))
+est, se = lo.estimate_trace(A, probes=96, key=jax.random.PRNGKey(2))
+print(f"trace: hutch++ {est:.2f} +- {se:.2f}   (exact {tr_true:.2f})")
+
+# --- diagonal probes (e.g. for building the Jacobi preconditioner when
+# the diagonal is NOT known analytically) ---------------------------------
+d_est, d_se = lo.estimate_diagonal(A, probes=256, key=jax.random.PRNGKey(3))
+d_true = 4.0 + potential
+err = float(jnp.max(jnp.abs(d_est - d_true)))
+print(f"diagonal probes: max err {err:.3f} (off-diagonal mass bounds the rate)")
+
+# --- opnorm: Lanczos (ARPACK-analogue) vs LOBPCG. On clustered spectrum
+# edges Lanczos can exhaust its retries and reports (nan, False) honestly;
+# lobpcg's blocked iteration with a preconditioner still converges. -------
+import warnings
+
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    nrm, ok = lo.estimate_opnorm(A)
+th_top, _, _, _ = lo.lobpcg(A, k=1, largest=True, tol=1e-8, maxiter=500,
+                            key=jax.random.PRNGKey(4))
+print(f"opnorm: lanczos {nrm:.4f} (converged: {ok}), "
+      f"lobpcg {float(th_top[0]):.4f}")

@@ -100,6 +100,7 @@ from .sparse import (
 
 from .utils.norm import normest, estimate_opnorm
 from .utils.estimate import estimate_trace, estimate_diagonal
+from .utils.eig import lobpcg
 from .utils.krylov import (matvec_chain, cg, gmres, minres, bicgstab, lsqr,
                            power_iteration)
 from .utils.checkpoint import save_operator, load_operator_state, op_state
@@ -212,6 +213,7 @@ __all__ = [
     "estimate_opnorm",
     "estimate_trace",
     "estimate_diagonal",
+    "lobpcg",
     "check_ctranspose",
     "check_hermitian",
     "check_positive_definite",

@@ -1,0 +1,198 @@
+"""LOBPCG block eigensolver for hermitian operators.
+
+Capability upgrade beyond the reference (LinearOperators.jl delegates
+eigenvalue work to Arpack/KrylovKit clients). LOBPCG (Knyazev 2001) is
+the TPU-natural choice: the entire iteration is block operations — one
+operator apply on an ``(n, 3k)`` basis block per iteration (MXU-shaped),
+a tiny ``(3k, 3k)`` Rayleigh–Ritz eigenproblem, and dense basis updates —
+compiled into a single ``lax.while_loop`` with static shapes.
+
+Robustness inside jit comes from BLOCKWISE orthonormalization: ``X`` is
+kept orthonormal by construction, ``W`` and ``P`` are orthogonalized
+against the earlier blocks (two Gram–Schmidt passes) and then SVQB'd
+(Stathopoulos & Wu 2002) individually. Block identity must be preserved
+— a joint whitening of ``[X, W, P]`` mixes the blocks, which breaks the
+implicit-P extraction (zeroing the X rows of the Ritz coordinates) and
+degrades the method to steepest descent (measured 2000 vs 158 iterations
+on a spectrum-1..100 test). Rank-deficient directions (e.g. the zero
+``P`` block on the first iteration) are zeroed and PENALIZED past the
+Gershgorin edge in the Rayleigh–Ritz selection so they are never picked
+— no dynamic basis shrinking, no recompiles.
+
+``AX`` is updated as ``(A S) C`` rather than re-applying the operator, so
+each iteration costs exactly one block apply of ``A`` (plus one of the
+preconditioner when given).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.base import LinearOperator, LinearOperatorException
+from ..core.precision import pmatmul
+from .residency import chain_resident
+from .rng import fresh_key
+
+__all__ = ["lobpcg"]
+
+
+def _svqb(S):
+    """Orthonormalize the columns of ``S`` (n, m); returns ``(Q, clipped)``.
+
+    ``clipped[j]`` marks directions with negligible Gram weight — their
+    columns of ``Q`` are ~zero and must be masked out of Rayleigh–Ritz
+    selection by the caller (SVQB with soft dropping)."""
+    m = S.shape[1]
+    rdt = jnp.real(S).dtype
+    eps = jnp.finfo(rdt).eps
+    # floors must stay in NORMAL float range: XLA flushes subnormals to
+    # zero, and a flushed-to-zero threshold lets 1/sqrt(0) through as inf
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny * 100, rdt)
+    G = pmatmul(jnp.conj(S).T, S)
+    d = jnp.real(jnp.diag(G))
+    dmax = jnp.max(d)
+    # scale-INVARIANT column keep: small-norm residual columns are exactly
+    # the refinement directions near convergence; only hard zeros drop here
+    # (dependence is judged on the normalized Gram spectrum below)
+    keep = d > jnp.maximum(dmax * jnp.asarray(1e-28, rdt), tiny)
+    Dinv = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, d, 1.0)), 0.0)
+    Gn = Dinv[:, None] * G * Dinv[None, :]
+    w, V = jnp.linalg.eigh(Gn)
+    clipped = w < jnp.maximum(jnp.max(w) * (m * 10) * eps, tiny)
+    winv = jnp.where(clipped, 0.0, 1.0 / jnp.sqrt(jnp.where(clipped, 1.0, w)))
+    T = (Dinv[:, None] * V) * winv[None, :]
+    return pmatmul(S, T.astype(S.dtype)), clipped
+
+
+@functools.partial(jax.jit, static_argnames=("k", "maxiter", "largest", "has_M"))
+def _lobpcg_jit(op, Mop, X0, tol, k, maxiter, largest, has_M):
+    n = X0.shape[0]
+    rdt = jnp.real(X0).dtype
+    op = chain_resident(op, X0)
+
+    def rr(S, AS, clipped):
+        """Rayleigh–Ritz on the (possibly soft-dropped) basis ``S``."""
+        H = pmatmul(jnp.conj(S).T, AS)
+        H = 0.5 * (H + jnp.conj(H).T)
+        # push clipped directions just past the Gershgorin edge so the
+        # k-selection below never picks them — a huge (1e6-scale) penalty
+        # would inflate ||H|| and with it eigh's backward error
+        big = 2.0 * jnp.max(jnp.sum(jnp.abs(H), axis=1)) + 1.0
+        sign = -1.0 if largest else 1.0
+        H = H + jnp.diag(jnp.where(clipped, sign * big, 0.0)).astype(H.dtype)
+        w, C = jnp.linalg.eigh(H)
+        if largest:
+            idx = jnp.arange(w.shape[0] - 1, w.shape[0] - 1 - k, -1)
+        else:
+            idx = jnp.arange(k)
+        return jnp.real(w)[idx], C[:, idx]
+
+    # initial Rayleigh–Ritz on the orthonormalized start block
+    X, clip0 = _svqb(X0)
+    AX = op.apply_matrix(X, "N")
+    theta, C = rr(X, AX, clip0)
+    X = pmatmul(X, C)
+    AX = pmatmul(AX, C)
+    P = jnp.zeros_like(X)
+
+    inf = jnp.full((k,), jnp.inf, rdt)
+
+    def cond(carry):
+        X, AX, P, theta, res, it = carry
+        return jnp.logical_and(
+            it < maxiter, jnp.max(res / jnp.maximum(jnp.abs(theta), 1.0)) > tol
+        )
+
+    def ortho_against(Y, Z):
+        # two Gram–Schmidt passes ("twice is enough") against orthonormal Z
+        for _ in range(2):
+            Y = Y - pmatmul(Z, pmatmul(jnp.conj(Z).T, Y))
+        return Y
+
+    def body(carry):
+        X, AX, P, theta, _, it = carry
+        R = AX - X * theta[None, :].astype(X.dtype)
+        res = jnp.linalg.norm(R, axis=0)
+        W = Mop.apply_matrix(R, "N") if has_M else R
+        # blockwise orthonormal basis [X | W | P]: block identity is what
+        # makes the implicit-P row-zeroing below meaningful
+        W, cW = _svqb(ortho_against(W, X))
+        Pb = ortho_against(P, X)
+        Pb = Pb - pmatmul(W, pmatmul(jnp.conj(W).T, Pb))
+        Pb, cP = _svqb(Pb)
+        S = jnp.concatenate([X, W, Pb], axis=1)  # (n, 3k)
+        clipped = jnp.concatenate(
+            [jnp.zeros((k,), bool), cW, cP]
+        )
+        AS = op.apply_matrix(S, "N")
+        theta_new, C = rr(S, AS, clipped)
+        Xn = pmatmul(S, C)
+        AXn = pmatmul(AS, C)
+        # implicit P: the W+P contribution to the new X (zero the X rows)
+        Cp = C.at[:k, :].set(0)
+        Pn = pmatmul(S, Cp)
+        Rn = AXn - Xn * theta_new[None, :].astype(Xn.dtype)
+        return (Xn, AXn, Pn, theta_new, jnp.linalg.norm(Rn, axis=0), it + 1)
+
+    X, AX, P, theta, res, it = jax.lax.while_loop(
+        cond, body, (X, AX, P, theta, inf, jnp.zeros((), jnp.int32))
+    )
+    return theta, X, res, it
+
+
+def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
+           maxiter: int = 200, M=None, key=None):
+    """Extremal eigenpairs of a hermitian operator by LOBPCG.
+
+    Returns ``(theta, X, resnorms, iters)``: ``k`` eigenvalues (smallest
+    by default, ``largest=True`` for the other end), the ``(n, k)``
+    eigenvector block, final residual norms ``|A x - theta x|``, and the
+    iteration count. Converged when every ``resnorm <= tol * max(|theta|,
+    1)``. ``M`` is an (operator) preconditioner approximating ``A^{-1}``
+    — e.g. ``opDiagonal(1/diag)`` or an :class:`InverseLBFGSOperator`.
+    ``X0`` seeds the block (``(n, k)``); by default it is drawn from OS
+    entropy (pass ``key`` to pin determinism).
+
+    The operator must be hermitian (flag-checked); results on a
+    non-hermitian operator are meaningless.
+    """
+    if not isinstance(op, LinearOperator):
+        from ..core.dense import aslinearoperator
+
+        op = aslinearoperator(op)
+    m, n = op.shape
+    if m != n:
+        raise LinearOperatorException(f"lobpcg requires a square operator, got {(m, n)}")
+    if not op.hermitian:
+        raise LinearOperatorException(
+            "lobpcg requires a hermitian operator (set hermitian=True if the "
+            "operator is known hermitian)"
+        )
+    if not 1 <= k <= n // 4 + 1:
+        raise ValueError(f"k={k} out of range for n={n} (need k <= n/4+1 for the 3k basis)")
+    if M is not None and not isinstance(M, LinearOperator):
+        from ..core.dense import aslinearoperator
+
+        M = aslinearoperator(M)
+
+    dt = jnp.dtype(op.dtype)
+    if not jnp.issubdtype(dt, jnp.inexact):
+        dt = jnp.dtype(jnp.float64) if jax.config.jax_enable_x64 else jnp.dtype(jnp.float32)
+    if X0 is None:
+        if key is None:
+            key = fresh_key()
+        X0 = jax.random.normal(key, (n, k)).astype(dt)
+    else:
+        X0 = jnp.asarray(X0, dt)
+        if X0.shape != (n, k):
+            raise LinearOperatorException(f"X0 must have shape {(n, k)}, got {X0.shape}")
+
+    rdt = jnp.finfo(dt).dtype if not jnp.issubdtype(dt, jnp.complexfloating) else jnp.real(jnp.zeros((), dt)).dtype
+    Mop = M if M is not None else op  # unused when has_M=False (static)
+    theta, X, res, it = _lobpcg_jit(
+        op, Mop, X0, jnp.asarray(tol, rdt), k, maxiter, bool(largest), M is not None
+    )
+    return theta, X, res, int(it)

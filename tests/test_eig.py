@@ -1,0 +1,111 @@
+"""LOBPCG block eigensolver (capability upgrade; the reference delegates
+eigenvalue work to Arpack/KrylovKit clients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import linops_tpu as lo
+from helpers import simple_matrix
+
+KEY = jax.random.PRNGKey(11)
+
+
+def _spd(n, rng, lo_ev=1.0, hi_ev=100.0):
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.linspace(lo_ev, hi_ev, n)
+    return (Q * lam) @ Q.T, lam
+
+
+def test_lobpcg_smallest_matches_dense(rng):
+    A, lam = _spd(120, rng)
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    th, X, res, it = lo.lobpcg(op, k=3, tol=1e-9, maxiter=400, key=KEY)
+    np.testing.assert_allclose(np.asarray(th), lam[:3], rtol=1e-7)
+    assert it < 400
+    # eigenvectors: A x ~= theta x
+    for j in range(3):
+        v = np.asarray(X)[:, j]
+        assert np.linalg.norm(A @ v - lam[j] * v) < 1e-6
+    # block is orthonormal
+    G = np.asarray(X).T @ np.asarray(X)
+    np.testing.assert_allclose(G, np.eye(3), atol=1e-8)
+
+
+def test_lobpcg_largest(rng):
+    A, lam = _spd(100, rng)
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    th, X, res, it = lo.lobpcg(op, k=2, largest=True, tol=1e-9, maxiter=400, key=KEY)
+    np.testing.assert_allclose(np.asarray(th), lam[-2:][::-1], rtol=1e-7)
+
+
+def test_lobpcg_preconditioner_accelerates(rng):
+    n = 150
+    A, _ = _spd(n, rng)
+    D = np.abs(rng.standard_normal(n)) + 0.5
+    Ad = np.diag(D) + 0.01 * A
+    op = lo.LinearOperator(Ad, symmetric=True, hermitian=True)
+    M = lo.opDiagonal(jnp.asarray(1.0 / np.diag(Ad)))
+    th_m, _, _, it_m = lo.lobpcg(op, k=2, tol=1e-8, maxiter=500, M=M, key=KEY)
+    th_n, _, _, it_n = lo.lobpcg(op, k=2, tol=1e-8, maxiter=500, key=KEY)
+    wtrue = np.sort(np.linalg.eigvalsh(Ad))[:2]
+    np.testing.assert_allclose(np.asarray(th_m), wtrue, rtol=1e-6)
+    assert it_m < it_n  # Jacobi preconditioning must help on this matrix
+
+
+def test_lobpcg_complex_hermitian(rng):
+    n = 60
+    B = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = B + B.conj().T
+    op = lo.LinearOperator(H, hermitian=True)
+    th, X, res, it = lo.lobpcg(op, k=2, tol=1e-8, maxiter=400, key=KEY)
+    np.testing.assert_allclose(np.asarray(th), np.sort(np.linalg.eigvalsh(H))[:2],
+                               rtol=1e-6)
+
+
+def test_lobpcg_on_stencil_operator():
+    # 2-D Dirichlet Laplacian: lambda_ij = 4 - 2cos(i pi h) - 2cos(j pi h)
+    ng = 24
+    L = lo.laplacian_2d(ng, ng, dtype=jnp.float64)
+    th, X, res, it = lo.lobpcg(L, k=2, largest=True, tol=1e-7, maxiter=600, key=KEY)
+    h = np.pi / (ng + 1)
+    lam = np.sort(
+        [4 - 2 * np.cos(i * h) - 2 * np.cos(j * h)
+         for i in range(1, ng + 1) for j in range(1, ng + 1)]
+    )
+    np.testing.assert_allclose(np.asarray(th), lam[-2:][::-1], rtol=1e-5)
+
+
+def test_lobpcg_k1_and_explicit_x0(rng):
+    A, lam = _spd(80, rng)
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    X0 = rng.standard_normal((80, 1))
+    th, X, res, it = lo.lobpcg(op, k=1, X0=X0, tol=1e-9, maxiter=400)
+    assert abs(float(th[0]) - lam[0]) < 1e-6
+
+
+def test_lobpcg_validation(rng):
+    A = simple_matrix(np.float64, 10, 7, rng)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.lobpcg(lo.LinearOperator(A))
+    S = simple_matrix(np.float64, 10, 10, rng)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.lobpcg(lo.LinearOperator(S))  # hermitian flag not set
+    op = lo.LinearOperator(S + S.T, symmetric=True, hermitian=True)
+    with pytest.raises(ValueError):
+        lo.lobpcg(op, k=9)  # 3k basis would exceed n
+    with pytest.raises(lo.LinearOperatorException):
+        lo.lobpcg(op, k=2, X0=np.ones((10, 3)))
+
+
+def test_lobpcg_no_recompile_across_calls(rng):
+    from linops_tpu.utils.eig import _lobpcg_jit
+
+    A, _ = _spd(40, rng)
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    lo.lobpcg(op, k=2, tol=1e-6, maxiter=50, key=KEY)
+    c0 = _lobpcg_jit._cache_size()
+    for s in range(3):
+        lo.lobpcg(op, k=2, tol=1e-6, maxiter=50, key=jax.random.PRNGKey(s))
+    assert _lobpcg_jit._cache_size() == c0
