@@ -99,7 +99,8 @@ from .sparse import (
 )
 
 from .utils.norm import normest, estimate_opnorm
-from .utils.estimate import estimate_trace, estimate_diagonal
+from .utils.estimate import (estimate_trace, estimate_diagonal,
+                             estimate_spectral_sum, estimate_logdet)
 from .utils.eig import lobpcg
 from .utils.krylov import (matvec_chain, cg, gmres, minres, bicgstab, lsqr,
                            power_iteration)
@@ -213,6 +214,8 @@ __all__ = [
     "estimate_opnorm",
     "estimate_trace",
     "estimate_diagonal",
+    "estimate_spectral_sum",
+    "estimate_logdet",
     "lobpcg",
     "check_ctranspose",
     "check_hermitian",

@@ -15,6 +15,11 @@ over the operator, not ``k``.
   unbiased estimator.
 - ``estimate_diagonal`` — the Bekas/Kokiopoulou/Saad probe estimator:
   ``diag(A) ~= mean_k(g_k * (A g_k))`` for Rademacher ``g_k``.
+- ``estimate_spectral_sum`` / ``estimate_logdet`` — stochastic Lanczos
+  quadrature (Ubaru, Chen, Saad 2017): ``tr(f(A))`` for hermitian ``A``
+  via per-probe Gauss quadrature on the Lanczos tridiagonal; ``f = log``
+  gives the log-determinant, ``f = 1/x`` the trace of the inverse. All
+  probes run as one vmapped batch of Lanczos recurrences.
 
 Both compile to a single XLA computation (operators ride their normal
 precision-policy apply paths) and pin the operator's arrays on-chip via
@@ -29,11 +34,16 @@ import jax
 import jax.numpy as jnp
 
 from ..core.base import LinearOperator, LinearOperatorException
-from ..core.precision import pmatmul
+from ..core.precision import pmatmul, pvdot
 from .residency import chain_resident
 from .rng import fresh_key
 
-__all__ = ["estimate_trace", "estimate_diagonal"]
+__all__ = [
+    "estimate_trace",
+    "estimate_diagonal",
+    "estimate_spectral_sum",
+    "estimate_logdet",
+]
 
 
 def _probe_dtype(op):
@@ -171,3 +181,127 @@ def estimate_diagonal(op, *, probes: int = 64, key=None):
         key = fresh_key()
     G = _rademacher(key, (n, probes), dt)
     return _diag_probes(op, G)
+
+
+# ---------------------------------------------------------------------------
+# Stochastic Lanczos quadrature (tr f(A) for hermitian A)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("m", "reorth", "f"))
+def _slq(op, V0, m, reorth, f):
+    """Per-probe m-step Lanczos + Gauss quadrature; V0 is (n, k) with
+    unit-norm columns. Returns the k per-probe estimates of v^H f(A) v
+    (times n, folded in by the caller)."""
+    op = chain_resident(op, V0)
+    n = V0.shape[0]
+    dt = V0.dtype
+    rdt = jnp.real(V0).dtype
+
+    def lanczos(v0):
+        alphas = jnp.zeros((m,), rdt)
+        betas = jnp.zeros((m,), rdt)  # betas[j] couples step j to j+1
+
+        if reorth:
+            V = jnp.zeros((m, n), dt)
+        else:
+            V = jnp.zeros((1, n), dt)  # placeholder, untouched
+
+        def body(j, carry):
+            V, alphas, betas, v, v_prev, beta_prev = carry
+            if reorth:
+                V = V.at[j].set(v)
+            w = op.apply(v, "N") - beta_prev * v_prev
+            alpha = jnp.real(pvdot(v, w))
+            w = w - alpha.astype(dt) * v
+            if reorth:
+                # one full pass is enough at SLQ's modest m
+                w = w - pmatmul(V.T, pmatmul(jnp.conj(V), w))
+            beta = jnp.linalg.norm(w)
+            # invariant subspace reached: keep the recurrence inert
+            # (beta == 0 rows decouple from e1 in T, so their quadrature
+            # weight is exactly zero)
+            v_next = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0)
+            alphas = alphas.at[j].set(alpha)
+            betas = betas.at[j].set(jnp.real(beta))
+            return (V, alphas, betas, v_next, v, jnp.real(beta))
+
+        init = (V, alphas, betas, v0, jnp.zeros_like(v0), jnp.zeros((), rdt))
+        _, alphas, betas, _, _, _ = jax.lax.fori_loop(0, m, body, init)
+        return alphas, betas
+
+    alphas, betas = jax.vmap(lanczos, in_axes=1)(V0)  # (k, m) each
+
+    def quadrature(al, be):
+        T = jnp.diag(al) + jnp.diag(be[:-1], 1) + jnp.diag(be[:-1], -1)
+        theta, U = jnp.linalg.eigh(T)
+        w = U[0, :] ** 2  # Gauss weights = squared e1 components
+        # zero-weight nodes (decoupled trailing blocks after early
+        # termination) must not evaluate f at their spurious theta
+        cut = jnp.finfo(rdt).eps * m * 10
+        safe_theta = jnp.where(w > cut, theta, 1.0)
+        return jnp.sum(jnp.where(w > cut, w * f(safe_theta), 0.0))
+
+    return jax.vmap(quadrature)(alphas, betas)
+
+
+def estimate_spectral_sum(op, f, *, probes: int = 16, lanczos_steps: int = 30,
+                          key=None, reorth: bool = None):
+    """Estimate ``tr(f(op))`` for a hermitian operator by stochastic
+    Lanczos quadrature (Ubaru, Chen & Saad 2017).
+
+    ``f`` is a scalar spectral function applied elementwise to Ritz values
+    (any jnp-traceable callable, e.g. ``jnp.log``, ``lambda x: 1/x``,
+    ``jnp.exp``). Each of the ``probes`` Rademacher vectors runs
+    ``lanczos_steps`` of the Lanczos recurrence (all probes vmapped into
+    one computation — ``probes`` simultaneous matvec chains); the Gauss
+    quadrature on each tridiagonal integrates ``f`` against the probe's
+    spectral measure. Returns ``(estimate, stderr)``.
+
+    ``reorth`` adds full reorthogonalization (an ``(m, n)`` basis per
+    probe); default: on when the bases fit a ~256 MiB budget, off
+    otherwise (plain SLQ tolerates the loss per Paige's analysis, at some
+    bias on tight clusters). Accuracy needs ``f`` smooth on the spectrum:
+    for ``log`` / ``1/x`` the operator must be positive definite.
+    """
+    if not isinstance(op, LinearOperator):
+        from ..core.dense import aslinearoperator
+
+        op = aslinearoperator(op)
+    m_, n = op.shape
+    if m_ != n:
+        raise LinearOperatorException(
+            f"spectral sums require a square operator, got shape {(m_, n)}"
+        )
+    if not op.hermitian:
+        raise LinearOperatorException(
+            "estimate_spectral_sum requires a hermitian operator (set "
+            "hermitian=True if the operator is known hermitian)"
+        )
+    if probes < 1 or lanczos_steps < 1:
+        raise ValueError("probes and lanczos_steps must be >= 1")
+    m = int(min(lanczos_steps, n))
+    dt = _probe_dtype(op)
+    if key is None:
+        key = fresh_key()
+    if reorth is None:
+        itemsize = jnp.dtype(dt).itemsize
+        reorth = probes * m * n * itemsize <= 256 * 1024 * 1024
+    G = _rademacher(key, (n, probes), dt)
+    V0 = G / jnp.linalg.norm(G, axis=0, keepdims=True)
+    samples = n * _slq(op, V0, m, bool(reorth), f)
+    est = jnp.mean(samples)
+    se = jnp.std(samples) / jnp.sqrt(probes) if probes > 1 else jnp.zeros_like(est)
+    return float(est), float(se)
+
+
+def estimate_logdet(op, *, probes: int = 16, lanczos_steps: int = 30,
+                    key=None, reorth: bool = None):
+    """Estimate ``log det(op)`` of a hermitian positive-definite operator
+    (``tr(log op)`` by stochastic Lanczos quadrature). Returns
+    ``(estimate, stderr)``. A non-PD operator yields NaN (log of a
+    negative Ritz value) rather than a wrong finite answer."""
+    return estimate_spectral_sum(
+        op, jnp.log, probes=probes, lanczos_steps=lanczos_steps, key=key,
+        reorth=reorth,
+    )

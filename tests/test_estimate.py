@@ -120,3 +120,65 @@ def test_trace_fresh_keys_differ(rng):
     e1, _ = lo.estimate_trace(op, probes=4, method="hutchinson")
     e2, _ = lo.estimate_trace(op, probes=4, method="hutchinson")
     assert e1 != e2
+
+
+# ---------------------------------------------------------------------------
+# Stochastic Lanczos quadrature
+# ---------------------------------------------------------------------------
+
+
+def _spd_op(n, rng, lo_ev=0.5, hi_ev=10.0):
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.linspace(lo_ev, hi_ev, n)
+    A = (Q * lam) @ Q.T
+    return lo.LinearOperator(A, symmetric=True, hermitian=True), lam
+
+
+def test_logdet_matches_dense(rng):
+    op, lam = _spd_op(120, rng)
+    true_ld = float(np.sum(np.log(lam)))
+    est, se = lo.estimate_logdet(op, probes=64, lanczos_steps=40, key=KEY)
+    assert abs(est - true_ld) < 6 * max(se, 1e-10)
+
+
+def test_spectral_sum_trace_inverse(rng):
+    op, lam = _spd_op(100, rng)
+    true_ti = float(np.sum(1.0 / lam))
+    est, se = lo.estimate_spectral_sum(op, lambda x: 1.0 / x, probes=64,
+                                       lanczos_steps=40, key=KEY)
+    assert abs(est - true_ti) < 6 * max(se, 1e-10)
+
+
+def test_slq_exact_on_scaled_identity():
+    # Lanczos terminates at step 1 on c*I; the early-termination guard
+    # must zero the decoupled nodes instead of evaluating log(0)
+    op = lo.LinearOperator(3.0 * np.eye(20), symmetric=True, hermitian=True)
+    est, se = lo.estimate_logdet(op, probes=2, lanczos_steps=5, key=KEY)
+    assert abs(est - 20 * np.log(3.0)) < 1e-10
+    assert se < 1e-10
+
+
+def test_logdet_nan_on_indefinite(rng):
+    S = rng.standard_normal((30, 30))
+    S = S + S.T  # indefinite
+    op = lo.LinearOperator(S, symmetric=True, hermitian=True)
+    est, _ = lo.estimate_logdet(op, probes=4, lanczos_steps=20, key=KEY)
+    assert np.isnan(est)
+
+
+def test_slq_no_reorth_path(rng):
+    op, lam = _spd_op(80, rng)
+    true_ld = float(np.sum(np.log(lam)))
+    est, se = lo.estimate_logdet(op, probes=32, lanczos_steps=40, key=KEY,
+                                 reorth=False)
+    # no-reorth tolerates some bias; just demand the right ballpark
+    assert abs(est - true_ld) < 0.1 * abs(true_ld)
+
+
+def test_spectral_sum_validation(rng):
+    A = simple_matrix(np.float64, 10, 7, rng)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.estimate_spectral_sum(lo.LinearOperator(A), jnp.log)
+    S = simple_matrix(np.float64, 10, 10, rng)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.estimate_logdet(lo.LinearOperator(S))  # hermitian flag not set
