@@ -101,7 +101,7 @@ from .sparse import (
 from .utils.norm import normest, estimate_opnorm
 from .utils.estimate import (estimate_trace, estimate_diagonal,
                              estimate_spectral_sum, estimate_logdet)
-from .utils.eig import lobpcg
+from .utils.eig import lobpcg, svds
 from .utils.krylov import (matvec_chain, cg, gmres, minres, bicgstab, lsqr,
                            power_iteration)
 from .utils.checkpoint import save_operator, load_operator_state, op_state
@@ -217,6 +217,7 @@ __all__ = [
     "estimate_spectral_sum",
     "estimate_logdet",
     "lobpcg",
+    "svds",
     "check_ctranspose",
     "check_hermitian",
     "check_positive_definite",

@@ -31,12 +31,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core.base import LinearOperator, LinearOperatorException
+from ..core.base import (
+    LinearOperator,
+    LinearOperatorException,
+    register_operator,
+)
 from ..core.precision import pmatmul
 from .residency import chain_resident
 from .rng import fresh_key
 
-__all__ = ["lobpcg"]
+__all__ = ["lobpcg", "svds"]
 
 
 def _svqb(S):
@@ -196,3 +200,100 @@ def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
         op, Mop, X0, jnp.asarray(tol, rdt), k, maxiter, bool(largest), M is not None
     )
     return theta, X, res, int(it)
+
+
+# ---------------------------------------------------------------------------
+# Singular triplets via LOBPCG on the Gram operator
+# ---------------------------------------------------------------------------
+
+
+class _GramOperator(LinearOperator):
+    """``A^H A`` (side="right") or ``A A^H`` (side="left") as a first-class
+    hermitian-PSD operator node. ``Compose`` deliberately drops flags
+    (reference src/operations.jl:131-156), so ``op.H @ op`` would not be
+    accepted by hermitian-gated consumers (lobpcg, SLQ) — this node
+    carries the flag the structure guarantees."""
+
+    _fields_children = ("base",)
+    _fields_aux = ("side",)
+
+    def __init__(self, base: LinearOperator, side: str = "right"):
+        super().__init__()
+        if side not in ("right", "left"):
+            raise ValueError("side must be 'right' or 'left'")
+        self.base = base
+        self.side = side
+
+    @property
+    def nrow(self):
+        return self.base.ncol if self.side == "right" else self.base.nrow
+
+    ncol = nrow
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    @property
+    def hermitian(self):
+        return True
+
+    @property
+    def symmetric(self):
+        return not jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating)
+
+    def _gram(self, v, batched: bool):
+        ap = self.base.apply_matrix if batched else self.base.apply
+        if self.side == "right":
+            return ap(ap(v, "N"), "H")
+        return ap(ap(v, "H"), "N")
+
+    def apply(self, v, mode: str = "N"):
+        if mode in ("N", "H"):
+            return self._gram(v, False)
+        return jnp.conj(self._gram(jnp.conj(v), False))  # T/C on hermitian
+
+    def apply_matrix(self, M, mode: str = "N"):
+        if mode in ("N", "H"):
+            return self._gram(M, True)
+        return jnp.conj(self._gram(jnp.conj(M), True))
+
+    def _name(self):
+        return f"Gram({self.side}) of"
+
+
+register_operator(_GramOperator)
+
+
+def svds(op, k: int = 1, *, largest: bool = True, tol: float = 1e-6,
+         maxiter: int = 200, key=None):
+    """Extremal singular triplets of a (possibly rectangular) operator.
+
+    Returns ``(U, s, V, resnorms, iters)`` with ``op @ V ~= U * s`` and
+    ``s`` sorted extremal-first. Runs :func:`lobpcg` on the smaller Gram
+    operator (``A^H A`` or ``A A^H`` — the ARPACK ``svds`` strategy the
+    reference's opnorm extension delegates to) and recovers the other
+    factor by one block apply. ``resnorms`` are the Gram residuals mapped
+    to singular-triplet scale (``|A^H u - s v|``). ``largest=False`` finds
+    the smallest triplets — note the Gram squaring makes tiny singular
+    values ill-conditioned; prefer a shifted solve for near-null-space
+    work."""
+    if not isinstance(op, LinearOperator):
+        from ..core.dense import aslinearoperator
+
+        op = aslinearoperator(op)
+    m, n = op.shape
+    side = "right" if n <= m else "left"
+    gram = _GramOperator(op, side)
+    theta, X, gres, it = lobpcg(gram, k=k, largest=largest, tol=tol,
+                                maxiter=maxiter, key=key)
+    s = jnp.sqrt(jnp.maximum(theta, 0.0))
+    safe = jnp.maximum(s, jnp.finfo(s.dtype).tiny * 1e3).astype(X.dtype)
+    if side == "right":
+        V = X
+        U = op.apply_matrix(V, "N") / safe[None, :]
+    else:
+        U = X
+        V = op.apply_matrix(U, "H") / safe[None, :]
+    res = gres / jnp.real(safe)
+    return U, s, V, res, it

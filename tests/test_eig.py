@@ -109,3 +109,54 @@ def test_lobpcg_no_recompile_across_calls(rng):
     for s in range(3):
         lo.lobpcg(op, k=2, tol=1e-6, maxiter=50, key=jax.random.PRNGKey(s))
     assert _lobpcg_jit._cache_size() == c0
+
+
+# ---------------------------------------------------------------------------
+# svds
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(120, 60), (60, 120)])
+def test_svds_largest_matches_dense(rng, shape):
+    m, n = shape
+    A = rng.standard_normal((m, n))
+    op = lo.LinearOperator(A)
+    U, s, V, res, it = lo.svds(op, k=3, tol=1e-10, maxiter=400, key=KEY)
+    s_true = np.linalg.svd(A, compute_uv=False)[:3]
+    np.testing.assert_allclose(np.asarray(s), s_true, rtol=1e-8)
+    # triplet identity A v = s u holds column-wise
+    err = np.linalg.norm(A @ np.asarray(V) - np.asarray(U) * np.asarray(s), axis=0)
+    assert np.all(err < 1e-6)
+    assert U.shape == (m, 3) and V.shape == (n, 3)
+
+
+def test_svds_smallest(rng):
+    A = rng.standard_normal((50, 40))
+    U, s, V, res, it = lo.svds(lo.LinearOperator(A), k=2, largest=False,
+                               tol=1e-10, maxiter=2000, key=KEY)
+    s_true = np.linalg.svd(A, compute_uv=False)[-2:][::-1]
+    np.testing.assert_allclose(np.asarray(s), s_true, rtol=1e-6)
+
+
+def test_svds_complex(rng):
+    C = rng.standard_normal((40, 30)) + 1j * rng.standard_normal((40, 30))
+    U, s, V, res, it = lo.svds(lo.LinearOperator(C), k=2, tol=1e-9,
+                               maxiter=500, key=KEY)
+    np.testing.assert_allclose(np.asarray(s),
+                               np.linalg.svd(C, compute_uv=False)[:2], rtol=1e-7)
+    err = np.linalg.norm(C @ np.asarray(V) - np.asarray(U) * np.asarray(s), axis=0)
+    assert np.all(err < 1e-6)
+
+
+def test_gram_operator_is_valid_hermitian_node(rng):
+    # the internal Gram node is a first-class operator: flags, to_dense,
+    # adjoint-consistency all hold
+    from linops_tpu.utils.eig import _GramOperator
+
+    A = rng.standard_normal((12, 8))
+    g = _GramOperator(lo.LinearOperator(A), "right")
+    assert g.hermitian and g.shape == (8, 8)
+    np.testing.assert_allclose(np.asarray(lo.to_dense(g)), A.T @ A, atol=1e-12)
+    assert lo.check_hermitian(g)
+    gl = _GramOperator(lo.LinearOperator(A), "left")
+    np.testing.assert_allclose(np.asarray(lo.to_dense(gl)), A @ A.T, atol=1e-12)
