@@ -2,10 +2,12 @@
 
 Capability upgrade beyond the reference (LinearOperators.jl delegates
 eigenvalue work to Arpack/KrylovKit clients). LOBPCG (Knyazev 2001) is
-the TPU-natural choice: the entire iteration is block operations — one
-operator apply on an ``(n, 3k)`` basis block per iteration (MXU-shaped),
-a tiny ``(3k, 3k)`` Rayleigh–Ritz eigenproblem, and dense basis updates —
-compiled into a single ``lax.while_loop`` with static shapes.
+the TPU-natural choice: the entire iteration is block operations — ONE
+``(n, k)``-wide operator apply per iteration (every other A-image is
+derived by the same linear maps that build the basis blocks, with
+``A X``/``A P`` carried), a tiny ``(3k, 3k)`` Rayleigh–Ritz eigenproblem,
+and dense MXU-shaped basis updates — compiled into a single
+``lax.while_loop`` with static shapes.
 
 Robustness inside jit comes from BLOCKWISE orthonormalization: ``X`` is
 kept orthonormal by construction, ``W`` and ``P`` are orthogonalized
@@ -19,9 +21,6 @@ on a spectrum-1..100 test). Rank-deficient directions (e.g. the zero
 Gershgorin edge in the Rayleigh–Ritz selection so they are never picked
 — no dynamic basis shrinking, no recompiles.
 
-``AX`` is updated as ``(A S) C`` rather than re-applying the operator, so
-each iteration costs exactly one block apply of ``A`` (plus one of the
-preconditioner when given).
 """
 
 from __future__ import annotations
@@ -37,6 +36,7 @@ from ..core.base import (
     register_operator,
 )
 from ..core.precision import pmatmul
+from .estimate import _probe_dtype
 from .residency import chain_resident
 from .rng import fresh_key
 
@@ -44,7 +44,9 @@ __all__ = ["lobpcg", "svds"]
 
 
 def _svqb(S):
-    """Orthonormalize the columns of ``S`` (n, m); returns ``(Q, clipped)``.
+    """Orthonormalize the columns of ``S`` (n, m); returns ``(Q, T,
+    clipped)`` with ``Q = S @ T`` — callers tracking an image ``A S``
+    update it as ``(A S) @ T`` without re-applying the operator.
 
     ``clipped[j]`` marks directions with negligible Gram weight — their
     columns of ``Q`` are ~zero and must be masked out of Rayleigh–Ritz
@@ -67,8 +69,8 @@ def _svqb(S):
     w, V = jnp.linalg.eigh(Gn)
     clipped = w < jnp.maximum(jnp.max(w) * (m * 10) * eps, tiny)
     winv = jnp.where(clipped, 0.0, 1.0 / jnp.sqrt(jnp.where(clipped, 1.0, w)))
-    T = (Dinv[:, None] * V) * winv[None, :]
-    return pmatmul(S, T.astype(S.dtype)), clipped
+    T = ((Dinv[:, None] * V) * winv[None, :]).astype(S.dtype)
+    return pmatmul(S, T), T, clipped
 
 
 @functools.partial(jax.jit, static_argnames=("k", "maxiter", "largest", "has_M"))
@@ -94,55 +96,67 @@ def _lobpcg_jit(op, Mop, X0, tol, k, maxiter, largest, has_M):
             idx = jnp.arange(k)
         return jnp.real(w)[idx], C[:, idx]
 
-    # initial Rayleigh–Ritz on the orthonormalized start block
-    X, clip0 = _svqb(X0)
+    # initial Rayleigh–Ritz on the orthonormalized start block (the host
+    # wrapper rejects rank-deficient explicit X0, so clip0 only guards the
+    # measure-zero random-start collision)
+    X, _, clip0 = _svqb(X0)
     AX = op.apply_matrix(X, "N")
     theta, C = rr(X, AX, clip0)
     X = pmatmul(X, C)
     AX = pmatmul(AX, C)
     P = jnp.zeros_like(X)
+    AP = jnp.zeros_like(X)
 
     inf = jnp.full((k,), jnp.inf, rdt)
 
     def cond(carry):
-        X, AX, P, theta, res, it = carry
+        X, AX, P, AP, theta, res, it = carry
         return jnp.logical_and(
             it < maxiter, jnp.max(res / jnp.maximum(jnp.abs(theta), 1.0)) > tol
         )
 
-    def ortho_against(Y, Z):
-        # two Gram–Schmidt passes ("twice is enough") against orthonormal Z
+    def ortho_tracked(Y, AY, Z, AZ):
+        # two Gram–Schmidt passes ("twice is enough") against orthonormal
+        # Z, updating the tracked image A Y by the same coefficients
         for _ in range(2):
-            Y = Y - pmatmul(Z, pmatmul(jnp.conj(Z).T, Y))
-        return Y
+            c = pmatmul(jnp.conj(Z).T, Y)
+            Y = Y - pmatmul(Z, c)
+            AY = AY - pmatmul(AZ, c)
+        return Y, AY
 
     def body(carry):
-        X, AX, P, theta, _, it = carry
+        X, AX, P, AP, theta, _, it = carry
         R = AX - X * theta[None, :].astype(X.dtype)
         res = jnp.linalg.norm(R, axis=0)
         W = Mop.apply_matrix(R, "N") if has_M else R
+        # the single k-wide operator apply of the iteration; every other
+        # A-image below is derived by the same linear maps that build the
+        # basis blocks (A X and A P are carried)
+        AW = op.apply_matrix(W, "N")
         # blockwise orthonormal basis [X | W | P]: block identity is what
         # makes the implicit-P row-zeroing below meaningful
-        W, cW = _svqb(ortho_against(W, X))
-        Pb = ortho_against(P, X)
-        Pb = Pb - pmatmul(W, pmatmul(jnp.conj(W).T, Pb))
-        Pb, cP = _svqb(Pb)
+        W, AW = ortho_tracked(W, AW, X, AX)
+        W, Tw, cW = _svqb(W)
+        AW = pmatmul(AW, Tw)
+        Pb, APb = ortho_tracked(P, AP, X, AX)
+        Pb, APb = ortho_tracked(Pb, APb, W, AW)
+        Pb, Tp, cP = _svqb(Pb)
+        APb = pmatmul(APb, Tp)
         S = jnp.concatenate([X, W, Pb], axis=1)  # (n, 3k)
-        clipped = jnp.concatenate(
-            [jnp.zeros((k,), bool), cW, cP]
-        )
-        AS = op.apply_matrix(S, "N")
+        AS = jnp.concatenate([AX, AW, APb], axis=1)
+        clipped = jnp.concatenate([jnp.zeros((k,), bool), cW, cP])
         theta_new, C = rr(S, AS, clipped)
         Xn = pmatmul(S, C)
         AXn = pmatmul(AS, C)
         # implicit P: the W+P contribution to the new X (zero the X rows)
         Cp = C.at[:k, :].set(0)
         Pn = pmatmul(S, Cp)
+        APn = pmatmul(AS, Cp)
         Rn = AXn - Xn * theta_new[None, :].astype(Xn.dtype)
-        return (Xn, AXn, Pn, theta_new, jnp.linalg.norm(Rn, axis=0), it + 1)
+        return (Xn, AXn, Pn, APn, theta_new, jnp.linalg.norm(Rn, axis=0), it + 1)
 
-    X, AX, P, theta, res, it = jax.lax.while_loop(
-        cond, body, (X, AX, P, theta, inf, jnp.zeros((), jnp.int32))
+    X, AX, P, AP, theta, res, it = jax.lax.while_loop(
+        cond, body, (X, AX, P, AP, theta, inf, jnp.zeros((), jnp.int32))
     )
     return theta, X, res, it
 
@@ -175,16 +189,19 @@ def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
             "lobpcg requires a hermitian operator (set hermitian=True if the "
             "operator is known hermitian)"
         )
-    if not 1 <= k <= n // 4 + 1:
-        raise ValueError(f"k={k} out of range for n={n} (need k <= n/4+1 for the 3k basis)")
-    if M is not None and not isinstance(M, LinearOperator):
-        from ..core.dense import aslinearoperator
+    if not 1 <= 3 * k <= n:
+        raise ValueError(f"k={k} out of range for n={n} (the [X|W|P] basis needs 3k <= n)")
+    if M is not None:
+        if not isinstance(M, LinearOperator):
+            from ..core.dense import aslinearoperator
 
-        M = aslinearoperator(M)
+            M = aslinearoperator(M)
+        if M.shape != (n, n):
+            raise LinearOperatorException(
+                f"preconditioner must have shape {(n, n)}, got {M.shape}"
+            )
 
-    dt = jnp.dtype(op.dtype)
-    if not jnp.issubdtype(dt, jnp.inexact):
-        dt = jnp.dtype(jnp.float64) if jax.config.jax_enable_x64 else jnp.dtype(jnp.float32)
+    dt = _probe_dtype(op)
     if X0 is None:
         if key is None:
             key = fresh_key()
@@ -193,6 +210,15 @@ def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
         X0 = jnp.asarray(X0, dt)
         if X0.shape != (n, k):
             raise LinearOperatorException(f"X0 must have shape {(n, k)}, got {X0.shape}")
+        # a rank-deficient start block would seed X with a zero direction
+        # the loop can report as a spurious converged eigenpair; reject it
+        # here while X0 is still concrete
+        sv = jnp.linalg.svd(X0, compute_uv=False)
+        if float(sv[-1]) <= float(sv[0]) * max(n, k) * 10 * jnp.finfo(jnp.real(X0).dtype).eps:
+            raise LinearOperatorException(
+                "X0 is numerically rank-deficient; provide k linearly "
+                "independent start vectors (or pass X0=None for a random block)"
+            )
 
     rdt = jnp.finfo(dt).dtype if not jnp.issubdtype(dt, jnp.complexfloating) else jnp.real(jnp.zeros((), dt)).dtype
     Mop = M if M is not None else op  # unused when has_M=False (static)

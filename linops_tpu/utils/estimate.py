@@ -126,8 +126,13 @@ def estimate_trace(op, *, probes: int = 36, key=None, method: str = "hutchpp"):
         est, se = _hutchinson(op, G)
     elif method == "hutchpp":
         # probe budget in operator applies: m_s (A S) + m_s (A Q) + m_g (A G)
+        if probes < 3:
+            raise ValueError(
+                "hutchpp needs probes >= 3 (sketch + sketch-apply + residual); "
+                "use method='hutchinson' for smaller budgets"
+            )
         m_s = max(1, min(probes // 3, n))
-        m_g = max(1, probes - 2 * m_s)
+        m_g = probes - 2 * m_s
         k1, k2 = jax.random.split(key)
         S = _rademacher(k1, (n, m_s), dt)
         G = _rademacher(k2, (n, m_g), dt)
@@ -251,8 +256,11 @@ def estimate_spectral_sum(op, f, *, probes: int = 16, lanczos_steps: int = 30,
     Lanczos quadrature (Ubaru, Chen & Saad 2017).
 
     ``f`` is a scalar spectral function applied elementwise to Ritz values
-    (any jnp-traceable callable, e.g. ``jnp.log``, ``lambda x: 1/x``,
-    ``jnp.exp``). Each of the ``probes`` Rademacher vectors runs
+    (any jnp-traceable callable, e.g. ``jnp.log``, ``jnp.exp``). ``f`` keys
+    the compile cache by object identity: pass a module-level function (or
+    reuse one lambda object) to hit the cache across calls — a fresh
+    inline lambda per call recompiles every time. Each of the ``probes``
+    Rademacher vectors runs
     ``lanczos_steps`` of the Lanczos recurrence (all probes vmapped into
     one computation — ``probes`` simultaneous matvec chains); the Gauss
     quadrature on each tridiagonal integrates ``f`` against the probe's

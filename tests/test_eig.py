@@ -160,3 +160,31 @@ def test_gram_operator_is_valid_hermitian_node(rng):
     assert lo.check_hermitian(g)
     gl = _GramOperator(lo.LinearOperator(A), "left")
     np.testing.assert_allclose(np.asarray(lo.to_dense(gl)), A @ A.T, atol=1e-12)
+
+
+def test_lobpcg_rejects_rank_deficient_x0(rng):
+    # review finding: a duplicated start column used to seed X with a zero
+    # direction reported as a spurious converged zero eigenvalue
+    A, _ = _spd(60, rng)
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    x = rng.standard_normal((60, 1))
+    y = rng.standard_normal((60, 1))
+    with pytest.raises(lo.LinearOperatorException):
+        lo.lobpcg(op, k=3, X0=np.concatenate([x, x, y], axis=1))
+
+
+def test_lobpcg_rejects_mismatched_preconditioner(rng):
+    A, _ = _spd(40, rng)
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.lobpcg(op, k=2, M=lo.opDiagonal(jnp.ones(10)))
+
+
+def test_lobpcg_tight_tolerance_reachable(rng):
+    # the carried A-images (single k-wide apply per iteration) must not
+    # drift: 1e-12 relative residuals stay reachable
+    A, lam = _spd(150, rng)
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    th, X, res, it = lo.lobpcg(op, k=3, tol=1e-12, maxiter=3000, key=KEY)
+    assert it < 3000
+    np.testing.assert_allclose(np.asarray(th), lam[:3], rtol=1e-10)

@@ -182,3 +182,26 @@ def test_spectral_sum_validation(rng):
     S = simple_matrix(np.float64, 10, 10, rng)
     with pytest.raises(lo.LinearOperatorException):
         lo.estimate_logdet(lo.LinearOperator(S))  # hermitian flag not set
+
+
+def test_hutchpp_budget_is_exact(rng):
+    # review finding: probes < 3 used to silently exceed the apply budget
+    A = simple_matrix(np.float64, 20, 20, rng)
+    with pytest.raises(ValueError):
+        lo.estimate_trace(lo.LinearOperator(A), probes=2, method="hutchpp")
+    # exact budget split: m_s (A S) + m_s (A Q) + m_g (A G) block columns
+    from linops_tpu.utils import estimate as est_mod
+
+    seen = {}
+    orig = est_mod._hutchpp
+
+    def spy(op_, S, G):
+        seen["cols"] = S.shape[1] * 2 + G.shape[1]
+        return orig(op_, S, G)
+
+    est_mod._hutchpp = spy
+    try:
+        lo.estimate_trace(lo.LinearOperator(A), probes=7, method="hutchpp", key=KEY)
+    finally:
+        est_mod._hutchpp = orig
+    assert seen["cols"] == 7  # 2 (S) + 2 (Q) + 3 (G)
