@@ -155,14 +155,18 @@ def estimate_opnorm(
     ncv: int = 20,
     key=None,
     rtol: float = None,
+    lobpcg_fallback: bool = True,
 ):
     """Estimate the operator 2-norm. Returns ``(norm, success)``.
 
     Dispatch mirrors the reference extension
     (ext/LinearOperatorsOpNormExt.jl): tiny -> dense LAPACK; hermitian ->
     Lanczos eigensolve (Arpack.eigs analogue); general -> Lanczos on A^H A
-    (Arpack.svds analogue); retries double the Krylov dimension; exhaustion
-    returns (NaN, False)."""
+    (Arpack.svds analogue); retries double the Krylov dimension. When the
+    retries exhaust (e.g. a clustered spectrum edge), one LOBPCG solve is
+    tried before giving up (``lobpcg_fallback=False`` restores the
+    reference's plain-exhaustion behavior); exhaustion returns
+    (NaN, False)."""
     if not isinstance(op, LinearOperator):
         from ..core.dense import aslinearoperator
 
@@ -199,4 +203,34 @@ def estimate_opnorm(
             f"estimate_opnorm: Lanczos residual {resid_f:.2e} too large with ncv={k}; retrying"
         )
         key, _ = jax.random.split(key)
+
+    if lobpcg_fallback:
+        # clustered/degenerate extremal eigenvalues stall single-vector
+        # Lanczos; a small BLOCK captures the whole cluster (utils/eig.py
+        # — k=1 stalls at ~1e-7 on the doubly-degenerate Laplacian edge
+        # where k=4 reaches 1e-13)
+        from .eig import _GramOperator, lobpcg
+
+        kb = max(1, min(4, min(m, n) // 3))
+        try:
+            if hermitian:
+                ends = []
+                for largest in (True, False):
+                    th, _, res, _ = lobpcg(
+                        op, k=kb, largest=largest, tol=rtol, maxiter=20 * ncv,
+                        key=key,
+                    )
+                    if float(res[0]) <= rtol * max(abs(float(th[0])), 1e-30):
+                        ends.append(abs(float(th[0])))
+                if len(ends) == 2:
+                    return max(ends), True
+            else:
+                th, _, res, _ = lobpcg(
+                    _GramOperator(op, "right" if n <= m else "left"),
+                    k=kb, largest=True, tol=rtol, maxiter=20 * ncv, key=key,
+                )
+                if float(res[0]) <= rtol * max(abs(float(th[0])), 1e-30):
+                    return float(jnp.sqrt(max(float(th[0]), 0.0))), True
+        except Exception as e:  # pragma: no cover - fallback must not mask
+            warnings.warn(f"estimate_opnorm: lobpcg fallback failed: {e}")
     return float("nan"), False

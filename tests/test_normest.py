@@ -65,3 +65,29 @@ def test_checks(rng):
     M = np.array([[2, 1], [1, 3]], dtype=np.int64)
     assert lo.check_hermitian(M)
     assert lo.check_ctranspose(M)
+
+
+def test_estimate_opnorm_lobpcg_fallback_on_clustered_edge():
+    """The doubly-degenerate 2-D Laplacian spectrum edge exhausts
+    single-vector Lanczos retries; the blocked LOBPCG fallback converges
+    (lobpcg_fallback=False restores the reference's (nan, False))."""
+    import warnings
+    import jax
+    import jax.numpy as jnp
+
+    ng = 32
+    A = lo.laplacian_2d(ng, ng, dtype=jnp.float64) + lo.opDiagonal(
+        0.6 * jnp.ones(ng * ng))
+    h = np.pi / (ng + 1)
+    c = 2 * np.cos(np.arange(1, ng + 1) * h)
+    lam_max = float((4 - c[:, None] - c[None, :]).max() + 0.6)
+    key = jax.random.PRNGKey(3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        off_nrm, off_ok = lo.estimate_opnorm(A, key=key, lobpcg_fallback=False)
+        nrm, ok = lo.estimate_opnorm(A, key=key)
+    if not off_ok:  # Lanczos genuinely exhausted on this spectrum
+        assert np.isnan(off_nrm)
+        assert ok and abs(nrm - lam_max) < 1e-6 * lam_max
+    else:  # if Lanczos happened to converge, the fallback path is moot
+        assert abs(off_nrm - lam_max) < 1e-6 * lam_max
