@@ -43,14 +43,16 @@ from .rng import fresh_key
 __all__ = ["lobpcg", "svds"]
 
 
-def _svqb(S):
-    """Orthonormalize the columns of ``S`` (n, m); returns ``(Q, T,
-    clipped)`` with ``Q = S @ T`` — callers tracking an image ``A S``
-    update it as ``(A S) @ T`` without re-applying the operator.
+def _svqb_transform(S):
+    """The SVQB orthonormalizing transform for the columns of ``S``
+    (n, m): returns ``(T, clipped)`` with ``S @ T`` orthonormal — callers
+    tracking an image ``A S`` update it as ``(A S) @ T`` without
+    re-applying the operator (stacked ``[S; A S]`` arrays apply ``T``
+    once).
 
     ``clipped[j]`` marks directions with negligible Gram weight — their
-    columns of ``Q`` are ~zero and must be masked out of Rayleigh–Ritz
-    selection by the caller (SVQB with soft dropping)."""
+    columns of ``S @ T`` are ~zero and must be masked out of
+    Rayleigh–Ritz selection by the caller (SVQB with soft dropping)."""
     m = S.shape[1]
     rdt = jnp.real(S).dtype
     eps = jnp.finfo(rdt).eps
@@ -70,18 +72,31 @@ def _svqb(S):
     clipped = w < jnp.maximum(jnp.max(w) * (m * 10) * eps, tiny)
     winv = jnp.where(clipped, 0.0, 1.0 / jnp.sqrt(jnp.where(clipped, 1.0, w)))
     T = ((Dinv[:, None] * V) * winv[None, :]).astype(S.dtype)
+    return T, clipped
+
+
+def _svqb(S):
+    """Orthonormalize the columns of ``S``; returns ``(Q, T, clipped)``
+    with ``Q = S @ T`` (see :func:`_svqb_transform`)."""
+    T, clipped = _svqb_transform(S)
     return pmatmul(S, T), T, clipped
 
 
 @functools.partial(jax.jit, static_argnames=("k", "maxiter", "largest", "has_M"))
 def _lobpcg_jit(op, Mop, X0, tol, k, maxiter, largest, has_M):
+    # HBM-traffic-minimal formulation: each block and its operator image
+    # live in ONE stacked (2n, k) array [Z; A Z], so every basis transform
+    # (Gram–Schmidt update, SVQB rotation, Ritz recombination) touches
+    # both halves in a single matmul. Measured on TPU at n=1M the
+    # unstacked six-array body cost 2287 µs/iter against a 35 µs operator
+    # apply — the dense block updates ARE the iteration cost, and halving
+    # their passes is the lever.
     n = X0.shape[0]
     rdt = jnp.real(X0).dtype
     op = chain_resident(op, X0)
 
-    def rr(S, AS, clipped):
-        """Rayleigh–Ritz on the (possibly soft-dropped) basis ``S``."""
-        H = pmatmul(jnp.conj(S).T, AS)
+    def rr_from_H(H, clipped):
+        """Rayleigh–Ritz selection given the projected matrix ``H``."""
         H = 0.5 * (H + jnp.conj(H).T)
         # push clipped directions just past the Gershgorin edge so the
         # k-selection below never picks them — a huge (1e6-scale) penalty
@@ -96,69 +111,68 @@ def _lobpcg_jit(op, Mop, X0, tol, k, maxiter, largest, has_M):
             idx = jnp.arange(k)
         return jnp.real(w)[idx], C[:, idx]
 
+    def gs_stacked(YS, ZS, passes=2):
+        # Gram–Schmidt of the top half against orthonormal top(ZS), the
+        # same coefficients updating both halves at once ("twice is
+        # enough" for robustness)
+        for _ in range(passes):
+            c = pmatmul(jnp.conj(ZS[:n]).T, YS[:n])
+            YS = YS - pmatmul(ZS, c)
+        return YS
+
     # initial Rayleigh–Ritz on the orthonormalized start block (the host
     # wrapper rejects rank-deficient explicit X0, so clip0 only guards the
     # measure-zero random-start collision)
     X, _, clip0 = _svqb(X0)
-    AX = op.apply_matrix(X, "N")
-    theta, C = rr(X, AX, clip0)
-    X = pmatmul(X, C)
-    AX = pmatmul(AX, C)
-    P = jnp.zeros_like(X)
-    AP = jnp.zeros_like(X)
+    XS = jnp.concatenate([X, op.apply_matrix(X, "N")], axis=0)  # (2n, k)
+    theta, C = rr_from_H(pmatmul(jnp.conj(XS[:n]).T, XS[n:]), clip0)
+    XS = pmatmul(XS, C)
+    PS = jnp.zeros_like(XS)
 
     inf = jnp.full((k,), jnp.inf, rdt)
 
     def cond(carry):
-        X, AX, P, AP, theta, res, it = carry
+        XS, PS, theta, res, it = carry
         return jnp.logical_and(
             it < maxiter, jnp.max(res / jnp.maximum(jnp.abs(theta), 1.0)) > tol
         )
 
-    def ortho_tracked(Y, AY, Z, AZ):
-        # two Gram–Schmidt passes ("twice is enough") against orthonormal
-        # Z, updating the tracked image A Y by the same coefficients
-        for _ in range(2):
-            c = pmatmul(jnp.conj(Z).T, Y)
-            Y = Y - pmatmul(Z, c)
-            AY = AY - pmatmul(AZ, c)
-        return Y, AY
-
     def body(carry):
-        X, AX, P, AP, theta, _, it = carry
-        R = AX - X * theta[None, :].astype(X.dtype)
+        XS, PS, theta, _, it = carry
+        R = XS[n:] - XS[:n] * theta[None, :].astype(XS.dtype)
         res = jnp.linalg.norm(R, axis=0)
         W = Mop.apply_matrix(R, "N") if has_M else R
         # the single k-wide operator apply of the iteration; every other
-        # A-image below is derived by the same linear maps that build the
-        # basis blocks (A X and A P are carried)
-        AW = op.apply_matrix(W, "N")
+        # A-image is derived by the shared transforms on the stacked pairs
+        WS = jnp.concatenate([W, op.apply_matrix(W, "N")], axis=0)
         # blockwise orthonormal basis [X | W | P]: block identity is what
         # makes the implicit-P row-zeroing below meaningful
-        W, AW = ortho_tracked(W, AW, X, AX)
-        W, Tw, cW = _svqb(W)
-        AW = pmatmul(AW, Tw)
-        Pb, APb = ortho_tracked(P, AP, X, AX)
-        Pb, APb = ortho_tracked(Pb, APb, W, AW)
-        Pb, Tp, cP = _svqb(Pb)
-        APb = pmatmul(APb, Tp)
-        S = jnp.concatenate([X, W, Pb], axis=1)  # (n, 3k)
-        AS = jnp.concatenate([AX, AW, APb], axis=1)
+        WS = gs_stacked(WS, XS)
+        Tw, cW = _svqb_transform(WS[:n])
+        WS = pmatmul(WS, Tw)
+        # X and W are now mutually orthonormal, so projecting P against
+        # the joint [X | W] block equals the sequential projections but
+        # runs as ONE wider (better MXU-utilized) matmul pair per pass
+        XW = jnp.concatenate([XS, WS], axis=1)  # (2n, 2k)
+        PS2 = gs_stacked(PS, XW)
+        Tp, cP = _svqb_transform(PS2[:n])
+        PS2 = pmatmul(PS2, Tp)
+        SS = jnp.concatenate([XW, PS2], axis=1)  # (2n, 3k)
         clipped = jnp.concatenate([jnp.zeros((k,), bool), cW, cP])
-        theta_new, C = rr(S, AS, clipped)
-        Xn = pmatmul(S, C)
-        AXn = pmatmul(AS, C)
-        # implicit P: the W+P contribution to the new X (zero the X rows)
+        H = pmatmul(jnp.conj(SS[:n]).T, SS[n:])
+        theta_new, C = rr_from_H(H, clipped)
+        # implicit P: the W+P contribution to the new X (zero the X rows);
+        # one matmul produces [X; AX] and [P; AP] for the next iteration
         Cp = C.at[:k, :].set(0)
-        Pn = pmatmul(S, Cp)
-        APn = pmatmul(AS, Cp)
-        Rn = AXn - Xn * theta_new[None, :].astype(Xn.dtype)
-        return (Xn, AXn, Pn, APn, theta_new, jnp.linalg.norm(Rn, axis=0), it + 1)
+        OUT = pmatmul(SS, jnp.concatenate([C, Cp], axis=1))  # (2n, 2k)
+        XSn, PSn = OUT[:, :k], OUT[:, k:]
+        Rn = XSn[n:] - XSn[:n] * theta_new[None, :].astype(XSn.dtype)
+        return (XSn, PSn, theta_new, jnp.linalg.norm(Rn, axis=0), it + 1)
 
-    X, AX, P, AP, theta, res, it = jax.lax.while_loop(
-        cond, body, (X, AX, P, AP, theta, inf, jnp.zeros((), jnp.int32))
+    XS, PS, theta, res, it = jax.lax.while_loop(
+        cond, body, (XS, PS, theta, inf, jnp.zeros((), jnp.int32))
     )
-    return theta, X, res, it
+    return theta, XS[:n], res, it
 
 
 def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
