@@ -480,26 +480,27 @@ def main():
     def sec_lobpcg():
         # spectral-suite cost: lobpcg marginal per-iteration on the 2048²
         # Laplacian stencil (k=2). tol=0 forces full maxiter; maxiter is a
-        # static jit arg, so the two points are two compiles — only run
-        # with generous budget left (never at the expense of the honesty
-        # sections below).
-        if time.time() - _t_start > TIME_BUDGET_S - 600:
+        # static jit arg, so the two points are two fresh remote compiles
+        # (~150 s each observed) — the reserve must cover BOTH compiles
+        # plus the runs before the driver's external timeout, or the
+        # single end-of-run JSON print (and with it the headline) is lost.
+        if time.time() - _t_start > TIME_BUDGET_S - 1400:
             detail["lobpcg"] = "skipped (reserved budget)"
             return
         ng = 2048
         Ast = lo.laplacian_2d(ng, ng, dtype=dtype)
         ds = []
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             _sync(lo.lobpcg(Ast, k=2, largest=True, tol=0.0, maxiter=10,
                             key=jax.random.PRNGKey(0))[0])
             a = time.perf_counter() - t0
             t0 = time.perf_counter()
-            _sync(lo.lobpcg(Ast, k=2, largest=True, tol=0.0, maxiter=510,
+            _sync(lo.lobpcg(Ast, k=2, largest=True, tol=0.0, maxiter=310,
                             key=jax.random.PRNGKey(0))[0])
             b = time.perf_counter() - t0
-            ds.append(max(b - a, 1e-9) / 500)
-        detail["lobpcg_us_per_iter_k2"] = round(sorted(ds)[1] * 1e6, 1)
+            ds.append(max(b - a, 1e-9) / 300)
+        detail["lobpcg_us_per_iter_k2"] = round(min(ds) * 1e6, 1)
 
     def sec_scaling():
         # multi-device scaling harness on the virtual 8-device CPU mesh

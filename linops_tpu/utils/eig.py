@@ -2,12 +2,12 @@
 
 Capability upgrade beyond the reference (LinearOperators.jl delegates
 eigenvalue work to Arpack/KrylovKit clients). LOBPCG (Knyazev 2001) is
-the TPU-natural choice: the entire iteration is block operations — ONE
-``(n, k)``-wide operator apply per iteration (every other A-image is
-derived by the same linear maps that build the basis blocks, with
-``A X``/``A P`` carried), a tiny ``(3k, 3k)`` Rayleigh–Ritz eigenproblem,
-and dense MXU-shaped basis updates — compiled into a single
-``lax.while_loop`` with static shapes.
+the TPU-natural choice: the entire iteration is block operations — one
+fresh ``(n, 3k)`` operator apply per iteration (recomputing the image
+keeps f32 stable: deriving it through the basis transforms was measured
+to diverge — see ``_lobpcg_jit``), a tiny ``(3k, 3k)`` Rayleigh–Ritz
+eigenproblem, and dense MXU-shaped basis updates — compiled into a
+single ``lax.while_loop`` with static shapes.
 
 Robustness inside jit comes from BLOCKWISE orthonormalization: ``X`` is
 kept orthonormal by construction, ``W`` and ``P`` are orthogonalized
@@ -84,13 +84,14 @@ def _svqb(S):
 
 @functools.partial(jax.jit, static_argnames=("k", "maxiter", "largest", "has_M"))
 def _lobpcg_jit(op, Mop, X0, tol, k, maxiter, largest, has_M):
-    # HBM-traffic-minimal formulation: each block and its operator image
-    # live in ONE stacked (2n, k) array [Z; A Z], so every basis transform
-    # (Gram–Schmidt update, SVQB rotation, Ritz recombination) touches
-    # both halves in a single matmul. Measured on TPU at n=1M the
-    # unstacked six-array body cost 2287 µs/iter against a 35 µs operator
-    # apply — the dense block updates ARE the iteration cost, and halving
-    # their passes is the lever.
+    # The operator image A S is recomputed FRESH from the orthonormalized
+    # (n, 3k) basis every iteration. Carrying A-images across iterations
+    # and deriving them through the basis transforms was measured and
+    # REJECTED: SVQB's 1/sqrt(w) rescaling amplifies the image drift
+    # exponentially in f32 (NaN blow-up at iters 331-1071 on a 48² shifted
+    # Laplacian) and under-reports residuals 10x even before blow-up —
+    # while saving only the 3k-vs-k apply width (~6% of the measured
+    # iteration cost on a stencil operator at n=1M).
     n = X0.shape[0]
     rdt = jnp.real(X0).dtype
     op = chain_resident(op, X0)
@@ -111,68 +112,64 @@ def _lobpcg_jit(op, Mop, X0, tol, k, maxiter, largest, has_M):
             idx = jnp.arange(k)
         return jnp.real(w)[idx], C[:, idx]
 
-    def gs_stacked(YS, ZS, passes=2):
-        # Gram–Schmidt of the top half against orthonormal top(ZS), the
-        # same coefficients updating both halves at once ("twice is
-        # enough" for robustness)
+    def gs(Y, Z, passes=2):
+        # Gram–Schmidt against orthonormal Z ("twice is enough")
         for _ in range(passes):
-            c = pmatmul(jnp.conj(ZS[:n]).T, YS[:n])
-            YS = YS - pmatmul(ZS, c)
-        return YS
+            Y = Y - pmatmul(Z, pmatmul(jnp.conj(Z).T, Y))
+        return Y
 
     # initial Rayleigh–Ritz on the orthonormalized start block (the host
     # wrapper rejects rank-deficient explicit X0, so clip0 only guards the
     # measure-zero random-start collision)
     X, _, clip0 = _svqb(X0)
-    XS = jnp.concatenate([X, op.apply_matrix(X, "N")], axis=0)  # (2n, k)
-    theta, C = rr_from_H(pmatmul(jnp.conj(XS[:n]).T, XS[n:]), clip0)
-    XS = pmatmul(XS, C)
-    PS = jnp.zeros_like(XS)
+    AX = op.apply_matrix(X, "N")
+    theta, C = rr_from_H(pmatmul(jnp.conj(X).T, AX), clip0)
+    X = pmatmul(X, C)
+    AX = pmatmul(AX, C)
+    P = jnp.zeros_like(X)
 
     inf = jnp.full((k,), jnp.inf, rdt)
 
     def cond(carry):
-        XS, PS, theta, res, it = carry
+        X, AX, P, theta, res, it = carry
         return jnp.logical_and(
             it < maxiter, jnp.max(res / jnp.maximum(jnp.abs(theta), 1.0)) > tol
         )
 
     def body(carry):
-        XS, PS, theta, _, it = carry
-        R = XS[n:] - XS[:n] * theta[None, :].astype(XS.dtype)
+        X, AX, P, theta, _, it = carry
+        R = AX - X * theta[None, :].astype(X.dtype)
         res = jnp.linalg.norm(R, axis=0)
         W = Mop.apply_matrix(R, "N") if has_M else R
-        # the single k-wide operator apply of the iteration; every other
-        # A-image is derived by the shared transforms on the stacked pairs
-        WS = jnp.concatenate([W, op.apply_matrix(W, "N")], axis=0)
         # blockwise orthonormal basis [X | W | P]: block identity is what
         # makes the implicit-P row-zeroing below meaningful
-        WS = gs_stacked(WS, XS)
-        Tw, cW = _svqb_transform(WS[:n])
-        WS = pmatmul(WS, Tw)
+        W = gs(W, X)
+        Tw, cW = _svqb_transform(W)
+        W = pmatmul(W, Tw)
         # X and W are now mutually orthonormal, so projecting P against
         # the joint [X | W] block equals the sequential projections but
         # runs as ONE wider (better MXU-utilized) matmul pair per pass
-        XW = jnp.concatenate([XS, WS], axis=1)  # (2n, 2k)
-        PS2 = gs_stacked(PS, XW)
-        Tp, cP = _svqb_transform(PS2[:n])
-        PS2 = pmatmul(PS2, Tp)
-        SS = jnp.concatenate([XW, PS2], axis=1)  # (2n, 3k)
+        XW = jnp.concatenate([X, W], axis=1)  # (n, 2k)
+        Pb = gs(P, XW)
+        Tp, cP = _svqb_transform(Pb)
+        Pb = pmatmul(Pb, Tp)
+        S = jnp.concatenate([XW, Pb], axis=1)  # (n, 3k)
         clipped = jnp.concatenate([jnp.zeros((k,), bool), cW, cP])
-        H = pmatmul(jnp.conj(SS[:n]).T, SS[n:])
+        AS = op.apply_matrix(S, "N")  # fresh image: see module note
+        H = pmatmul(jnp.conj(S).T, AS)
         theta_new, C = rr_from_H(H, clipped)
-        # implicit P: the W+P contribution to the new X (zero the X rows);
-        # one matmul produces [X; AX] and [P; AP] for the next iteration
+        # implicit P: the W+P contribution to the new X (zero the X rows)
         Cp = C.at[:k, :].set(0)
-        OUT = pmatmul(SS, jnp.concatenate([C, Cp], axis=1))  # (2n, 2k)
-        XSn, PSn = OUT[:, :k], OUT[:, k:]
-        Rn = XSn[n:] - XSn[:n] * theta_new[None, :].astype(XSn.dtype)
-        return (XSn, PSn, theta_new, jnp.linalg.norm(Rn, axis=0), it + 1)
+        OUT = pmatmul(S, jnp.concatenate([C, Cp], axis=1))  # (n, 2k)
+        Xn, Pn = OUT[:, :k], OUT[:, k:]
+        AXn = pmatmul(AS, C)
+        Rn = AXn - Xn * theta_new[None, :].astype(Xn.dtype)
+        return (Xn, AXn, Pn, theta_new, jnp.linalg.norm(Rn, axis=0), it + 1)
 
-    XS, PS, theta, res, it = jax.lax.while_loop(
-        cond, body, (XS, PS, theta, inf, jnp.zeros((), jnp.int32))
+    X, AX, P, theta, res, it = jax.lax.while_loop(
+        cond, body, (X, AX, P, theta, inf, jnp.zeros((), jnp.int32))
     )
-    return theta, XS[:n], res, it
+    return theta, X, res, it
 
 
 def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
@@ -226,9 +223,14 @@ def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
             raise LinearOperatorException(f"X0 must have shape {(n, k)}, got {X0.shape}")
         # a rank-deficient start block would seed X with a zero direction
         # the loop can report as a spurious converged eigenpair; reject it
-        # here while X0 is still concrete
-        sv = jnp.linalg.svd(X0, compute_uv=False)
-        if float(sv[-1]) <= float(sv[0]) * max(n, k) * 10 * jnp.finfo(jnp.real(X0).dtype).eps:
+        # here while X0 is still concrete (k-by-k Gram spectrum: O(n k^2),
+        # far cheaper than an SVD for warm-start callers)
+        # Gram eigenvalues are squared singular values: an eps-relative
+        # threshold on the Gram ratio detects sigma ratios down to
+        # ~sqrt(eps), and exact/near duplicates land at eigvalsh's own
+        # noise floor well below it
+        gev = jnp.linalg.eigvalsh(pmatmul(jnp.conj(X0).T, X0))
+        if float(gev[0]) <= float(gev[-1]) * max(n, k) * 100 * jnp.finfo(jnp.real(X0).dtype).eps:
             raise LinearOperatorException(
                 "X0 is numerically rank-deficient; provide k linearly "
                 "independent start vectors (or pass X0=None for a random block)"

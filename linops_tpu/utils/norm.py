@@ -212,6 +212,11 @@ def estimate_opnorm(
         from .eig import _GramOperator, lobpcg
 
         kb = max(1, min(4, min(m, n) // 3))
+
+        def converged(th, res):
+            # lobpcg's own stopping contract: res <= tol * max(|theta|, 1)
+            return float(res[0]) <= rtol * max(abs(float(th[0])), 1.0)
+
         try:
             if hermitian:
                 ends = []
@@ -220,8 +225,9 @@ def estimate_opnorm(
                         op, k=kb, largest=largest, tol=rtol, maxiter=20 * ncv,
                         key=key,
                     )
-                    if float(res[0]) <= rtol * max(abs(float(th[0])), 1e-30):
-                        ends.append(abs(float(th[0])))
+                    if not converged(th, res):
+                        break  # the other end can't rescue max(|lambda|)
+                    ends.append(abs(float(th[0])))
                 if len(ends) == 2:
                     return max(ends), True
             else:
@@ -229,7 +235,7 @@ def estimate_opnorm(
                     _GramOperator(op, "right" if n <= m else "left"),
                     k=kb, largest=True, tol=rtol, maxiter=20 * ncv, key=key,
                 )
-                if float(res[0]) <= rtol * max(abs(float(th[0])), 1e-30):
+                if converged(th, res):
                     return float(jnp.sqrt(max(float(th[0]), 0.0))), True
         except Exception as e:  # pragma: no cover - fallback must not mask
             warnings.warn(f"estimate_opnorm: lobpcg fallback failed: {e}")

@@ -188,3 +188,24 @@ def test_lobpcg_tight_tolerance_reachable(rng):
     th, X, res, it = lo.lobpcg(op, k=3, tol=1e-12, maxiter=3000, key=KEY)
     assert it < 3000
     np.testing.assert_allclose(np.asarray(th), lam[:3], rtol=1e-10)
+
+
+def test_lobpcg_f32_stays_finite_and_residuals_honest():
+    """Review finding: carried A-images diverged to NaN in f32 (the TPU
+    production dtype) after a few hundred iterations, and the reported
+    residuals under-stated the true ||A x - theta x|| 10x. The fresh-apply
+    formulation must stay finite and report residuals consistent with a
+    fresh operator apply."""
+    ng = 48
+    L = lo.laplacian_2d(ng, ng, dtype=jnp.float32) + lo.opDiagonal(
+        0.1 * jnp.ones(ng * ng, jnp.float32))
+    th, X, res, it = lo.lobpcg(L, k=4, tol=1e-6, maxiter=2000, key=KEY)
+    th = np.asarray(th, np.float64)
+    assert np.all(np.isfinite(th)) and np.all(np.isfinite(np.asarray(X)))
+    # true fresh-apply residual agrees with the reported one (same scale)
+    AX = np.asarray(L.apply_matrix(X, "N"), np.float64)
+    true_res = np.linalg.norm(AX - np.asarray(X, np.float64) * th, axis=0)
+    rep = np.asarray(res, np.float64)
+    assert np.all(true_res <= 10 * np.maximum(rep, 1e-7) + 1e-6)
+    # and the eigenvalues are inside the known spectrum [0.1, 8.1]
+    assert np.all(th > 0.05) and np.all(th < 8.2)
