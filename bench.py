@@ -489,18 +489,23 @@ def main():
             return
         ng = 2048
         Ast = lo.laplacian_2d(ng, ng, dtype=dtype)
+
+        def run(mi):
+            t0 = time.perf_counter()
+            _sync(lo.lobpcg(Ast, k=2, largest=True, tol=0.0, maxiter=mi,
+                            key=jax.random.PRNGKey(0))[0])
+            return time.perf_counter() - t0
+
+        # warm BOTH compiles first: a rep that includes the two fresh
+        # remote compiles has meaningless (even negative) deltas, which a
+        # min() would keep (observed as a 0.0 reading)
+        run(10); run(310)
         ds = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _sync(lo.lobpcg(Ast, k=2, largest=True, tol=0.0, maxiter=10,
-                            key=jax.random.PRNGKey(0))[0])
-            a = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            _sync(lo.lobpcg(Ast, k=2, largest=True, tol=0.0, maxiter=310,
-                            key=jax.random.PRNGKey(0))[0])
-            b = time.perf_counter() - t0
+        for _ in range(3):
+            a = run(10)
+            b = run(310)
             ds.append(max(b - a, 1e-9) / 300)
-        detail["lobpcg_us_per_iter_k2"] = round(min(ds) * 1e6, 1)
+        detail["lobpcg_us_per_iter_k2"] = round(sorted(ds)[1] * 1e6, 1)
 
     def sec_scaling():
         # multi-device scaling harness on the virtual 8-device CPU mesh

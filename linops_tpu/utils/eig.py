@@ -82,8 +82,8 @@ def _svqb(S):
     return pmatmul(S, T), T, clipped
 
 
-@functools.partial(jax.jit, static_argnames=("k", "maxiter", "largest", "has_M"))
-def _lobpcg_jit(op, Mop, X0, tol, k, maxiter, largest, has_M):
+@functools.partial(jax.jit, static_argnames=("k", "maxiter", "largest", "has_M", "has_Y"))
+def _lobpcg_jit(op, Mop, X0, Yc, tol, k, maxiter, largest, has_M, has_Y):
     # The operator image A S is recomputed FRESH from the orthonormalized
     # (n, 3k) basis every iteration. Carrying A-images across iterations
     # and deriving them through the basis transforms was measured and
@@ -118,10 +118,16 @@ def _lobpcg_jit(op, Mop, X0, tol, k, maxiter, largest, has_M):
             Y = Y - pmatmul(Z, pmatmul(jnp.conj(Z).T, Y))
         return Y
 
+    def deflate(B):
+        # constraint block: keep the search orthogonal to span(Yc) — the
+        # new directions (W, and the start block) are projected out every
+        # iteration; X/P inherit the property through the Ritz updates
+        return gs(B, Yc) if has_Y else B
+
     # initial Rayleigh–Ritz on the orthonormalized start block (the host
     # wrapper rejects rank-deficient explicit X0, so clip0 only guards the
     # measure-zero random-start collision)
-    X, _, clip0 = _svqb(X0)
+    X, _, clip0 = _svqb(deflate(X0))
     AX = op.apply_matrix(X, "N")
     theta, C = rr_from_H(pmatmul(jnp.conj(X).T, AX), clip0)
     X = pmatmul(X, C)
@@ -143,7 +149,7 @@ def _lobpcg_jit(op, Mop, X0, tol, k, maxiter, largest, has_M):
         W = Mop.apply_matrix(R, "N") if has_M else R
         # blockwise orthonormal basis [X | W | P]: block identity is what
         # makes the implicit-P row-zeroing below meaningful
-        W = gs(W, X)
+        W = gs(deflate(W), X)
         Tw, cW = _svqb_transform(W)
         W = pmatmul(W, Tw)
         # X and W are now mutually orthonormal, so projecting P against
@@ -173,7 +179,7 @@ def _lobpcg_jit(op, Mop, X0, tol, k, maxiter, largest, has_M):
 
 
 def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
-           maxiter: int = 200, M=None, key=None):
+           maxiter: int = 200, M=None, Y=None, key=None):
     """Extremal eigenpairs of a hermitian operator by LOBPCG.
 
     Returns ``(theta, X, resnorms, iters)``: ``k`` eigenvalues (smallest
@@ -184,6 +190,11 @@ def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
     — e.g. ``opDiagonal(1/diag)`` or an :class:`InverseLBFGSOperator`.
     ``X0`` seeds the block (``(n, k)``); by default it is drawn from OS
     entropy (pass ``key`` to pin determinism).
+
+    ``Y`` (``(n, j)``) constrains the search to the orthogonal complement
+    of its span — pass already-converged eigenvectors to compute the NEXT
+    ``k`` eigenpairs incrementally, or a known nullspace (e.g. the
+    constant vector of a Neumann Laplacian) to exclude it.
 
     The operator must be hermitian (flag-checked); results on a
     non-hermitian operator are meaningless.
@@ -236,10 +247,31 @@ def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
                 "independent start vectors (or pass X0=None for a random block)"
             )
 
+    if Y is not None:
+        Y = jnp.asarray(Y, dt)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        if Y.ndim != 2 or Y.shape[0] != n:
+            raise LinearOperatorException(
+                f"Y must have shape (n, j) = ({n}, j), got {Y.shape}"
+            )
+        if 3 * k + Y.shape[1] > n:
+            raise ValueError(
+                f"constraint block too wide: 3k + j = {3 * k + Y.shape[1]} > n = {n}"
+            )
+        Yq, _, clipY = _svqb(Y)
+        if bool(jnp.any(clipY)):
+            raise LinearOperatorException(
+                "constraint block Y is numerically rank-deficient"
+            )
+        Y = Yq
+
     rdt = jnp.finfo(dt).dtype if not jnp.issubdtype(dt, jnp.complexfloating) else jnp.real(jnp.zeros((), dt)).dtype
     Mop = M if M is not None else op  # unused when has_M=False (static)
+    Yc = Y if Y is not None else X0  # unused when has_Y=False (static)
     theta, X, res, it = _lobpcg_jit(
-        op, Mop, X0, jnp.asarray(tol, rdt), k, maxiter, bool(largest), M is not None
+        op, Mop, X0, Yc, jnp.asarray(tol, rdt), k, maxiter, bool(largest),
+        M is not None, Y is not None,
     )
     return theta, X, res, int(it)
 

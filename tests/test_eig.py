@@ -209,3 +209,34 @@ def test_lobpcg_f32_stays_finite_and_residuals_honest():
     assert np.all(true_res <= 10 * np.maximum(rep, 1e-7) + 1e-6)
     # and the eigenvalues are inside the known spectrum [0.1, 8.1]
     assert np.all(th > 0.05) and np.all(th < 8.2)
+
+
+def test_lobpcg_constraints_next_k_and_nullspace(rng):
+    # deflation: compute 3 smallest, then the NEXT 3 constrained to the
+    # orthogonal complement — matches the dense spectrum exactly
+    A, lam = _spd(150, rng)
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    th1, X1, _, _ = lo.lobpcg(op, k=3, tol=1e-10, maxiter=600, key=KEY)
+    th2, X2, _, _ = lo.lobpcg(op, k=3, tol=1e-9, maxiter=600, Y=X1, key=KEY)
+    np.testing.assert_allclose(np.asarray(th2), lam[3:6], rtol=1e-6)
+    assert float(np.max(np.abs(np.asarray(X1).T @ np.asarray(X2)))) < 1e-10
+
+    # nullspace exclusion (Neumann-Laplacian pattern): project A onto the
+    # complement of a known null vector; Y= that vector finds the first
+    # NONZERO modes instead of the null mode
+    n = 150
+    e = np.ones((n, 1)) / np.sqrt(n)
+    An = A - (A @ e) @ e.T - e @ (e.T @ A) + e @ (e.T @ A @ e) @ e.T
+    An = (An + An.T) / 2
+    opn = lo.LinearOperator(An, symmetric=True, hermitian=True)
+    th3, _, _, _ = lo.lobpcg(opn, k=2, tol=1e-8, maxiter=600, Y=e, key=KEY)
+    wtrue = np.sort(np.linalg.eigvalsh(An))
+    np.testing.assert_allclose(np.asarray(th3), wtrue[1:3], rtol=1e-5)
+
+    # validation: wrong length, rank-deficient, too wide
+    with pytest.raises(lo.LinearOperatorException):
+        lo.lobpcg(op, k=2, Y=np.ones((10, 1)))
+    with pytest.raises(lo.LinearOperatorException):
+        lo.lobpcg(op, k=2, Y=np.concatenate([e, e], axis=1))
+    with pytest.raises(ValueError):
+        lo.lobpcg(op, k=2, Y=rng.standard_normal((150, 148)))
