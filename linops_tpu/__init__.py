@@ -100,7 +100,8 @@ from .sparse import (
 
 from .utils.norm import normest, estimate_opnorm
 from .utils.estimate import (estimate_trace, estimate_diagonal,
-                             estimate_spectral_sum, estimate_logdet)
+                             estimate_spectral_sum, estimate_logdet,
+                             funm_apply)
 from .utils.eig import lobpcg, svds
 from .utils.krylov import (matvec_chain, cg, gmres, minres, bicgstab, lsqr,
                            power_iteration)
@@ -216,6 +217,7 @@ __all__ = [
     "estimate_diagonal",
     "estimate_spectral_sum",
     "estimate_logdet",
+    "funm_apply",
     "lobpcg",
     "svds",
     "check_ctranspose",

@@ -20,6 +20,10 @@ over the operator, not ``k``.
   via per-probe Gauss quadrature on the Lanczos tridiagonal; ``f = log``
   gives the log-determinant, ``f = 1/x`` the trace of the inverse. All
   probes run as one vmapped batch of Lanczos recurrences.
+- ``funm_apply`` — the ACTION ``f(A) b`` by the same Lanczos machinery
+  (``exp`` for exponential integrators, ``1/sqrt(x)`` for whitening,
+  ``1/x`` as a direct-from-spectrum solve); exact once the Krylov space
+  captures ``b``'s spectral content.
 
 Both compile to a single XLA computation (operators ride their normal
 precision-policy apply paths) and pin the operator's arrays on-chip via
@@ -43,6 +47,7 @@ __all__ = [
     "estimate_diagonal",
     "estimate_spectral_sum",
     "estimate_logdet",
+    "funm_apply",
 ]
 
 
@@ -313,3 +318,87 @@ def estimate_logdet(op, *, probes: int = 16, lanczos_steps: int = 30,
         op, jnp.log, probes=probes, lanczos_steps=lanczos_steps, key=key,
         reorth=reorth,
     )
+
+
+# ---------------------------------------------------------------------------
+# Matrix-function ACTION: f(A) b by Lanczos (hermitian A)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("m", "f"))
+def _funm_jit(op, b, m, f):
+    op = chain_resident(op, b)
+    n = b.shape[0]
+    dt = b.dtype
+    rdt = jnp.real(b).dtype
+    eps = jnp.finfo(rdt).eps
+    nrm = jnp.linalg.norm(b)
+    v0 = b / jnp.where(nrm > 0, nrm, 1.0)
+
+    V = jnp.zeros((m, n), dt)
+    alphas = jnp.zeros((m,), rdt)
+    betas = jnp.zeros((m,), rdt)
+
+    def body(j, carry):
+        V, alphas, betas, v, v_prev, beta_prev = carry
+        V = V.at[j].set(v)
+        w = op.apply(v, "N") - beta_prev * v_prev
+        alpha = jnp.real(pvdot(v, w))
+        w = w - alpha.astype(dt) * v
+        # full reorthogonalization: the result lives IN the basis, so
+        # basis quality directly bounds the output accuracy
+        w = w - pmatmul(V.T, pmatmul(jnp.conj(V), w))
+        beta = jnp.linalg.norm(w)
+        v_next = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0)
+        return (V, alphas.at[j].set(alpha), betas.at[j].set(jnp.real(beta)),
+                v_next, v, jnp.real(beta))
+
+    init = (V, alphas, betas, v0, jnp.zeros_like(v0), jnp.zeros((), rdt))
+    V, alphas, betas, _, _, _ = jax.lax.fori_loop(0, m, body, init)
+
+    T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
+    theta, U = jnp.linalg.eigh(T)  # real symmetric even for complex A
+    e1w = U[0, :]
+    # decoupled nodes after early termination carry |e1 weight| == 0;
+    # guard them so f(0) (e.g. log) cannot poison the combination
+    cut = eps * m * 10
+    live = jnp.abs(e1w) > cut
+    fw = jnp.where(live, f(jnp.where(live, theta, 1.0)), 0.0)
+    coeffs = pmatmul(U, fw * e1w)  # (m,) real
+    return nrm * pmatmul(V.T, coeffs.astype(dt))
+
+
+def funm_apply(op, f, b, *, lanczos_steps: int = 30):
+    """Apply the spectral function of a hermitian operator to a vector:
+    ``f(op) @ b`` by ``lanczos_steps`` of the Lanczos recurrence with full
+    reorthogonalization (one operator apply per step).
+
+    ``f`` is any jnp-traceable scalar function (``jnp.exp`` for
+    exponential integrators, ``lambda x: 1/jnp.sqrt(x)`` for whitening /
+    sampling, ``jnp.log``, ...); like :func:`estimate_spectral_sum`, ``f``
+    keys the compile cache by object identity. Exact once the Krylov
+    space captures ``b``'s spectral content (``lanczos_steps >= n`` is
+    always exact); for smooth ``f`` the error decays like the best
+    polynomial approximation of degree ``lanczos_steps`` on the spectrum.
+    ``log``/``1/x``/``1/sqrt(x)`` require a positive-definite operator.
+    """
+    if not isinstance(op, LinearOperator):
+        from ..core.dense import aslinearoperator
+
+        op = aslinearoperator(op)
+    m_, n = op.shape
+    if m_ != n:
+        raise LinearOperatorException(
+            f"funm_apply requires a square operator, got shape {(m_, n)}"
+        )
+    if not op.hermitian:
+        raise LinearOperatorException(
+            "funm_apply requires a hermitian operator (set hermitian=True "
+            "if the operator is known hermitian)"
+        )
+    if lanczos_steps < 1:
+        raise ValueError("lanczos_steps must be >= 1")
+    b = jnp.asarray(b, _probe_dtype(op))
+    if b.shape != (n,):
+        raise LinearOperatorException(f"b must have shape ({n},), got {b.shape}")
+    return _funm_jit(op, b, int(min(lanczos_steps, n)), f)

@@ -205,3 +205,66 @@ def test_hutchpp_budget_is_exact(rng):
     finally:
         est_mod._hutchpp = orig
     assert seen["cols"] == 7  # 2 (S) + 2 (Q) + 3 (G)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-function action
+# ---------------------------------------------------------------------------
+
+
+def test_funm_apply_expm_matches_scipy(rng):
+    import scipy.linalg as sla
+
+    op, lam = _spd_op(40, rng, 0.5, 4.0)
+    A = np.asarray(lo.to_dense(op))
+    b = rng.standard_normal(40)
+    y = lo.funm_apply(op, jnp.exp, b, lanczos_steps=40)
+    y_true = sla.expm(A) @ b
+    assert np.linalg.norm(np.asarray(y) - y_true) < 1e-10 * np.linalg.norm(y_true)
+    # Krylov convergence: error decays fast with steps for smooth f
+    errs = [np.linalg.norm(np.asarray(
+        lo.funm_apply(op, jnp.exp, b, lanczos_steps=m)) - y_true)
+        for m in (5, 10, 20)]
+    assert errs[2] < 1e-6 * errs[0]
+
+
+def test_funm_apply_inverse_equals_solve(rng):
+    op, lam = _spd_op(36, rng)
+    A = np.asarray(lo.to_dense(op))
+    b = rng.standard_normal(36)
+    y = lo.funm_apply(op, lambda x: 1.0 / x, b, lanczos_steps=36)
+    np.testing.assert_allclose(np.asarray(y), np.linalg.solve(A, b),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_funm_apply_early_termination_guard():
+    # c*I terminates Lanczos at step 1; log(0) on the decoupled nodes must
+    # not poison the combination
+    op = lo.LinearOperator(3.0 * np.eye(20), symmetric=True, hermitian=True)
+    y = lo.funm_apply(op, jnp.log, np.ones(20), lanczos_steps=5)
+    np.testing.assert_allclose(np.asarray(y), np.log(3.0) * np.ones(20),
+                               rtol=1e-12)
+
+
+def test_funm_apply_complex_hermitian(rng):
+    import scipy.linalg as sla
+
+    B = rng.standard_normal((20, 20)) + 1j * rng.standard_normal((20, 20))
+    H = B + B.conj().T + 20 * np.eye(20)
+    op = lo.LinearOperator(H, hermitian=True)
+    b = rng.standard_normal(20) + 1j * rng.standard_normal(20)
+    y = lo.funm_apply(op, jnp.exp, b, lanczos_steps=20)
+    y_true = sla.expm(H) @ b
+    assert np.linalg.norm(np.asarray(y) - y_true) < 1e-10 * np.linalg.norm(y_true)
+
+
+def test_funm_apply_validation(rng):
+    A = simple_matrix(np.float64, 10, 7, rng)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.funm_apply(lo.LinearOperator(A), jnp.exp, np.ones(7))
+    S = simple_matrix(np.float64, 10, 10, rng)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.funm_apply(lo.LinearOperator(S), jnp.exp, np.ones(10))  # no flag
+    op = lo.LinearOperator(S + S.T, symmetric=True, hermitian=True)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.funm_apply(op, jnp.exp, np.ones(7))  # wrong length
