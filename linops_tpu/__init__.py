@@ -102,7 +102,8 @@ from .utils.norm import normest, estimate_opnorm
 from .utils.estimate import (estimate_trace, estimate_diagonal,
                              estimate_spectral_sum, estimate_logdet,
                              funm_apply)
-from .utils.eig import lobpcg, svds
+from .utils.eig import (lobpcg, svds, rsvd, nystrom_preconditioner,
+                        NystromPreconditioner)
 from .utils.krylov import (matvec_chain, cg, gmres, minres, bicgstab, lsqr,
                            power_iteration)
 from .utils.checkpoint import save_operator, load_operator_state, op_state
@@ -220,6 +221,9 @@ __all__ = [
     "funm_apply",
     "lobpcg",
     "svds",
+    "rsvd",
+    "nystrom_preconditioner",
+    "NystromPreconditioner",
     "check_ctranspose",
     "check_hermitian",
     "check_positive_definite",

@@ -40,7 +40,7 @@ from .estimate import _probe_dtype
 from .residency import chain_resident
 from .rng import fresh_key
 
-__all__ = ["lobpcg", "svds"]
+__all__ = ["lobpcg", "svds", "rsvd", "nystrom_preconditioner"]
 
 
 def _svqb_transform(S):
@@ -371,3 +371,182 @@ def svds(op, k: int = 1, *, largest: bool = True, tol: float = 1e-6,
         V = op.apply_matrix(U, "H") / safe[None, :]
     res = gres / jnp.real(safe)
     return U, s, V, res, it
+
+
+# ---------------------------------------------------------------------------
+# Randomized range finding: low-rank SVD and the Nystrom preconditioner
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("l", "power_iters"))
+def _rsvd_jit(op, G, l, power_iters):
+    op = chain_resident(op, G)
+    Y = op.apply_matrix(G, "N")  # (m, l)
+    # subspace iteration with QR re-orthonormalization between passes
+    # (Halko-Martinsson-Tropp 2011, Alg 4.4): sharpens the sketch on
+    # slowly decaying spectra
+    for _ in range(power_iters):
+        Q, _ = jnp.linalg.qr(Y)
+        Z = op.apply_matrix(Q, "H")
+        Qz, _ = jnp.linalg.qr(Z)
+        Y = op.apply_matrix(Qz, "N")
+    Q, _ = jnp.linalg.qr(Y)  # (m, l) orthonormal range basis
+    B = op.apply_matrix(Q, "H")  # (n, l): B^H = Q^H A
+    Us, s, Vh = jnp.linalg.svd(jnp.conj(B).T, full_matrices=False)
+    U = pmatmul(Q, Us)
+    V = jnp.conj(Vh).T
+    return U, s, V
+
+
+def rsvd(op, k: int, *, oversample: int = 10, power_iters: int = 2, key=None):
+    """Randomized top-``k`` SVD (Halko, Martinsson & Tropp 2011).
+
+    Returns ``(U, s, V)`` with ``op ~= U @ diag(s) @ V^H`` — the near-
+    optimal rank-``k`` approximation for spectra with decay, from
+    ``2*power_iters + 2`` block applies of width ``k + oversample``
+    (everything else is tall QR/SVD — pure MXU work). One-shot and much
+    cheaper than :func:`svds` when the goal is the leading SUBSPACE of a
+    numerically low-rank operator rather than tight extremal triplets;
+    exact (to roundoff) when the operator's rank is at most ``k``.
+    ``power_iters`` sharpens slowly-decaying spectra (2 is the standard
+    robust choice; 0 is fastest)."""
+    if not isinstance(op, LinearOperator):
+        from ..core.dense import aslinearoperator
+
+        op = aslinearoperator(op)
+    m, n = op.shape
+    if not 1 <= k <= min(m, n):
+        raise ValueError(f"k={k} out of range for shape {(m, n)}")
+    if oversample < 0 or power_iters < 0:
+        raise ValueError("oversample and power_iters must be >= 0")
+    l = int(min(k + oversample, min(m, n)))
+    dt = _probe_dtype(op)
+    if key is None:
+        key = fresh_key()
+    G = jax.random.normal(key, (n, l)).astype(dt)
+    U, s, V = _rsvd_jit(op, G, l, int(power_iters))
+    return U[:, :k], s[:k], V[:, :k]
+
+
+class NystromPreconditioner(LinearOperator):
+    """The randomized Nystrom preconditioner for hermitian-PSD systems
+    (Frangella, Tropp & Udell 2023): from a rank-``l`` sketch
+    ``A ~= U diag(lam) U^H``,
+
+        ``P^{-1} v = (lam_r + mu) * U ((lam + mu)^{-1}) U^H v + (v - U U^H v)``
+
+    where ``lam_r`` is the smallest retained eigenvalue and ``mu`` the
+    shift of the system being solved. Apply cost: two (n, l) matmuls.
+    Pass it as ``M`` to :func:`linops_tpu.cg` when solving
+    ``(A + mu I) x = b`` — effective when A's spectrum decays fast.
+    Built by :func:`nystrom_preconditioner`."""
+
+    _fields_children = ("U", "lam")
+    _fields_aux = ("_mu",)
+
+    def __init__(self, U, lam, mu: float = 0.0):
+        super().__init__()
+        self.U = U
+        self.lam = lam
+        self._mu = float(mu)
+
+    @property
+    def nrow(self):
+        return self.U.shape[0]
+
+    ncol = nrow
+
+    @property
+    def dtype(self):
+        return self.U.dtype
+
+    @property
+    def hermitian(self):
+        return True
+
+    @property
+    def symmetric(self):
+        return not jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating)
+
+    def _pinv_apply(self, v, batched: bool):
+        lam = self.lam
+        mu = jnp.asarray(self._mu, lam.dtype)
+        scale = (lam[-1] + mu) / (lam + mu)  # lam sorted descending
+        Uv = pmatmul(jnp.conj(self.U).T, v)
+        if batched:
+            core = pmatmul(self.U, scale[:, None].astype(v.dtype) * Uv)
+        else:
+            core = pmatmul(self.U, scale.astype(v.dtype) * Uv)
+        return core + (v - pmatmul(self.U, Uv))
+
+    def apply(self, v, mode: str = "N"):
+        if mode in ("N", "H"):
+            return self._pinv_apply(v, False)
+        return jnp.conj(self._pinv_apply(jnp.conj(v), False))
+
+    def apply_matrix(self, M, mode: str = "N"):
+        if mode in ("N", "H"):
+            return self._pinv_apply(M, True)
+        return jnp.conj(self._pinv_apply(jnp.conj(M), True))
+
+    def _name(self):
+        return f"NystromPreconditioner(rank={self.lam.shape[0]}, mu={self._mu})"
+
+
+register_operator(NystromPreconditioner)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _nystrom_sketch(op, Om):
+    op = chain_resident(op, Om)
+    Y = op.apply_matrix(Om, "N")  # (n, l)
+    # stability shift (FTU23 Alg 2.1): nu ~ sqrt(n) eps ||Y||
+    rdt = jnp.real(Y).dtype
+    nu = jnp.sqrt(jnp.asarray(Y.shape[0], rdt)) * jnp.finfo(rdt).eps * jnp.linalg.norm(Y)
+    Ynu = Y + nu.astype(Y.dtype) * Om
+    G = pmatmul(jnp.conj(Om).T, Ynu)
+    G = 0.5 * (G + jnp.conj(G).T)
+    C = jnp.linalg.cholesky(G)
+    B = jax.scipy.linalg.solve_triangular(C, jnp.conj(Ynu).T, lower=True)
+    Us, s, _ = jnp.linalg.svd(jnp.conj(B).T, full_matrices=False)
+    lam = jnp.maximum(s * s - nu, 0.0)
+    return Us, lam
+
+
+def nystrom_preconditioner(op, rank: int, *, mu: float = 0.0,
+                           oversample: int = 10, key=None):
+    """Build a :class:`NystromPreconditioner` for a hermitian-PSD
+    operator from one ``(n, rank + oversample)`` sketch apply plus a tall
+    QR-sized factorization (Frangella, Tropp & Udell 2023).
+
+    ``mu`` is the shift of the system the preconditioner will be used on
+    (``(A + mu I) x = b``; ``mu=0`` for plain ``A x = b``). Returns an
+    operator suitable as ``M`` in :func:`linops_tpu.cg` — effective when
+    ``A``'s spectrum decays fast (the preconditioned condition number is
+    roughly ``(lam_rank + mu)^{-1} (lam_1 ... )`` clipped at the sketch).
+    A non-PSD operator surfaces as NaNs from the Cholesky of the sketch
+    Gram."""
+    if not isinstance(op, LinearOperator):
+        from ..core.dense import aslinearoperator
+
+        op = aslinearoperator(op)
+    m, n = op.shape
+    if m != n:
+        raise LinearOperatorException(
+            f"nystrom_preconditioner requires a square operator, got {(m, n)}"
+        )
+    if not op.hermitian:
+        raise LinearOperatorException(
+            "nystrom_preconditioner requires a hermitian (PSD) operator"
+        )
+    if not 1 <= rank <= n:
+        raise ValueError(f"rank={rank} out of range for n={n}")
+    if mu < 0:
+        raise ValueError("mu must be >= 0")
+    l = int(min(rank + oversample, n))
+    dt = _probe_dtype(op)
+    if key is None:
+        key = fresh_key()
+    Om = jax.random.normal(key, (n, l)).astype(dt)
+    Us, lam = _nystrom_sketch(op, Om)
+    return NystromPreconditioner(Us[:, :rank], lam[:rank], mu)

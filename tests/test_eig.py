@@ -240,3 +240,49 @@ def test_lobpcg_constraints_next_k_and_nullspace(rng):
         lo.lobpcg(op, k=2, Y=np.concatenate([e, e], axis=1))
     with pytest.raises(ValueError):
         lo.lobpcg(op, k=2, Y=rng.standard_normal((150, 148)))
+
+
+# ---------------------------------------------------------------------------
+# rsvd + Nystrom preconditioner
+# ---------------------------------------------------------------------------
+
+
+def test_rsvd_near_optimal_and_exact_on_low_rank(rng):
+    m, n = 120, 80
+    U0 = np.linalg.qr(rng.standard_normal((m, 30)))[0]
+    V0 = np.linalg.qr(rng.standard_normal((n, 30)))[0]
+    s0 = 3.0 ** -np.arange(30)
+    A = (U0 * s0) @ V0.T
+    op = lo.LinearOperator(A)
+    U, s, V = lo.rsvd(op, 8, key=KEY)
+    np.testing.assert_allclose(np.asarray(s), s0[:8], rtol=1e-6)
+    approx = np.asarray(U) * np.asarray(s) @ np.asarray(V).T
+    best = (U0[:, :8] * s0[:8]) @ V0[:, :8].T
+    assert np.linalg.norm(A - approx) < 3 * np.linalg.norm(A - best) + 1e-10
+    # exact once k covers the true rank
+    U, s, V = lo.rsvd(op, 30, key=KEY)
+    assert np.linalg.norm(A - np.asarray(U) * np.asarray(s) @ np.asarray(V).T) < 1e-10
+    with pytest.raises(ValueError):
+        lo.rsvd(op, 0)
+
+
+def test_nystrom_preconditioner_accelerates_cg(rng):
+    n = 300
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    lam = np.concatenate([100.0 * 2.0 ** -np.arange(20), 1e-2 * np.ones(n - 20)])
+    A = (Q * lam) @ Q.T
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    P = lo.nystrom_preconditioner(op, rank=25, key=KEY)
+    assert P.hermitian and P.shape == (n, n)
+    b = jnp.asarray(rng.standard_normal(n))
+    x0, it0, _ = lo.cg(op, b, tol=1e-10, maxiter=500)
+    x1, it1, _ = lo.cg(op, b, tol=1e-10, maxiter=500, M=P)
+    # the sketch captures the 20 dominant modes: strict iteration win
+    assert int(it1) < 0.7 * int(it0)
+    assert float(jnp.linalg.norm(x1 - x0) / jnp.linalg.norm(x0)) < 1e-7
+    # P^{-1} is a faithful hermitian operator node
+    assert lo.check_hermitian(P)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.nystrom_preconditioner(lo.LinearOperator(A), rank=5)  # no flag
+    with pytest.raises(ValueError):
+        lo.nystrom_preconditioner(op, rank=5, mu=-1.0)
