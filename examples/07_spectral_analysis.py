@@ -61,3 +61,23 @@ th_top, _, _, _ = lo.lobpcg(A, k=1, largest=True, tol=1e-8, maxiter=500,
                             key=jax.random.PRNGKey(4))
 print(f"opnorm: {nrm:.4f} (converged: {ok}); "
       f"direct lobpcg agrees: {float(th_top[0]):.4f}")
+
+# --- matrix functions: the heat kernel exp(-t A) b by Lanczos ------------
+b = jnp.zeros((n,), jnp.float64).at[n // 2 + ng // 2].set(1.0)  # point source
+u = lo.funm_apply(A, lambda x: jnp.exp(-0.25 * x), b, lanczos_steps=40)
+print(f"heat kernel: mass {float(jnp.sum(u)):.4f}, peak {float(jnp.max(u)):.4f} "
+      f"(diffused from a point source, no matrix ever formed)")
+
+# --- randomized Nystrom preconditioner accelerating CG -------------------
+# a PSD operator with a decaying spectrum: low-rank spike + damped base
+k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+Uspike = jnp.linalg.qr(jax.random.normal(k1, (n, 24), dtype=jnp.float64))[0]
+spike = lo.LinearOperator(Uspike * (200.0 * 2.0 ** -jnp.arange(24))) @ \
+    lo.LinearOperator(Uspike.T)
+Apd = (0.05 * A + spike).hermitianized()
+rhs = jax.random.normal(k2, (n,), dtype=jnp.float64)
+P = lo.nystrom_preconditioner(Apd, rank=30, key=jax.random.PRNGKey(6))
+_, it_plain, _ = lo.cg(Apd, rhs, tol=1e-10, maxiter=2000)
+_, it_nys, _ = lo.cg(Apd, rhs, tol=1e-10, maxiter=2000, M=P)
+print(f"nystrom-preconditioned cg: {int(it_nys)} iterations "
+      f"(plain: {int(it_plain)})")

@@ -153,13 +153,38 @@ class Sum(LinearOperator):
     def dtype(self):
         return jnp.result_type(self.op1.dtype, self.op2.dtype)
 
+    def _is_structural(self, cls) -> bool:
+        # x + wrapper(x) on the SAME object: x + x^H is hermitian and
+        # x + x^T symmetric by construction. The reference's
+        # Hermitian/Symmetric builders (src/abstract.jl:231-253) return
+        # exactly this shape, so the inference makes `hermitianized()`
+        # compose with hermitian-gated consumers (lobpcg, SLQ, checks).
+        return (isinstance(self.op2, cls) and self.op2.parent is self.op1) or (
+            isinstance(self.op1, cls) and self.op1.parent is self.op2
+        )
+
     @property
     def symmetric(self):
-        return self.op1.symmetric and self.op2.symmetric
+        if self.op1.symmetric and self.op2.symmetric:
+            return True
+        from .adjoint import AdjointOperator, TransposeOperator
+
+        if self._is_structural(TransposeOperator):
+            return True
+        # for real storage, x + x^H == x + x^T
+        real = not jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating)
+        return real and self._is_structural(AdjointOperator)
 
     @property
     def hermitian(self):
-        return self.op1.hermitian and self.op2.hermitian
+        if self.op1.hermitian and self.op2.hermitian:
+            return True
+        from .adjoint import AdjointOperator, TransposeOperator
+
+        if self._is_structural(AdjointOperator):
+            return True
+        real = not jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating)
+        return real and self._is_structural(TransposeOperator)
 
     def apply(self, v, mode: str = "N"):
         mode = _resolve(self, mode)

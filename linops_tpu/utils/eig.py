@@ -40,7 +40,8 @@ from .estimate import _probe_dtype
 from .residency import chain_resident
 from .rng import fresh_key
 
-__all__ = ["lobpcg", "svds", "rsvd", "nystrom_preconditioner"]
+__all__ = ["lobpcg", "svds", "rsvd", "nystrom_preconditioner",
+           "NystromPreconditioner"]
 
 
 def _svqb_transform(S):
@@ -378,8 +379,8 @@ def svds(op, k: int = 1, *, largest: bool = True, tol: float = 1e-6,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("l", "power_iters"))
-def _rsvd_jit(op, G, l, power_iters):
+@functools.partial(jax.jit, static_argnames=("power_iters",))
+def _rsvd_jit(op, G, power_iters):
     op = chain_resident(op, G)
     Y = op.apply_matrix(G, "N")  # (m, l)
     # subspace iteration with QR re-orthonormalization between passes
@@ -424,7 +425,7 @@ def rsvd(op, k: int, *, oversample: int = 10, power_iters: int = 2, key=None):
     if key is None:
         key = fresh_key()
     G = jax.random.normal(key, (n, l)).astype(dt)
-    U, s, V = _rsvd_jit(op, G, l, int(power_iters))
+    U, s, V = _rsvd_jit(op, G, int(power_iters))
     return U[:, :k], s[:k], V[:, :k]
 
 
@@ -471,7 +472,11 @@ class NystromPreconditioner(LinearOperator):
     def _pinv_apply(self, v, batched: bool):
         lam = self.lam
         mu = jnp.asarray(self._mu, lam.dtype)
-        scale = (lam[-1] + mu) / (lam + mu)  # lam sorted descending
+        # defensive floor: the constructor truncates to the numerical
+        # rank, but a floored denominator keeps a hand-built operator
+        # with lam -> 0 and mu == 0 finite instead of NaN
+        den = jnp.maximum(lam + mu, jnp.finfo(lam.dtype).tiny * 100)
+        scale = (lam[-1] + mu) / den  # lam sorted descending
         Uv = pmatmul(jnp.conj(self.U).T, v)
         if batched:
             core = pmatmul(self.U, scale[:, None].astype(v.dtype) * Uv)
@@ -549,4 +554,16 @@ def nystrom_preconditioner(op, rank: int, *, mu: float = 0.0,
         key = fresh_key()
     Om = jax.random.normal(key, (n, l)).astype(dt)
     Us, lam = _nystrom_sketch(op, Om)
+    # truncate to the sketch's NUMERICAL rank: requesting rank past it
+    # would put exact zeros in the retained spectrum and (at mu == 0)
+    # divide 0/0 in the apply
+    lam_np = jnp.asarray(lam)
+    eps = float(jnp.finfo(jnp.real(lam_np).dtype).eps)
+    r_eff = int(jnp.sum(lam_np > float(lam_np[0]) * n * eps)) if float(lam_np[0]) > 0 else 0
+    if r_eff == 0:
+        raise LinearOperatorException(
+            "nystrom_preconditioner: the sketch found numerical rank 0 "
+            "(operator is ~zero or not PSD)"
+        )
+    rank = min(rank, r_eff)
     return NystromPreconditioner(Us[:, :rank], lam[:rank], mu)

@@ -198,46 +198,51 @@ def estimate_diagonal(op, *, probes: int = 64, key=None):
 # ---------------------------------------------------------------------------
 
 
+def _lanczos_tridiag(op, v0, m, reorth):
+    """m-step Lanczos on hermitian ``op`` from unit-norm ``v0``: returns
+    ``(V, alphas, betas)``. ``V`` is the (m, n) basis when ``reorth`` and
+    a (1, n) placeholder otherwise (callers that need the basis must pass
+    ``reorth=True``; unused outputs are DCE'd by jit). On reaching an
+    invariant subspace the recurrence goes inert — ``beta == 0`` rows
+    decouple from e1 in T, so their quadrature weight is exactly zero."""
+    n = v0.shape[0]
+    dt = v0.dtype
+    rdt = jnp.real(v0).dtype
+    alphas = jnp.zeros((m,), rdt)
+    betas = jnp.zeros((m,), rdt)  # betas[j] couples step j to j+1
+    V = jnp.zeros((m if reorth else 1, n), dt)
+
+    def body(j, carry):
+        V, alphas, betas, v, v_prev, beta_prev = carry
+        if reorth:
+            V = V.at[j].set(v)
+        w = op.apply(v, "N") - beta_prev * v_prev
+        alpha = jnp.real(pvdot(v, w))
+        w = w - alpha.astype(dt) * v
+        if reorth:
+            # one full pass is enough at these modest m
+            w = w - pmatmul(V.T, pmatmul(jnp.conj(V), w))
+        beta = jnp.linalg.norm(w)
+        v_next = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0)
+        alphas = alphas.at[j].set(alpha)
+        betas = betas.at[j].set(jnp.real(beta))
+        return (V, alphas, betas, v_next, v, jnp.real(beta))
+
+    init = (V, alphas, betas, v0, jnp.zeros_like(v0), jnp.zeros((), rdt))
+    V, alphas, betas, _, _, _ = jax.lax.fori_loop(0, m, body, init)
+    return V, alphas, betas
+
+
 @functools.partial(jax.jit, static_argnames=("m", "reorth", "f"))
 def _slq(op, V0, m, reorth, f):
     """Per-probe m-step Lanczos + Gauss quadrature; V0 is (n, k) with
     unit-norm columns. Returns the k per-probe estimates of v^H f(A) v
     (times n, folded in by the caller)."""
     op = chain_resident(op, V0)
-    n = V0.shape[0]
-    dt = V0.dtype
     rdt = jnp.real(V0).dtype
 
     def lanczos(v0):
-        alphas = jnp.zeros((m,), rdt)
-        betas = jnp.zeros((m,), rdt)  # betas[j] couples step j to j+1
-
-        if reorth:
-            V = jnp.zeros((m, n), dt)
-        else:
-            V = jnp.zeros((1, n), dt)  # placeholder, untouched
-
-        def body(j, carry):
-            V, alphas, betas, v, v_prev, beta_prev = carry
-            if reorth:
-                V = V.at[j].set(v)
-            w = op.apply(v, "N") - beta_prev * v_prev
-            alpha = jnp.real(pvdot(v, w))
-            w = w - alpha.astype(dt) * v
-            if reorth:
-                # one full pass is enough at SLQ's modest m
-                w = w - pmatmul(V.T, pmatmul(jnp.conj(V), w))
-            beta = jnp.linalg.norm(w)
-            # invariant subspace reached: keep the recurrence inert
-            # (beta == 0 rows decouple from e1 in T, so their quadrature
-            # weight is exactly zero)
-            v_next = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0)
-            alphas = alphas.at[j].set(alpha)
-            betas = betas.at[j].set(jnp.real(beta))
-            return (V, alphas, betas, v_next, v, jnp.real(beta))
-
-        init = (V, alphas, betas, v0, jnp.zeros_like(v0), jnp.zeros((), rdt))
-        _, alphas, betas, _, _, _ = jax.lax.fori_loop(0, m, body, init)
+        _, alphas, betas = _lanczos_tridiag(op, v0, m, reorth)
         return alphas, betas
 
     alphas, betas = jax.vmap(lanczos, in_axes=1)(V0)  # (k, m) each
@@ -328,44 +333,24 @@ def estimate_logdet(op, *, probes: int = 16, lanczos_steps: int = 30,
 @functools.partial(jax.jit, static_argnames=("m", "f"))
 def _funm_jit(op, b, m, f):
     op = chain_resident(op, b)
-    n = b.shape[0]
-    dt = b.dtype
     rdt = jnp.real(b).dtype
-    eps = jnp.finfo(rdt).eps
     nrm = jnp.linalg.norm(b)
     v0 = b / jnp.where(nrm > 0, nrm, 1.0)
 
-    V = jnp.zeros((m, n), dt)
-    alphas = jnp.zeros((m,), rdt)
-    betas = jnp.zeros((m,), rdt)
-
-    def body(j, carry):
-        V, alphas, betas, v, v_prev, beta_prev = carry
-        V = V.at[j].set(v)
-        w = op.apply(v, "N") - beta_prev * v_prev
-        alpha = jnp.real(pvdot(v, w))
-        w = w - alpha.astype(dt) * v
-        # full reorthogonalization: the result lives IN the basis, so
-        # basis quality directly bounds the output accuracy
-        w = w - pmatmul(V.T, pmatmul(jnp.conj(V), w))
-        beta = jnp.linalg.norm(w)
-        v_next = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0)
-        return (V, alphas.at[j].set(alpha), betas.at[j].set(jnp.real(beta)),
-                v_next, v, jnp.real(beta))
-
-    init = (V, alphas, betas, v0, jnp.zeros_like(v0), jnp.zeros((), rdt))
-    V, alphas, betas, _, _, _ = jax.lax.fori_loop(0, m, body, init)
+    # full reorthogonalization: the result lives IN the basis, so basis
+    # quality directly bounds the output accuracy
+    V, alphas, betas = _lanczos_tridiag(op, v0, m, reorth=True)
 
     T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
     theta, U = jnp.linalg.eigh(T)  # real symmetric even for complex A
     e1w = U[0, :]
     # decoupled nodes after early termination carry |e1 weight| == 0;
     # guard them so f(0) (e.g. log) cannot poison the combination
-    cut = eps * m * 10
+    cut = jnp.finfo(rdt).eps * m * 10
     live = jnp.abs(e1w) > cut
     fw = jnp.where(live, f(jnp.where(live, theta, 1.0)), 0.0)
-    coeffs = pmatmul(U, fw * e1w)  # (m,) real
-    return nrm * pmatmul(V.T, coeffs.astype(dt))
+    coeffs = pmatmul(U.astype(fw.dtype), fw * e1w)  # complex f promotes
+    return nrm * pmatmul(V.T, coeffs)
 
 
 def funm_apply(op, f, b, *, lanczos_steps: int = 30):
@@ -398,7 +383,11 @@ def funm_apply(op, f, b, *, lanczos_steps: int = 30):
         )
     if lanczos_steps < 1:
         raise ValueError("lanczos_steps must be >= 1")
-    b = jnp.asarray(b, _probe_dtype(op))
+    # promote rather than cast: a complex b on a real hermitian operator
+    # is well-defined (f(A) is real-linear), and a silent complex->real
+    # cast would drop the imaginary half
+    b = jnp.asarray(b)
+    b = b.astype(jnp.promote_types(_probe_dtype(op), b.dtype))
     if b.shape != (n,):
         raise LinearOperatorException(f"b must have shape ({n},), got {b.shape}")
     return _funm_jit(op, b, int(min(lanczos_steps, n)), f)

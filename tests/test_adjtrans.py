@@ -165,3 +165,33 @@ def test_sum_and_cat_with_adjtrans(rng):
         np.testing.assert_allclose(
             np.asarray(lo.hvcat([[view(opA), opA], [opA, view(opA)]]).to_dense()),
             np.block([[dense_view(A), A], [A, dense_view(A)]]), atol=1e-12)
+
+
+def test_hermitianized_symmetrized_flags(rng):
+    """x + x^H / x + x^T are hermitian/symmetric BY CONSTRUCTION; the Sum
+    node detects the structural shape (the reference's Hermitian/Symmetric
+    builders, src/abstract.jl:231-253, return exactly it) so the result
+    composes with hermitian-gated consumers (lobpcg, SLQ, checks)."""
+    import linops_tpu as lo
+
+    A = rng.standard_normal((12, 12))
+    op = lo.LinearOperator(A)
+    H = op.hermitianized()
+    S = op.symmetrized()
+    assert H.hermitian and H.symmetric  # real: both
+    assert S.symmetric and S.hermitian
+    np.testing.assert_allclose(np.asarray(lo.to_dense(H)), (A + A.T) / 2,
+                               atol=1e-14)
+    assert lo.check_hermitian(H)
+
+    C = rng.standard_normal((10, 10)) + 1j * rng.standard_normal((10, 10))
+    opc = lo.LinearOperator(C)
+    Hc = opc.hermitianized()
+    Sc = opc.symmetrized()
+    assert Hc.hermitian and not Hc.symmetric
+    assert Sc.symmetric and not Sc.hermitian
+    np.testing.assert_allclose(np.asarray(lo.to_dense(Hc)), (C + C.conj().T) / 2,
+                               atol=1e-14)
+    # an unrelated sum keeps ANDed flags (reference src/operations.jl:199-215)
+    other = lo.LinearOperator(rng.standard_normal((12, 12)))
+    assert not (op + other).hermitian

@@ -286,3 +286,16 @@ def test_nystrom_preconditioner_accelerates_cg(rng):
         lo.nystrom_preconditioner(lo.LinearOperator(A), rank=5)  # no flag
     with pytest.raises(ValueError):
         lo.nystrom_preconditioner(op, rank=5, mu=-1.0)
+
+
+def test_nystrom_rank_truncates_to_numerical_rank(rng):
+    # review finding: rank > numerical rank with mu=0 divided 0/0 -> NaN
+    n, r = 60, 5
+    U0 = np.linalg.qr(rng.standard_normal((n, r)))[0]
+    A = (U0 * np.linspace(5, 1, r)) @ U0.T  # exactly rank 5, PSD
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    P = lo.nystrom_preconditioner(op, rank=20, key=KEY)
+    assert P.lam.shape[0] <= r + 1
+    v = rng.standard_normal(n)
+    out = np.asarray(P @ jnp.asarray(v))
+    assert np.all(np.isfinite(out))

@@ -268,3 +268,29 @@ def test_funm_apply_validation(rng):
     op = lo.LinearOperator(S + S.T, symmetric=True, hermitian=True)
     with pytest.raises(lo.LinearOperatorException):
         lo.funm_apply(op, jnp.exp, np.ones(7))  # wrong length
+
+
+def test_funm_apply_complex_b_on_real_operator(rng):
+    # review finding: complex b used to be silently cast to real
+    import scipy.linalg as sla
+
+    op, lam = _spd_op(16, rng, 0.5, 3.0)
+    A = np.asarray(lo.to_dense(op))
+    b = rng.standard_normal(16) + 1j * rng.standard_normal(16)
+    y = lo.funm_apply(op, jnp.exp, b, lanczos_steps=16)
+    y_true = sla.expm(A) @ b
+    assert np.iscomplexobj(np.asarray(y))
+    assert np.linalg.norm(np.asarray(y) - y_true) < 1e-9 * np.linalg.norm(y_true)
+
+
+def test_funm_apply_complex_valued_f(rng):
+    # review finding: exp(iA)b output used to be cast back to real
+    import scipy.linalg as sla
+
+    op, lam = _spd_op(14, rng, 0.5, 3.0)
+    A = np.asarray(lo.to_dense(op))
+    b = rng.standard_normal(14)
+    y = lo.funm_apply(op, lambda x: jnp.exp(1j * x), b, lanczos_steps=14)
+    y_true = sla.expm(1j * A) @ b
+    assert np.iscomplexobj(np.asarray(y))
+    assert np.linalg.norm(np.asarray(y) - y_true) < 1e-9 * np.linalg.norm(y_true)
