@@ -214,3 +214,29 @@ def test_sharded_ell(mesh, rng):
         opB_sh = shard_operator(opB, mesh)
     w = rng.standard_normal(n + 1)
     assert_close(opB_sh * w, B @ w)
+
+
+def test_spectral_suite_on_sharded_operator(mesh, rng):
+    """The spectral tools see only apply()/apply_matrix(), so a GSPMD
+    row-partitioned operator drops straight in: lobpcg eigenpairs, the
+    Hutch++ trace, and funm_apply all match the unsharded results."""
+    P_dev = mesh.devices.size
+    n = 16 * P_dev
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.linspace(1.0, 50.0, n)
+    A = (Q * lam) @ Q.T
+    op = lo.LinearOperator(jnp.asarray(A), symmetric=True, hermitian=True)
+    op_sh = shard_operator(op, mesh)
+    key = jax.random.PRNGKey(0)
+
+    th, X, res, it = lo.lobpcg(op_sh, k=2, tol=1e-9, maxiter=400, key=key)
+    np.testing.assert_allclose(np.asarray(th), lam[:2], rtol=1e-7)
+
+    t_sh, _ = lo.estimate_trace(op_sh, probes=60, key=key)
+    t_un, _ = lo.estimate_trace(op, probes=60, key=key)
+    assert abs(t_sh - t_un) < 1e-8 * abs(t_un) + 1e-8  # same probes, same value
+
+    b = rng.standard_normal(n)
+    y_sh = np.asarray(lo.funm_apply(op_sh, jnp.exp, b, lanczos_steps=n))
+    y_un = np.asarray(lo.funm_apply(op, jnp.exp, b, lanczos_steps=n))
+    np.testing.assert_allclose(y_sh, y_un, rtol=1e-9, atol=1e-9)
