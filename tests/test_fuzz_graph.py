@@ -47,7 +47,7 @@ def _graph(rng, m, n, depth, complex_):
     """A random graph of shape (m, n) with its dense oracle."""
     if depth == 0:
         return _leaf(rng, m, n, complex_)
-    op_kind = rng.integers(0, 7)
+    op_kind = rng.integers(0, 8)
     if op_kind == 0:  # scale
         g, D = _graph(rng, m, n, depth - 1, complex_)
         c = float(rng.standard_normal()) + (1j * float(rng.standard_normal()) if complex_ else 0.0)
@@ -79,6 +79,15 @@ def _graph(rng, m, n, depth, complex_):
         g, D = _graph(rng, m, n, depth - 1, complex_)
         s = float(rng.standard_normal())
         return lo.ShiftedOperator(g, s), D + s * np.eye(n)
+    if op_kind == 7 and m == n:  # symmetrizers (structural-flag Sum nodes)
+        g, D = _graph(rng, m, n, depth - 1, complex_)
+        if rng.integers(0, 2):
+            h = g.hermitianized()
+            assert h.hermitian  # structural inference must hold on any graph
+            return h, (D + D.conj().T) / 2
+        s_ = g.symmetrized()
+        assert s_.symmetric
+        return s_, (D + D.T) / 2
     return _graph(rng, m, n, depth - 1, complex_)
 
 
