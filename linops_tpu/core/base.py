@@ -476,6 +476,30 @@ class LinearOperator(abc.ABC):
 
         return Scale(1.0 / x, self)
 
+    def __pow__(self, p):
+        # op ** p for integer p >= 0: a lazy Compose chain by binary
+        # exponentiation (log2(p) graph depth). The reference leaves ^ to
+        # Julia's generic power; here it is first-class for square ops.
+        if not isinstance(p, int) or isinstance(p, bool):
+            return NotImplemented
+        if self.nrow != self.ncol:
+            raise LinearOperatorException("operator power requires a square operator")
+        if p < 0:
+            raise ValueError("operator power requires p >= 0 (use opInverse for p < 0)")
+        if p == 0:
+            from ..ops.eye import Eye
+
+            return Eye(self.nrow, dtype=self.dtype)
+        result = None
+        base = self
+        while p:
+            if p & 1:
+                result = base if result is None else result @ base
+            p >>= 1
+            if p:
+                base = base @ base
+        return result
+
     def __add__(self, other):
         from .algebra import Sum
 

@@ -338,3 +338,23 @@ def test_row_vector_forms(rng):
     assert_close(np.conj(u) @ op, A.T @ np.conj(u))
     w = rng.standard_normal(3) + 1j * rng.standard_normal(3)
     assert_close(np.asarray(op.H.T * w), np.conj(A) @ w)
+
+
+def test_operator_power(rng):
+    """op ** p: lazy Compose chain by binary exponentiation (p == 0 is
+    the identity; negative/rect inputs raise; non-int defers)."""
+    A = 0.3 * rng.standard_normal((10, 10))
+    op = lo.LinearOperator(A)
+    for p in (0, 1, 2, 3, 7):
+        np.testing.assert_allclose(
+            np.asarray(lo.to_dense(op ** p)), np.linalg.matrix_power(A, p),
+            atol=1e-12)
+    v = rng.standard_normal(10)
+    np.testing.assert_allclose(np.asarray((op ** 3) * v),
+                               A @ (A @ (A @ v)), atol=1e-12)
+    with pytest.raises(ValueError):
+        op ** -1
+    with pytest.raises(lo.LinearOperatorException):
+        lo.LinearOperator(rng.standard_normal((4, 3))) ** 2
+    with pytest.raises(TypeError):
+        op ** 1.5
