@@ -21,6 +21,8 @@ roofline (v5e ≈ 819 GB/s; target ≥ 0.80 per BASELINE.md).
 """
 
 import json
+import os
+import signal
 import time
 
 import jax
@@ -28,6 +30,26 @@ import jax.numpy as jnp
 import numpy as np
 
 import linops_tpu as lo
+
+# Partial-result state for the SIGTERM handler: the TPU relay can wedge an
+# in-flight RPC (the process sleeps in a socket wait forever, CLAUDE.md),
+# and the driver's timeout then SIGTERMs us. The signal interrupts the
+# blocked syscall, so we can still print the one JSON line with everything
+# measured so far instead of losing the whole run.
+_partial = {"metric": "spmv_chain_bandwidth", "value": 0.0, "unit": "GB/s",
+            "vs_baseline": 0.0, "detail": {"incomplete": "no sections ran"}}
+
+
+def _emit_partial(signum, frame):
+    _partial.setdefault("detail", {})["incomplete"] = (
+        "killed by signal %d mid-run (wedged relay RPC or timeout); "
+        "values below are the sections that completed" % signum
+    )
+    print(json.dumps(_partial), flush=True)
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _emit_partial)
 
 _ROOFLINE_GBPS = {"tpu": 819.0, "cpu": 50.0}
 I_SHORT, I_LONG = 50, 1050  # delta must dwarf per-call jitter (~30 ms)
@@ -67,6 +89,7 @@ def main():
         "measured_streaming_ceiling_gbs": 747.0,  # raw sum-reduction probe (±1% run-to-run)
         "timing": f"marginal ({I_LONG}-{I_SHORT} chain iterations, median of 3)",
     }
+    _partial["detail"] = detail  # sections mutate it in place (see _emit_partial)
 
     # --- (2) BSR SpMV chain — THE HEADLINE, measured first -----------------
     # 128x128 blocks (the MXU-native tile), 1/16 density ≈ 67M nnz.
@@ -97,6 +120,8 @@ def main():
     detail["headline_measure_s"] = round(time.time() - t0, 1)  # incl. compiles
     nnz = int(blocks.size)
     spmv_gbs = nnz * bpe / t_spmv / 1e9
+    _partial["value"] = round(spmv_gbs, 2)
+    _partial["vs_baseline"] = round(spmv_gbs / roofline, 4)
     detail["spmv_traffic_model"] = "stored block values only (lower bound)"
     detail["spmv_precision"] = "f32-exact (HIGHEST; bf16-truncating DEFAULT measured identical: HBM-bound)"
     detail["spmv_gnnz_per_s"] = round(nnz / t_spmv / 1e9, 3)
