@@ -129,17 +129,44 @@ register_operator(Scale)
 
 
 class Sum(LinearOperator):
-    """``op1 + op2`` with ANDed flags (reference: src/operations.jl:199-215)."""
+    """``op1 + op2`` with ANDed flags (reference: src/operations.jl:199-215).
+
+    Structural symmetry (``x + x^H`` / ``x + x^T`` on the same object) is
+    detected ONCE at construction and stored as aux: pytree
+    flatten/unflatten (sharding, checkpoint load, jit reconstruction)
+    rebuilds the children as distinct objects, so an identity check in
+    the flag properties would silently lose the flag downstream."""
 
     _fields_children = ("op1", "op2")
-    _fields_aux = ()
+    _fields_aux = ("_struct_herm", "_struct_symm")
 
-    def __init__(self, op1: LinearOperator, op2: LinearOperator):
+    def __init__(self, op1: LinearOperator, op2: LinearOperator,
+                 _struct_herm: bool = None, _struct_symm: bool = None):
         super().__init__()
         if op1.shape != op2.shape:
             raise LinearOperatorException("shape mismatch")
         self.op1 = op1
         self.op2 = op2
+        if _struct_herm is None or _struct_symm is None:
+            from .adjoint import AdjointOperator, TransposeOperator
+
+            adj = self._is_structural_pair(AdjointOperator)
+            trans = self._is_structural_pair(TransposeOperator)
+            real = not jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating)
+            _struct_herm = adj or (real and trans)
+            _struct_symm = trans or (real and adj)
+        self._struct_herm = bool(_struct_herm)
+        self._struct_symm = bool(_struct_symm)
+
+    def _is_structural_pair(self, cls) -> bool:
+        # x + wrapper(x) on the SAME object: x + x^H is hermitian and
+        # x + x^T symmetric by construction. The reference's
+        # Hermitian/Symmetric builders (src/abstract.jl:231-253) return
+        # exactly this shape, so the inference makes `hermitianized()`
+        # compose with hermitian-gated consumers (lobpcg, SLQ, checks).
+        return (isinstance(self.op2, cls) and self.op2.parent is self.op1) or (
+            isinstance(self.op1, cls) and self.op1.parent is self.op2
+        )
 
     @property
     def nrow(self):
@@ -153,38 +180,13 @@ class Sum(LinearOperator):
     def dtype(self):
         return jnp.result_type(self.op1.dtype, self.op2.dtype)
 
-    def _is_structural(self, cls) -> bool:
-        # x + wrapper(x) on the SAME object: x + x^H is hermitian and
-        # x + x^T symmetric by construction. The reference's
-        # Hermitian/Symmetric builders (src/abstract.jl:231-253) return
-        # exactly this shape, so the inference makes `hermitianized()`
-        # compose with hermitian-gated consumers (lobpcg, SLQ, checks).
-        return (isinstance(self.op2, cls) and self.op2.parent is self.op1) or (
-            isinstance(self.op1, cls) and self.op1.parent is self.op2
-        )
-
     @property
     def symmetric(self):
-        if self.op1.symmetric and self.op2.symmetric:
-            return True
-        from .adjoint import AdjointOperator, TransposeOperator
-
-        if self._is_structural(TransposeOperator):
-            return True
-        # for real storage, x + x^H == x + x^T
-        real = not jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating)
-        return real and self._is_structural(AdjointOperator)
+        return self._struct_symm or (self.op1.symmetric and self.op2.symmetric)
 
     @property
     def hermitian(self):
-        if self.op1.hermitian and self.op2.hermitian:
-            return True
-        from .adjoint import AdjointOperator, TransposeOperator
-
-        if self._is_structural(AdjointOperator):
-            return True
-        real = not jnp.issubdtype(jnp.dtype(self.dtype), jnp.complexfloating)
-        return real and self._is_structural(TransposeOperator)
+        return self._struct_herm or (self.op1.hermitian and self.op2.hermitian)
 
     def apply(self, v, mode: str = "N"):
         mode = _resolve(self, mode)

@@ -477,10 +477,16 @@ class LinearOperator(abc.ABC):
         return Scale(1.0 / x, self)
 
     def __pow__(self, p):
-        # op ** p for integer p >= 0: a lazy Compose chain by binary
+        # op ** p for integral p >= 0: a lazy Compose chain by binary
         # exponentiation (log2(p) graph depth). The reference leaves ^ to
         # Julia's generic power; here it is first-class for square ops.
-        if not isinstance(p, int) or isinstance(p, bool):
+        if isinstance(p, bool):
+            return NotImplemented
+        try:
+            import operator as _operator
+
+            p = _operator.index(p)  # accepts numpy integers too
+        except TypeError:
             return NotImplemented
         if self.nrow != self.ncol:
             raise LinearOperatorException("operator power requires a square operator")

@@ -241,8 +241,13 @@ def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,
         # threshold on the Gram ratio detects sigma ratios down to
         # ~sqrt(eps), and exact/near duplicates land at eigvalsh's own
         # noise floor well below it
+        # the noise floor of the Gram eigenvalues is set by the k-dim
+        # eigensolve plus the sqrt(n)-term contraction rounding — a
+        # threshold LINEAR in n exceeds 1.0 for f32 at n ~ 84k and would
+        # reject every warm start
         gev = jnp.linalg.eigvalsh(pmatmul(jnp.conj(X0).T, X0))
-        if float(gev[0]) <= float(gev[-1]) * max(n, k) * 100 * jnp.finfo(jnp.real(X0).dtype).eps:
+        thresh = (100 * k + 10 * n ** 0.5) * jnp.finfo(jnp.real(X0).dtype).eps
+        if float(gev[0]) <= float(gev[-1]) * thresh:
             raise LinearOperatorException(
                 "X0 is numerically rank-deficient; provide k linearly "
                 "independent start vectors (or pass X0=None for a random block)"

@@ -198,13 +198,16 @@ def estimate_diagonal(op, *, probes: int = 64, key=None):
 # ---------------------------------------------------------------------------
 
 
-def _lanczos_tridiag(op, v0, m, reorth):
-    """m-step Lanczos on hermitian ``op`` from unit-norm ``v0``: returns
-    ``(V, alphas, betas)``. ``V`` is the (m, n) basis when ``reorth`` and
-    a (1, n) placeholder otherwise (callers that need the basis must pass
-    ``reorth=True``; unused outputs are DCE'd by jit). On reaching an
-    invariant subspace the recurrence goes inert — ``beta == 0`` rows
-    decouple from e1 in T, so their quadrature weight is exactly zero."""
+def _lanczos_tridiag(matvec, v0, m, reorth, passes: int = 1):
+    """The library's ONE Lanczos recurrence (SLQ, funm_apply, and
+    norm.estimate_opnorm all build on it). ``m`` steps of hermitian
+    ``matvec`` from unit-norm ``v0``: returns ``(V, alphas, betas)``.
+    ``V`` is the (m, n) basis when ``reorth`` (with ``passes`` full
+    reorthogonalization sweeps per step) and a (1, n) placeholder
+    otherwise (callers that need the basis must pass ``reorth=True``;
+    unused outputs are DCE'd by jit). On reaching an invariant subspace
+    the recurrence goes inert — ``beta == 0`` rows decouple from e1 in T,
+    so their quadrature weight is exactly zero."""
     n = v0.shape[0]
     dt = v0.dtype
     rdt = jnp.real(v0).dtype
@@ -216,12 +219,12 @@ def _lanczos_tridiag(op, v0, m, reorth):
         V, alphas, betas, v, v_prev, beta_prev = carry
         if reorth:
             V = V.at[j].set(v)
-        w = op.apply(v, "N") - beta_prev * v_prev
+        w = matvec(v) - beta_prev * v_prev
         alpha = jnp.real(pvdot(v, w))
         w = w - alpha.astype(dt) * v
         if reorth:
-            # one full pass is enough at these modest m
-            w = w - pmatmul(V.T, pmatmul(jnp.conj(V), w))
+            for _ in range(passes):
+                w = w - pmatmul(V.T, pmatmul(jnp.conj(V), w))
         beta = jnp.linalg.norm(w)
         v_next = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0)
         alphas = alphas.at[j].set(alpha)
@@ -242,7 +245,9 @@ def _slq(op, V0, m, reorth, f):
     rdt = jnp.real(V0).dtype
 
     def lanczos(v0):
-        _, alphas, betas = _lanczos_tridiag(op, v0, m, reorth)
+        _, alphas, betas = _lanczos_tridiag(
+            lambda v: op.apply(v, "N"), v0, m, reorth
+        )
         return alphas, betas
 
     alphas, betas = jax.vmap(lanczos, in_axes=1)(V0)  # (k, m) each
@@ -339,7 +344,9 @@ def _funm_jit(op, b, m, f):
 
     # full reorthogonalization: the result lives IN the basis, so basis
     # quality directly bounds the output accuracy
-    V, alphas, betas = _lanczos_tridiag(op, v0, m, reorth=True)
+    V, alphas, betas = _lanczos_tridiag(
+        lambda v: op.apply(v, "N"), v0, m, reorth=True
+    )
 
     T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
     theta, U = jnp.linalg.eigh(T)  # real symmetric even for complex A
@@ -350,7 +357,10 @@ def _funm_jit(op, b, m, f):
     live = jnp.abs(e1w) > cut
     fw = jnp.where(live, f(jnp.where(live, theta, 1.0)), 0.0)
     coeffs = pmatmul(U.astype(fw.dtype), fw * e1w)  # complex f promotes
-    return nrm * pmatmul(V.T, coeffs)
+    out = pmatmul(V.T, coeffs)
+    # f(A) @ 0 == 0, but with nrm == 0 the quadrature sits at theta = 0
+    # where singular f (log, 1/x) yields inf — select, don't multiply
+    return jnp.where(nrm > 0, nrm * out, jnp.zeros_like(out))
 
 
 def funm_apply(op, f, b, *, lanczos_steps: int = 30):

@@ -100,44 +100,21 @@ def normest(op, tol: float = -1, maxiter: int = 100, key=None):
 
 @functools.partial(jax.jit, static_argnames=("ncv", "gram"))
 def _lanczos_extreme(op, v0, ncv, gram):
-    """Lanczos with full reorthogonalization; returns (theta, resid) for the
-    largest-|.|-eigenvalue Ritz pair of `op` (gram=False, hermitian op) or of
-    A^H A (gram=True)."""
+    """Lanczos with full reorthogonalization (two sweeps); returns
+    (theta, resid) for the largest-|.|-eigenvalue Ritz pair of `op`
+    (gram=False, hermitian op) or of A^H A (gram=True). Built on the
+    library's one Lanczos recurrence (utils/estimate.py)."""
+    from .estimate import _lanczos_tridiag
+
     op = chain_resident(op, v0)
-    n = v0.shape[0]
-    dt = v0.dtype
 
     def matvec(x):
         if gram:
             return op.apply(op.apply(x, "N"), "H")
         return op.apply(x, "N")
 
-    V = jnp.zeros((ncv, n), dt)
-    alphas = jnp.zeros((ncv,), jnp.real(v0).dtype)
-    betas = jnp.zeros((ncv,), jnp.real(v0).dtype)
-
     v = v0 / jnp.linalg.norm(v0)
-
-    def body(j, carry):
-        V, alphas, betas, v, beta_prev = carry
-        V = V.at[j].set(v)
-        w = matvec(v)
-        alpha = jnp.real(pvdot(v, w))
-        w = w - alpha * v
-        # full reorthogonalization against all previous basis vectors
-        coeffs = pmatmul(jnp.conj(V), w)  # (ncv,) — rows >= j+1 are zero
-        w = w - pmatmul(V.T, coeffs)
-        coeffs2 = pmatmul(jnp.conj(V), w)
-        w = w - pmatmul(V.T, coeffs2)
-        beta = jnp.linalg.norm(w)
-        v_next = w / jnp.where(beta == 0, 1.0, beta)
-        alphas = alphas.at[j].set(alpha)
-        betas = betas.at[j].set(jnp.real(beta))
-        return (V, alphas, betas, v_next, beta)
-
-    V, alphas, betas, _, _ = jax.lax.fori_loop(
-        0, ncv, body, (V, alphas, betas, v, jnp.zeros((), jnp.real(v0).dtype))
-    )
+    _, alphas, betas = _lanczos_tridiag(matvec, v, ncv, reorth=True, passes=2)
 
     T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
     evals, evecs = jnp.linalg.eigh(T)
@@ -165,8 +142,10 @@ def estimate_opnorm(
     (Arpack.svds analogue); retries double the Krylov dimension. When the
     retries exhaust (e.g. a clustered spectrum edge), one LOBPCG solve is
     tried before giving up (``lobpcg_fallback=False`` restores the
-    reference's plain-exhaustion behavior); exhaustion returns
-    (NaN, False)."""
+    reference's plain-exhaustion behavior — note the fallback compiles
+    and runs up to two block eigensolves, so latency-critical callers
+    that prefer a fast (NaN, False) should disable it); exhaustion
+    returns (NaN, False)."""
     if not isinstance(op, LinearOperator):
         from ..core.dense import aslinearoperator
 

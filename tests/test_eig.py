@@ -299,3 +299,15 @@ def test_nystrom_rank_truncates_to_numerical_rank(rng):
     v = rng.standard_normal(n)
     out = np.asarray(P @ jnp.asarray(v))
     assert np.all(np.isfinite(out))
+
+
+def test_lobpcg_accepts_large_n_f32_warm_start(rng):
+    # review finding: an n-linear rank threshold exceeded 1.0 for f32 at
+    # n ~ 84k and rejected every (even exactly orthonormal) warm start
+    n = 90_000
+    op = lo.opDiagonal(jnp.ones((n,), jnp.float32))
+    X0 = np.zeros((n, 2), np.float32)
+    X0[0, 0] = 1.0
+    X0[1, 1] = 1.0
+    th, X, res, it = lo.lobpcg(op, k=2, X0=X0, tol=1e-3, maxiter=2)
+    assert np.all(np.isfinite(np.asarray(th)))

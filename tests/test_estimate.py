@@ -294,3 +294,10 @@ def test_funm_apply_complex_valued_f(rng):
     y_true = sla.expm(1j * A) @ b
     assert np.iscomplexobj(np.asarray(y))
     assert np.linalg.norm(np.asarray(y) - y_true) < 1e-9 * np.linalg.norm(y_true)
+
+
+def test_funm_apply_zero_vector_is_zero(rng):
+    # review finding: b == 0 with singular f (log) returned NaN
+    op, _ = _spd_op(20, rng)
+    y = lo.funm_apply(op, jnp.log, np.zeros(20), lanczos_steps=10)
+    np.testing.assert_array_equal(np.asarray(y), np.zeros(20))

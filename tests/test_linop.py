@@ -358,3 +358,12 @@ def test_operator_power(rng):
         lo.LinearOperator(rng.standard_normal((4, 3))) ** 2
     with pytest.raises(TypeError):
         op ** 1.5
+
+
+def test_operator_power_numpy_exponent(rng):
+    # review finding: np.int64 exponents fell into numpy's __rpow__ with
+    # a cryptic ufunc error
+    A = 0.3 * rng.standard_normal((6, 6))
+    op = lo.LinearOperator(A)
+    np.testing.assert_allclose(np.asarray(lo.to_dense(op ** np.int64(3))),
+                               np.linalg.matrix_power(A, 3), atol=1e-12)

@@ -240,3 +240,16 @@ def test_spectral_suite_on_sharded_operator(mesh, rng):
     y_sh = np.asarray(lo.funm_apply(op_sh, jnp.exp, b, lanczos_steps=n))
     y_un = np.asarray(lo.funm_apply(op, jnp.exp, b, lanczos_steps=n))
     np.testing.assert_allclose(y_sh, y_un, rtol=1e-9, atol=1e-9)
+
+
+def test_structural_flags_survive_sharding(mesh, rng):
+    """review finding: identity-based x + x^H detection was lost on
+    pytree rebuild; the flag is aux now and survives shard_operator."""
+    n = 8 * mesh.devices.size
+    op = lo.LinearOperator(jnp.asarray(rng.standard_normal((n, n))))
+    H = op.hermitianized()
+    H_sh = shard_operator(H, mesh)
+    assert H_sh.hermitian
+    th, X, res, it = lo.lobpcg(H_sh, k=1, tol=1e-6, maxiter=200,
+                               key=jax.random.PRNGKey(0))
+    assert np.isfinite(float(th[0]))
