@@ -47,11 +47,13 @@ from .ops.kron import KronOperator, kron
 from .ops.shifted import ShiftedOperator
 from .ops.linalg_ops import (
     InverseOperator,
+    IterativeInverseOperator,
     CholeskyOperator,
     LDLOperator,
     HouseholderOperator,
     HermitianOperator,
     opInverse,
+    opIterativeInverse,
     opCholesky,
     opLDL,
     opHouseholder,
@@ -162,6 +164,8 @@ __all__ = [
     "HouseholderOperator",
     "HermitianOperator",
     "opInverse",
+    "opIterativeInverse",
+    "IterativeInverseOperator",
     "opCholesky",
     "opLDL",
     "opHouseholder",

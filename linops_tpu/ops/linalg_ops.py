@@ -17,11 +17,13 @@ from ..core.base import LinearOperator, LinearOperatorException, register_operat
 
 __all__ = [
     "InverseOperator",
+    "IterativeInverseOperator",
     "CholeskyOperator",
     "LDLOperator",
     "HouseholderOperator",
     "HermitianOperator",
     "opInverse",
+    "opIterativeInverse",
     "opCholesky",
     "opLDL",
     "opHouseholder",
@@ -382,3 +384,99 @@ def opHouseholder(h):
 
 def opHermitian(d, A=None):
     return HermitianOperator(d, A)
+
+
+class IterativeInverseOperator(LinearOperator):
+    """``op^{-1}`` for ANY square operator: each apply runs an inner
+    Krylov solve on device (the matrix-free counterpart of
+    :class:`InverseOperator`, which factors a dense matrix).
+
+    The inner solve is pure jnp (a ``lax.while_loop``), so the node
+    composes everywhere operators do: inside graphs, under outer jits,
+    vmapped, and as a preconditioner ``M`` for an outer solver (keep the
+    inner ``tol`` modest there — an inexact inverse is a nonstationary
+    preconditioner, fine for restarted/flexible outer methods).
+
+    ``solver``: ``"auto"`` picks ``minres`` for flagged-hermitian
+    operators (indefinite-safe; pass ``solver="cg"`` when positive
+    definiteness is known) and ``bicgstab`` otherwise; ``"gmres"`` is
+    available for hard nonsymmetric systems.
+    """
+
+    _fields_children = ("op",)
+    _fields_aux = ("_tol", "_maxiter", "_solver")
+
+    _SOLVERS = ("auto", "cg", "minres", "bicgstab", "gmres")
+
+    def __init__(self, op, *, tol: float = 1e-8, maxiter: int = 100,
+                 solver: str = "auto"):
+        super().__init__()
+        if not isinstance(op, LinearOperator):
+            from ..core.dense import aslinearoperator
+
+            op = aslinearoperator(op)
+        if op.nrow != op.ncol:
+            raise LinearOperatorException(
+                "opIterativeInverse requires a square operator"
+            )
+        if solver not in self._SOLVERS:
+            raise ValueError(f"solver must be one of {self._SOLVERS}")
+        self.op = op
+        self._tol = float(tol)
+        self._maxiter = int(maxiter)
+        self._solver = solver
+
+    @property
+    def nrow(self):
+        return self.op.nrow
+
+    ncol = nrow
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    @property
+    def symmetric(self):
+        return self.op.symmetric  # inverse of a symmetric op is symmetric
+
+    @property
+    def hermitian(self):
+        return self.op.hermitian
+
+    def _solve(self, inner, v):
+        from ..utils import krylov
+
+        name = self._solver
+        if name == "auto":
+            name = "minres" if inner.hermitian else "bicgstab"
+        x, _, _ = getattr(krylov, name)(
+            inner, v, tol=self._tol, maxiter=self._maxiter
+        )
+        return x
+
+    def apply(self, v, mode: str = "N"):
+        from ..core.adjoint import adjoint, conj, transpose
+
+        if mode == "N":
+            inner = self.op
+        elif mode == "T":
+            inner = transpose(self.op)
+        elif mode == "H":
+            inner = adjoint(self.op)
+        elif mode == "C":
+            inner = conj(self.op)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return self._solve(inner, v)
+
+    def _name(self):
+        return f"IterativeInverse({self._solver}, tol={self._tol}) of"
+
+
+register_operator(IterativeInverseOperator)
+
+
+def opIterativeInverse(op, *, tol: float = 1e-8, maxiter: int = 100,
+                       solver: str = "auto"):
+    return IterativeInverseOperator(op, tol=tol, maxiter=maxiter, solver=solver)

@@ -141,3 +141,62 @@ def test_sparse_ldl_asymmetric_check(rng):
     A = scipy_sparse.random(10, 10, density=0.5, random_state=1).tocsc() + scipy_sparse.eye(10)
     with pytest.raises(lo.LinearOperatorException):
         opSparseLDL(A, check=True)
+
+
+# ---------------------------------------------------------------------------
+# opIterativeInverse (matrix-free inverse via inner Krylov solves)
+# ---------------------------------------------------------------------------
+
+
+def test_iterative_inverse_hermitian(rng):
+    import jax
+    import jax.numpy as jnp
+
+    n = 30
+    A = simple_matrix(np.float64, n, n, rng, symmetric=True) + 3.0 * np.eye(n)
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    inv = lo.opIterativeInverse(op, tol=1e-12, maxiter=200)
+    assert inv.hermitian and inv.shape == (n, n)
+    v = simple_vector(np.float64, n)
+    np.testing.assert_allclose(np.asarray(inv @ v), np.linalg.solve(A, v),
+                               rtol=1e-8, atol=1e-10)
+    # graph composition: inv @ op ~= identity
+    np.testing.assert_allclose(np.asarray((inv @ op) @ v), v, rtol=1e-7,
+                               atol=1e-9)
+    # traceable: works inside an outer jit
+    y = jax.jit(lambda o, b: o @ b)(inv, jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(y), np.linalg.solve(A, v), rtol=1e-8)
+
+
+def test_iterative_inverse_nonsymmetric_modes(rng):
+    n = 24
+    A = simple_matrix(np.float64, n, n, rng) + 4.0 * np.eye(n)
+    inv = lo.opIterativeInverse(lo.LinearOperator(A), tol=1e-12, maxiter=400)
+    v = simple_vector(np.float64, n)
+    np.testing.assert_allclose(np.asarray(inv @ v), np.linalg.solve(A, v),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(inv.T @ v),
+                               np.linalg.solve(A.T, v), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(inv.H @ v),
+                               np.linalg.solve(A.T, v), rtol=1e-7, atol=1e-9)
+
+
+def test_iterative_inverse_as_preconditioner(rng):
+    import jax.numpy as jnp
+
+    # inexact inner solves as a preconditioner for an outer solver
+    n = 40
+    A = simple_matrix(np.float64, n, n, rng, symmetric=True) + 5.0 * np.eye(n)
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    M = lo.opIterativeInverse(op, tol=1e-2, maxiter=10, solver="cg")
+    b = jnp.asarray(simple_vector(np.float64, n))
+    x, it, res = lo.cg(op, b, tol=1e-10, maxiter=200, M=M)
+    assert float(res) < 1e-8
+    assert int(it) <= 6  # a near-inverse preconditioner converges in a few
+
+
+def test_iterative_inverse_validation(rng):
+    with pytest.raises(lo.LinearOperatorException):
+        lo.opIterativeInverse(lo.LinearOperator(np.ones((3, 4))))
+    with pytest.raises(ValueError):
+        lo.opIterativeInverse(lo.LinearOperator(np.eye(4)), solver="nope")
