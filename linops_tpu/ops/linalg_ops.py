@@ -8,6 +8,8 @@ apply (reference semantics, src/linalg.jl:20-32).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 from ..core.precision import pmatmul, pvdot
 import jax.numpy as jnp
@@ -397,6 +399,12 @@ class IterativeInverseOperator(LinearOperator):
     inner ``tol`` modest there — an inexact inverse is a nonstationary
     preconditioner, fine for restarted/flexible outer methods).
 
+    Reverse-mode AD uses IMPLICIT differentiation: the VJP of a linear
+    solve is one more solve in the transposed mode (``lax.while_loop``
+    itself is not reverse-differentiable), with zero cotangent into the
+    wrapped operator's arrays — the same contract as ``apply_linear``
+    and the reference rrule's ``NoTangent``.
+
     ``solver``: ``"auto"`` picks ``minres`` for flagged-hermitian
     operators (indefinite-safe; pass ``solver="cg"`` when positive
     definiteness is known) and ``bicgstab`` otherwise; ``"gmres"`` is
@@ -444,19 +452,9 @@ class IterativeInverseOperator(LinearOperator):
     def hermitian(self):
         return self.op.hermitian
 
-    def _solve(self, inner, v):
-        from ..utils import krylov
-
-        name = self._solver
-        if name == "auto":
-            name = "minres" if inner.hermitian else "bicgstab"
-        x, _, _ = getattr(krylov, name)(
-            inner, v, tol=self._tol, maxiter=self._maxiter
-        )
-        return x
-
-    def apply(self, v, mode: str = "N"):
+    def _raw_solve(self, v, mode: str):
         from ..core.adjoint import adjoint, conj, transpose
+        from ..utils import krylov
 
         if mode == "N":
             inner = self.op
@@ -468,13 +466,43 @@ class IterativeInverseOperator(LinearOperator):
             inner = conj(self.op)
         else:
             raise ValueError(f"unknown mode {mode!r}")
-        return self._solve(inner, v)
+        name = self._solver
+        if name == "auto":
+            name = "minres" if inner.hermitian else "bicgstab"
+        x, _, _ = getattr(krylov, name)(
+            inner, v, tol=self._tol, maxiter=self._maxiter
+        )
+        return x
+
+    def apply(self, v, mode: str = "N"):
+        return _iter_solve(self, v, mode)
 
     def _name(self):
         return f"IterativeInverse({self._solver}, tol={self._tol}) of"
 
 
 register_operator(IterativeInverseOperator)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _iter_solve(node: IterativeInverseOperator, v, mode: str):
+    return node._raw_solve(v, mode)
+
+
+def _iter_fwd(node, v, mode):
+    return node._raw_solve(v, mode), node
+
+
+def _iter_bwd(mode, node, g):
+    from ..core.base import compose_modes
+
+    # implicit differentiation: the (unconjugated-transpose) pullback of
+    # x = (A_mode)^{-1} v is (A_{T.mode})^{-1} g — one more inner solve
+    dv = node._raw_solve(g, compose_modes("T", mode))
+    return (jax.tree.map(jnp.zeros_like, node), dv)
+
+
+_iter_solve.defvjp(_iter_fwd, _iter_bwd)
 
 
 def opIterativeInverse(op, *, tol: float = 1e-8, maxiter: int = 100,

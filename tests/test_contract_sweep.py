@@ -48,7 +48,26 @@ def _operators(rng):
         ("restriction", lo.opRestriction(jnp.arange(0, n, 2), n), np.eye(n)[::2]),
         ("slice", mat[jnp.arange(3), jnp.arange(4)], A[:3, :4]),
         ("timed", lo.TimedOperator(mat), A),
+        ("power", mat ** 3, np.linalg.matrix_power(A, 3)),
+        ("hermitianized", mat.hermitianized(), (A + A.T) / 2),
+        ("symmetrized", mat.symmetrized(), (A + A.T) / 2),
     ]
+    # iterative inverse (inner Krylov solve as an operator node)
+    S = A @ A.T + 5.0 * np.eye(n)
+    out.append((
+        "iter_inverse",
+        lo.opIterativeInverse(
+            lo.LinearOperator(jnp.asarray(S), symmetric=True, hermitian=True),
+            tol=1e-13, maxiter=300),
+        np.linalg.inv(S),
+    ))
+    # Nystrom preconditioner node with a hand-built exact oracle
+    Uq = np.linalg.qr(rng.standard_normal((n, 3)))[0]
+    lam = np.array([4.0, 2.0, 1.0])
+    P = lo.NystromPreconditioner(jnp.asarray(Uq), jnp.asarray(lam), mu=0.5)
+    scale = (lam[-1] + 0.5) / (lam + 0.5)
+    P_dense = (Uq * scale) @ Uq.T + (np.eye(n) - Uq @ Uq.T)
+    out.append(("nystrom_pinv", P, P_dense))
     return out
 
 
