@@ -399,16 +399,24 @@ class IterativeInverseOperator(LinearOperator):
     inner ``tol`` modest there — an inexact inverse is a nonstationary
     preconditioner, fine for restarted/flexible outer methods).
 
-    Reverse-mode AD uses IMPLICIT differentiation: the VJP of a linear
-    solve is one more solve in the transposed mode (``lax.while_loop``
-    itself is not reverse-differentiable), with zero cotangent into the
-    wrapped operator's arrays — the same contract as ``apply_linear``
-    and the reference rrule's ``NoTangent``.
+    Reverse-mode AD uses IMPLICIT differentiation (``lax.while_loop``
+    itself is not reverse-differentiable): with ``x = A^{-1} v``, the
+    input cotangent is one more solve in the transposed mode, and the
+    OPERATOR-DATA cotangent is the pullback of a single apply at ``x``
+    against that solve's result (``Abar = -w (.) x``) — so
+    ``jax.grad`` w.r.t. the wrapped operator's arrays flows correctly,
+    matching the library's native flow-through contract.
 
     ``solver``: ``"auto"`` picks ``minres`` for flagged-hermitian
     operators (indefinite-safe; pass ``solver="cg"`` when positive
-    definiteness is known) and ``bicgstab`` otherwise; ``"gmres"`` is
-    available for hard nonsymmetric systems.
+    definiteness is known) and ``gmres`` otherwise (breakdown-free;
+    ``"bicgstab"`` is the cheaper opt-in for well-behaved nonsymmetric
+    systems — but it can BREAK DOWN silently inside jit, e.g. on
+    skew-symmetric operators, leaving a huge residual in the returned
+    vector). ``maxiter`` is a TOTAL inner-iteration budget for every
+    solver (for gmres it is split into restart cycles). Non-convergence
+    within the budget is silent by design (an inexact inverse is a valid
+    preconditioner); call :meth:`solve_info` to observe the residual.
     """
 
     _fields_children = ("op",)
@@ -452,30 +460,47 @@ class IterativeInverseOperator(LinearOperator):
     def hermitian(self):
         return self.op.hermitian
 
-    def _raw_solve(self, v, mode: str):
+    def _inner(self, mode: str):
         from ..core.adjoint import adjoint, conj, transpose
-        from ..utils import krylov
 
         if mode == "N":
-            inner = self.op
-        elif mode == "T":
-            inner = transpose(self.op)
-        elif mode == "H":
-            inner = adjoint(self.op)
-        elif mode == "C":
-            inner = conj(self.op)
-        else:
-            raise ValueError(f"unknown mode {mode!r}")
+            return self.op
+        if mode == "T":
+            return transpose(self.op)
+        if mode == "H":
+            return adjoint(self.op)
+        if mode == "C":
+            return conj(self.op)
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def solve_info(self, v, mode: str = "N"):
+        """The inner solve with its diagnostics: ``(x, iterations,
+        final residual norm)`` — use this to OBSERVE convergence (apply
+        itself is silent by design; see the class docstring)."""
+        from ..utils import krylov
+
+        inner = self._inner(mode)
         name = self._solver
         if name == "auto":
-            name = "minres" if inner.hermitian else "bicgstab"
-        x, _, _ = getattr(krylov, name)(
-            inner, v, tol=self._tol, maxiter=self._maxiter
-        )
-        return x
+            name = "minres" if inner.hermitian else "gmres"
+        if name == "gmres":
+            restart = max(1, min(30, self._maxiter))
+            return krylov.gmres(inner, v, tol=self._tol, restart=restart,
+                                maxiter=max(1, self._maxiter // restart))
+        return getattr(krylov, name)(inner, v, tol=self._tol,
+                                     maxiter=self._maxiter)
+
+    def _raw_solve(self, v, mode: str):
+        return self.solve_info(v, mode)[0]
 
     def apply(self, v, mode: str = "N"):
         return _iter_solve(self, v, mode)
+
+    def _has_tprod(self):
+        return True
+
+    def _has_ctprod(self):
+        return True
 
     def _name(self):
         return f"IterativeInverse({self._solver}, tol={self._tol}) of"
@@ -490,16 +515,23 @@ def _iter_solve(node: IterativeInverseOperator, v, mode: str):
 
 
 def _iter_fwd(node, v, mode):
-    return node._raw_solve(v, mode), node
+    x = node._raw_solve(v, mode)
+    return x, (node, x)
 
 
-def _iter_bwd(mode, node, g):
+def _iter_bwd(mode, res, g):
     from ..core.base import compose_modes
 
-    # implicit differentiation: the (unconjugated-transpose) pullback of
-    # x = (A_mode)^{-1} v is (A_{T.mode})^{-1} g — one more inner solve
-    dv = node._raw_solve(g, compose_modes("T", mode))
-    return (jax.tree.map(jnp.zeros_like, node), dv)
+    node, x = res
+    # implicit differentiation of A_mode x = v at cotangent g:
+    #   vbar = (A_{T.mode})^{-1} g               (one more inner solve)
+    #   Abar = pullback of (leaves -> A_mode(leaves) @ x) at -vbar
+    # (the unconjugated-transpose convention throughout; only ONE apply
+    # is differentiated, never the while_loop)
+    w = node._raw_solve(g, compose_modes("T", mode))
+    _, pull = jax.vjp(lambda nd: nd._inner(mode).apply(x, "N"), node)
+    d_node = pull(-w)[0]
+    return (d_node, w)
 
 
 _iter_solve.defvjp(_iter_fwd, _iter_bwd)

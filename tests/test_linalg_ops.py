@@ -200,3 +200,49 @@ def test_iterative_inverse_validation(rng):
         lo.opIterativeInverse(lo.LinearOperator(np.ones((3, 4))))
     with pytest.raises(ValueError):
         lo.opIterativeInverse(lo.LinearOperator(np.eye(4)), solver="nope")
+
+
+def test_iterative_inverse_review_findings(rng):
+    """Round-2 review regressions: auto solver must not silently break
+    down (skew-symmetric bicgstab), operator-data gradients must flow
+    (full implicit differentiation), and T/H applies hit their counter
+    slots."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 14
+    v = jnp.asarray(simple_vector(np.float64, n))
+
+    # skew-symmetric: bicgstab breaks down; auto (gmres) converges
+    K = rng.standard_normal((n, n))
+    K = K - K.T
+    invK = lo.opIterativeInverse(lo.LinearOperator(K), tol=1e-10, maxiter=300)
+    x = invK @ v
+    assert float(jnp.linalg.norm(jnp.asarray(K) @ x - v)) < 1e-8
+    xi, it, res = invK.solve_info(v)
+    assert float(res) < 1e-8
+
+    # full implicit differentiation: grads w.r.t. the WRAPPED OPERATOR'S
+    # data match the dense-solve oracle
+    S = rng.standard_normal((n, n))
+    S = S @ S.T + 5 * np.eye(n)
+
+    def loss_op(A):
+        inv = lo.opIterativeInverse(
+            lo.LinearOperator(A, symmetric=True, hermitian=True),
+            tol=1e-13, maxiter=400)
+        return jnp.sum(inv @ v)
+
+    gA = jax.grad(loss_op)(jnp.asarray(S))
+    gD = jax.grad(lambda A: jnp.sum(jnp.linalg.solve(A, v)))(jnp.asarray(S))
+    np.testing.assert_allclose(np.asarray(gA), np.asarray(gD), atol=1e-7)
+
+    # counter contract: T/H applies are not miscounted as nprod
+    invn = lo.opIterativeInverse(
+        lo.LinearOperator(rng.standard_normal((n, n)) + 5 * np.eye(n)),
+        tol=1e-10, maxiter=300)
+    invn.reset_counters()
+    _ = invn @ v
+    _ = invn.T @ v
+    _ = invn.H @ v
+    assert (invn.nprod, invn.ntprod, invn.nctprod) == (1, 1, 1)
