@@ -81,3 +81,19 @@ def test_halo_in_algebra(mesh, rng):
     chain = 2.0 * (lo.opDiagonal(jnp.asarray(d)) @ op)
     v = rng.standard_normal(n)
     assert_close(chain * v, 2.0 * np.diag(d) @ A @ v)
+
+
+def test_lobpcg_on_halo_partitioned_operator(mesh, rng):
+    """Distributed eigensolve: the halo-partitioned operator's ppermute
+    applies drive lobpcg to the analytic tridiagonal spectrum."""
+    import scipy.sparse as sps
+
+    n = 8 * mesh.devices.size
+    main = 2.5 * np.ones(n)
+    off = -1.0 * np.ones(n - 1)
+    T = sps.diags([off, main, off], [-1, 0, 1]).toarray()
+    hop = banded_partition(jnp.asarray(T), mesh, symmetric=True, hermitian=True)
+    th, X, res, it = lo.lobpcg(hop, k=2, largest=True, tol=1e-8, maxiter=400,
+                               key=jax.random.PRNGKey(0))
+    lam = np.sort(2.5 + 2 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1)))
+    np.testing.assert_allclose(np.asarray(th), lam[-2:][::-1], rtol=1e-6)
