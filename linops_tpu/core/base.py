@@ -31,7 +31,7 @@ mirrors the calls the traced apply makes.
 from __future__ import annotations
 
 import abc
-from typing import Any, Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ not a compile-time constant — SURVEY.md §7 hard part 3).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..core.base import LinearOperator, LinearOperatorException, register_operator

@@ -22,7 +22,6 @@ Two methods:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 from ..core.precision import pdot, pmatmul

@@ -19,7 +19,7 @@ conjugate values on the fly, mirroring the reference's conj-trick lattice
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from __future__ import annotations
 import io
 import json
 import os
-from typing import Any
 
 import jax
 import jax.numpy as jnp

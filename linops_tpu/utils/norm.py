@@ -17,7 +17,6 @@ import warnings
 
 import jax
 from .residency import chain_resident
-from ..core.precision import pmatmul, pvdot
 import jax.numpy as jnp
 
 from ..core.base import LinearOperator
