@@ -208,7 +208,14 @@ def minres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
     opHermitian/L-SR1 models (reference models are merely symmetric, not SPD:
     /root/reference/src/lsr1.jl). Optional SPD preconditioner ``M ≈ A⁻¹``.
     One compiled ``while_loop``; returns (x, iterations, preconditioned
-    residual norm estimate ``phibar``)."""
+    residual norm estimate ``phibar``).
+
+    A 2-D ``b`` of shape (n, k) solves all k systems simultaneously
+    (independent per-column recurrences over multi-RHS ``apply_matrix``;
+    converged columns freeze). Returns (X, iterations, per-column
+    phibar)."""
+    if getattr(b, "ndim", 1) == 2:
+        return _minres_multi(op, b, x0, tol=tol, maxiter=maxiter, M=M)
     dt = jnp.result_type(b.dtype, op.dtype)
     b = b.astype(dt)
     op, M = chain_resident((op, M), b)
@@ -268,6 +275,80 @@ def minres(op: LinearOperator, b, x0=None, *, tol: float = 1e-8,
             / gamma.astype(dt)
         x = x + phi.astype(dt) * w
         return (x, y, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar,
+                cs, sn, k + 1)
+
+    out = lax.while_loop(cond, body, init)
+    return out[0], out[13], out[10]
+
+
+def _minres_multi(op: LinearOperator, B, X0=None, *, tol: float = 1e-8,
+                  maxiter: int = 100, M: LinearOperator = None):
+    """Multi-RHS MINRES: k independent per-column Paige–Saunders
+    recurrences in ONE compiled loop over ``apply_matrix`` (every
+    operator read amortized over the k columns, like ``_cg_multi``).
+    Converged columns freeze their solution update (phi forced to 0)."""
+    dt = jnp.result_type(B.dtype, op.dtype)
+    B = B.astype(dt)
+    op, M = chain_resident((op, M), B)
+    X = jnp.zeros_like(B) if X0 is None else X0.astype(dt)
+    rdt = jnp.zeros((), dt).real.dtype
+    eps = jnp.finfo(rdt).eps
+    kcols = B.shape[1]
+
+    def prec(R):
+        return M.apply_matrix(R, "N").astype(dt) if M is not None else R
+
+    def cdot(U, V):  # per-column <u, v>
+        return jnp.sum(jnp.conj(U) * V, axis=0)
+
+    R1 = B - op.apply_matrix(X, "N")
+    Y = prec(R1)
+    beta1 = jnp.sqrt(jnp.maximum(cdot(R1, Y).real, 0.0))
+    tol_abs = tol * jnp.where(beta1 == 0, 1.0, beta1)
+
+    zero = jnp.zeros((kcols,), rdt)
+    init = (X, Y, R1, R1, jnp.zeros_like(B), jnp.zeros_like(B),
+            zero, beta1, zero, zero, beta1, -jnp.ones((kcols,), rdt), zero,
+            jnp.zeros((), jnp.int32))
+
+    def cond(state):
+        phibar, k = state[10], state[13]
+        return jnp.any(phibar > tol_abs) & (k < maxiter)
+
+    def body(state):
+        (X, Y, R1, R2, W, W2, oldb, beta, dbar, epsln, phibar,
+         cs, sn, k) = state
+        act = phibar > tol_abs
+        safe_beta = jnp.where(beta == 0, 1.0, beta)
+        V = Y / safe_beta[None, :].astype(dt)
+        Y = op.apply_matrix(V, "N")
+        Y = jnp.where(k >= 1,
+                      Y - (beta / jnp.where(oldb == 0, 1.0, oldb)
+                           )[None, :].astype(dt) * R1, Y)
+        alfa = cdot(V, Y).real  # real for Hermitian op
+        Y = Y - (alfa / safe_beta)[None, :].astype(dt) * R2
+        R1, R2 = R2, Y
+        Y = prec(R2)
+        oldb = beta
+        beta = jnp.sqrt(jnp.maximum(cdot(R2, Y).real, 0.0))
+
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln = sn * beta
+        dbar = -cs * beta
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta * beta), eps)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = jnp.where(act, cs * phibar, 0.0)  # frozen columns stop moving
+        phibar = jnp.where(act, sn * phibar, phibar)
+
+        W1 = W2
+        W2 = W
+        W = (V - oldeps[None, :].astype(dt) * W1
+             - delta[None, :].astype(dt) * W2) / gamma[None, :].astype(dt)
+        X = X + phi[None, :].astype(dt) * W
+        return (X, Y, R1, R2, W, W2, oldb, beta, dbar, epsln, phibar,
                 cs, sn, k + 1)
 
     out = lax.while_loop(cond, body, init)

@@ -307,3 +307,22 @@ def test_cg_multi_rhs_preconditioned_and_freeze(rng):
     np.testing.assert_allclose(np.asarray(X[:, 1:]),
                                np.linalg.solve(A, B[:, 1:]),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_minres_multi_rhs(rng):
+    """2-D b: k independent indefinite systems in one compiled loop;
+    columns match single-RHS solves and converged columns freeze."""
+    n, k = 60, 5
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.concatenate([np.linspace(-8, -1, n // 2),
+                          np.linspace(1, 8, n - n // 2)])
+    A = (Q * lam) @ Q.T
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    B = jnp.asarray(rng.standard_normal((n, k)))
+    X, it, phibar = lo.minres(op, B, tol=1e-10, maxiter=300)
+    res = np.linalg.norm(A @ np.asarray(X) - np.asarray(B), axis=0)
+    assert np.all(res < 1e-7)
+    assert phibar.shape == (k,)
+    for j in range(k):
+        xj, _, _ = lo.minres(op, B[:, j], tol=1e-10, maxiter=300)
+        assert np.linalg.norm(np.asarray(xj) - np.asarray(X[:, j])) < 1e-6
