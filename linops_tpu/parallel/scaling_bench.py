@@ -94,6 +94,38 @@ def scaling_report(n_devices: int = None, m_per_dev: int = 2048, band: int = 3) 
         3,
     )
 
+    # --- halo2d grid decomposition: WEAK scaling (tile fixed) --------------
+    from .halo2d import make_mesh2d, stencil_partition_2d
+
+    py = next(d for d in range(int(n_devices ** 0.5), 0, -1) if n_devices % d == 0)
+    px = n_devices // py
+    by = bx = 512  # fixed per-device tile side (big enough that the tile
+    # arithmetic is not dwarfed by the EMULATED collectives on the
+    # virtual CPU mesh; on real ICI the ratio is far better still)
+    h2_t = {}
+    for (py_c, px_c), tag in (((1, 1), "1dev"), ((py, px), "ndev")):
+        mesh2 = make_mesh2d(py_c, px_c)
+        ny, nx = by * py_c, bx * px_c
+        L2 = stencil_partition_2d(
+            jnp.asarray([4.0, -1.0, -1.0, -1.0, -1.0], dtype), ny, nx, mesh2
+        )
+        v = jnp.asarray(rng.standard_normal(ny * nx).astype(dtype))
+        t = _chain_time(run, L2, v)
+        h2_t[tag] = t
+        report[f"halo2d_us_per_apply_{tag}"] = round(t * 1e6, 1)
+        if tag == "ndev":
+            counts = collective_counts(lambda o, x: o.apply(x, "N"), L2, v)
+            report["halo2d_mesh"] = [py, px]
+            report["halo2d_collectives_per_apply"] = counts
+            expected = 2 * int(py > 1) + 2 * int(px > 1)
+            if expected:  # degenerate axes elide their permutes
+                assert counts["collective-permute"] == expected, counts
+                assert counts["all-gather"] == 0, counts
+    # per-device work is constant (5 by bx): weak efficiency = t1 / tP
+    report["halo2d_weak_scaling_efficiency"] = round(
+        h2_t["1dev"] / h2_t["ndev"], 3
+    )
+
     # --- GSPMD row partition: STRONG scaling (n fixed) ---------------------
     n = m_per_dev * n_devices
     A = _banded(n, band, rng, dtype)
@@ -129,6 +161,12 @@ def main():
 
     report = scaling_report()
     report["platform"] = jax.devices()[0].platform
+    if report["platform"] == "cpu":
+        report["virtual_mesh_note"] = (
+            "all virtual devices share ONE physical CPU and collectives are "
+            "emulated, so efficiency numbers here are structural lower "
+            "bounds; the collective COUNTS are the portable contract"
+        )
     print(json.dumps(report))
 
 
