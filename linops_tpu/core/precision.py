@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["matmul_precision", "pdot", "pmatmul", "pvdot"]
+__all__ = ["matmul_precision", "pdot", "pmatmul", "pvdot", "pcolumn_dot"]
 
 
 def matmul_precision(*dtypes):
@@ -49,3 +49,15 @@ def pmatmul(a, b, **kw):
 def pvdot(a, b, **kw):
     """``jnp.vdot`` under the storage-follows-precision policy."""
     return jnp.vdot(a, b, precision=matmul_precision(a.dtype, b.dtype), **kw)
+
+
+def pcolumn_dot(U, V):
+    """Per-column ``<u_j, v_j>`` of two (n, k) blocks under the policy.
+
+    A plain ``sum(conj(U) * V, axis=0)`` can be rewritten by XLA into an
+    MXU contraction at DEFAULT precision (bf16-truncating for f32), which
+    the precision-sensitive multi-RHS Krylov recurrences must not absorb."""
+    return jnp.einsum(
+        "ij,ij->j", jnp.conj(U), V,
+        precision=matmul_precision(U.dtype, V.dtype),
+    )

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:
     from jax import shard_map
@@ -103,7 +103,10 @@ def _halo2d_fn(mesh: Mesh, ay: str, ax: str, by: int, bx: int):
 class HaloStencil2DOperator(LinearOperator):
     """Constant-coefficient 5-point stencil on an (ny, nx) grid, tiled
     over a 2-D mesh. ``coeffs`` is the length-5 array ``[c, n, s, w, e]``
-    (a pytree leaf: coefficients may be updated without recompiles).
+    — a pytree leaf, so coefficient VALUES may be updated without
+    recompiles; the symmetry flags are fixed at construction, so an
+    update must preserve the symmetry PATTERN (n==s, w==e or not) —
+    build a fresh operator via :func:`stencil_partition_2d` to change it.
 
     Vectors use the BLOCKED (device-major) grid flattening — tile (p, q)
     of the grid occupies one contiguous segment — so the flat vector
@@ -197,9 +200,10 @@ class HaloStencil2DOperator(LinearOperator):
             self._ny, self._nx)
 
     def apply(self, v, mode: str = "N"):
-        if v.ndim == 1 and v.shape[0] != self.nrow:
+        if v.ndim != 1 or v.shape[0] != self.nrow:
             raise LinearOperatorException(
-                f"shape mismatch: expected ({self.nrow},), got {v.shape}"
+                f"shape mismatch: expected ({self.nrow},), got {v.shape} "
+                "(matrices go through apply_matrix)"
             )
         py, px, by, bx = self._tiles
         fn = _halo2d_fn(self._mesh, self._ay, self._ax, by, bx)

@@ -16,7 +16,7 @@ from __future__ import annotations
 import functools
 
 import jax
-from ..core.precision import pmatmul, pvdot
+from ..core.precision import pcolumn_dot, pmatmul, pvdot
 from .residency import chain_resident
 import jax.numpy as jnp
 from jax import lax
@@ -105,8 +105,8 @@ def _cg_multi(op: LinearOperator, B, X0=None, *, tol: float = 1e-8,
     def prec(R):
         return M.apply_matrix(R, "N").astype(dt) if M is not None else R
 
-    def cdot(U, V):  # per-column <u, v>
-        return jnp.sum(jnp.conj(U) * V, axis=0)
+    def cdot(U, V):  # per-column <u, v> (policy-precision: see pcolumn_dot)
+        return pcolumn_dot(U, V)
 
     R = B - op.apply_matrix(X, "N")
     Z = prec(R)
@@ -298,8 +298,8 @@ def _minres_multi(op: LinearOperator, B, X0=None, *, tol: float = 1e-8,
     def prec(R):
         return M.apply_matrix(R, "N").astype(dt) if M is not None else R
 
-    def cdot(U, V):  # per-column <u, v>
-        return jnp.sum(jnp.conj(U) * V, axis=0)
+    def cdot(U, V):  # per-column <u, v> (policy-precision: see pcolumn_dot)
+        return pcolumn_dot(U, V)
 
     R1 = B - op.apply_matrix(X, "N")
     Y = prec(R1)

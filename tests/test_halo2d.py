@@ -81,3 +81,13 @@ def test_halo2d_validation(mesh2d):
         stencil_partition_2d(jnp.ones(4), 8, 8, mesh2d)  # not 5 coeffs
     with pytest.raises(lo.LinearOperatorException):
         stencil_partition_2d(jnp.ones(5), 9, 8, mesh2d)  # 9 % 4 != 0
+
+
+def test_halo2d_rejects_matrix_apply(mesh2d, rng):
+    # review finding: 2-D input used to die inside shard_map with an
+    # opaque reshape error; apply_matrix is the matrix path
+    op = stencil_partition_2d(jnp.asarray(LAPLACE), 16, 12, mesh2d)
+    with pytest.raises(lo.LinearOperatorException):
+        op.apply(jnp.ones((16 * 12, 3)), "N")
+    Y = op.apply_matrix(jnp.ones((16 * 12, 3)), "N")
+    assert Y.shape == (16 * 12, 3)
