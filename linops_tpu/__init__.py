@@ -107,7 +107,7 @@ from .utils.estimate import (estimate_trace, estimate_diagonal,
 from .utils.eig import (lobpcg, svds, rsvd, nystrom_preconditioner,
                         NystromPreconditioner)
 from .utils.krylov import (matvec_chain, cg, gmres, minres, bicgstab, lsqr,
-                           power_iteration)
+                           chebyshev, power_iteration)
 from .utils.checkpoint import save_operator, load_operator_state, op_state
 from .utils.checks import check_ctranspose, check_hermitian, check_positive_definite
 
@@ -213,6 +213,7 @@ __all__ = [
     "minres",
     "bicgstab",
     "lsqr",
+    "chebyshev",
     "power_iteration",
     "save_operator",
     "load_operator_state",

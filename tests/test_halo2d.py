@@ -91,3 +91,18 @@ def test_halo2d_rejects_matrix_apply(mesh2d, rng):
         op.apply(jnp.ones((16 * 12, 3)), "N")
     Y = op.apply_matrix(jnp.ones((16 * 12, 3)), "N")
     assert Y.shape == (16 * 12, 3)
+
+
+def test_chebyshev_is_all_reduce_free_on_halo2d(mesh2d):
+    """The communication-avoiding contrast: a whole Chebyshev solve on
+    the decomposed operator compiles with ZERO all-reduces (CG pays them
+    for its inner products)."""
+    L = stencil_partition_2d(jnp.asarray(LAPLACE), 32, 16, mesh2d)
+    b = jnp.ones((32 * 16,))
+    cheb_counts = collective_counts(
+        lambda o, x: lo.chebyshev(o, x, 0.05, 8.0, iters=30)[0], L, b)
+    assert cheb_counts["all-reduce"] == 0
+    assert cheb_counts["all-gather"] == 0
+    cg_counts = collective_counts(
+        lambda o, x: lo.cg(o, x, tol=1e-8, maxiter=30)[0], L, b)
+    assert cg_counts["all-reduce"] > 0  # the inner products

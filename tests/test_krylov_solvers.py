@@ -326,3 +326,30 @@ def test_minres_multi_rhs(rng):
     for j in range(k):
         xj, _, _ = lo.minres(op, B[:, j], tol=1e-10, maxiter=300)
         assert np.linalg.norm(np.asarray(xj) - np.asarray(X[:, j])) < 1e-6
+
+
+def test_chebyshev_converges_at_the_rate(rng):
+    """Fixed-iteration Chebyshev with exact spectral bounds tracks the
+    (sqrt(kappa)-1)/(sqrt(kappa)+1) rate; the loop body has NO inner
+    products (communication-avoiding — see test_halo2d collective test)."""
+    n = 200
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lmin, lmax = 1.0, 50.0
+    lam = np.linspace(lmin, lmax, n)
+    A = (Q * lam) @ Q.T
+    op = lo.LinearOperator(A, symmetric=True, hermitian=True)
+    b = jnp.asarray(rng.standard_normal(n))
+    x_true = np.linalg.solve(A, np.asarray(b))
+    kappa = lmax / lmin
+    rate = (np.sqrt(kappa) - 1) / (np.sqrt(kappa) + 1)
+    for iters in (20, 60):
+        x, it, res = lo.chebyshev(op, b, lmin, lmax, iters=iters)
+        err = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+        assert err < 20 * 2 * rate ** iters, (iters, err)
+    # Jacobi-preconditioned variant (bounds bracket lam(M A))
+    M = lo.opDiagonal(1.0 / jnp.asarray(np.diag(A)))
+    MA = np.diag(1.0 / np.diag(A)) @ A
+    ev = np.sort(np.real(np.linalg.eigvals(MA)))
+    xp, _, resp = lo.chebyshev(op, b, float(ev[0]), float(ev[-1]), iters=60, M=M)
+    errp = np.linalg.norm(np.asarray(xp) - x_true) / np.linalg.norm(x_true)
+    assert errp < 1e-4
