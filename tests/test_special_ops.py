@@ -213,3 +213,25 @@ def test_timed_operator_pytree_roundtrip(rng):
     out = t2.matvec(v)
     np.testing.assert_allclose(np.asarray(out), np.arange(1.0, 5.0))
     assert "prod" in repr(t2)
+
+
+def test_slicing_always_returns_operators(rng):
+    """The reference's documented 'differences' semantics
+    (docs/src/index.md): unlike matrices, slices NEVER reduce to a
+    vector or a scalar — op[:, 1], op[i, :], and op[i, j] are all
+    operators (a (1,1) operator for the scalar case)."""
+    A = rng.standard_normal((5, 5))
+    op = lo.LinearOperator(A)
+    col = op[:, 1]
+    assert isinstance(col, lo.AbstractLinearOperator) and col.shape == (5, 1)
+    np.testing.assert_allclose(np.asarray(col @ jnp.asarray([3.0])),
+                               A[:, 1] * 3.0, atol=1e-12)
+    scalar = op[1, 1]
+    assert isinstance(scalar, lo.AbstractLinearOperator)
+    assert scalar.shape == (1, 1)
+    np.testing.assert_allclose(
+        float((scalar @ jnp.asarray([3.0]))[0]), A[1, 1] * 3.0, atol=1e-12)
+    block = op[1:4, 0:2]
+    assert block.shape == (3, 2)
+    np.testing.assert_allclose(np.asarray(lo.to_dense(block)), A[1:4, 0:2],
+                               atol=1e-12)
