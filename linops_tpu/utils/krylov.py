@@ -537,21 +537,31 @@ def chebyshev(op: LinearOperator, b, lam_min, lam_max, x0=None, *,
     d = (lam_max + lam_min) / 2.0
     c = (lam_max - lam_min) / 2.0
 
-    r = prec(b - op.apply(x, "N"))
-    alpha0 = 1.0 / d
-    state = (x + alpha0.astype(dt) * r, r, r, alpha0)
-
-    def body(_, state):
-        x, r, p, alpha = state
-        # the Templates-book recurrence (Barrett et al., Chebyshev
-        # iteration), verified numerically against the Chebyshev rate
+    # classical Chebyshev (Saad alg. 12.1 with the first-step special
+    # case beta_1 = (c alpha)^2 / 2 — the steady-state (c alpha / 2)^2 on
+    # step one is a known Templates-book erratum that costs 2-7x in error;
+    # both variants verified numerically against T_k((d-lam)/c)/T_k(d/c))
+    if iters >= 1:
+        r = prec(b - op.apply(x, "N"))
+        alpha = 1.0 / d
+        p = r
+        x = x + alpha.astype(dt) * p
+    if iters >= 2:
         r = r - alpha.astype(dt) * prec(op.apply(p, "N"))
-        beta = (c * alpha / 2.0) ** 2
+        beta = 0.5 * (c * alpha) ** 2
         alpha = 1.0 / (d - beta / alpha)
         p = r + beta.astype(dt) * p
         x = x + alpha.astype(dt) * p
-        return (x, r, p, alpha)
 
-    x, r, p, _ = lax.fori_loop(0, max(iters - 1, 0), body, state)
+        def body(_, state):
+            x, r, p, alpha = state
+            r = r - alpha.astype(dt) * prec(op.apply(p, "N"))
+            beta = (c * alpha / 2.0) ** 2
+            alpha = 1.0 / (d - beta / alpha)
+            p = r + beta.astype(dt) * p
+            x = x + alpha.astype(dt) * p
+            return (x, r, p, alpha)
+
+        x, *_ = lax.fori_loop(0, iters - 2, body, (x, r, p, alpha))
     res = jnp.linalg.norm(b - op.apply(x, "N"))
-    return x, jnp.asarray(iters, jnp.int32), res
+    return x, jnp.asarray(max(iters, 0), jnp.int32), res

@@ -345,7 +345,12 @@ def test_chebyshev_converges_at_the_rate(rng):
     for iters in (20, 60):
         x, it, res = lo.chebyshev(op, b, lmin, lmax, iters=iters)
         err = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
-        assert err < 20 * 2 * rate ** iters, (iters, err)
+        # the classical first-step special case makes the iterate the
+        # OPTIMAL Chebyshev polynomial: error sits under the bound itself
+        assert err < 2 * 2 * rate ** iters, (iters, err)
+    # iters=0 returns x0 unchanged (cg maxiter=0 parity)
+    x0out, k0, _ = lo.chebyshev(op, b, lmin, lmax, iters=0)
+    assert int(k0) == 0 and float(jnp.linalg.norm(x0out)) == 0.0
     # Jacobi-preconditioned variant (bounds bracket lam(M A))
     M = lo.opDiagonal(1.0 / jnp.asarray(np.diag(A)))
     MA = np.diag(1.0 / np.diag(A)) @ A
