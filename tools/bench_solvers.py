@@ -60,6 +60,21 @@ def main():
     t = per_iter(lo.lsqr, A, b, 10, 510)
     print(f"lsqr:     {t*1e6:8.1f} us/iter (fwd+adj applies)", flush=True)
 
+    # Chebyshev: fixed iteration count is a static arg, so the marginal
+    # cost comes from two iters values (reduction-free loop body)
+    def cheb(op, b_, tol=None, maxiter=None):
+        return lo.chebyshev(op, b_, 0.05, 8.05, iters=maxiter)
+
+    t = per_iter(cheb, A, b, 10, 510)
+    print(f"chebyshev:{t*1e6:8.1f} us/iter (no reductions in the body)",
+          flush=True)
+
+    # multi-RHS minres at k=8: per-iteration-per-column amortization
+    B8 = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    t = per_iter(lo.minres, A, B8, 10, 260)
+    print(f"minres k=8: {t*1e6:7.1f} us/iter = {t/8*1e6:.1f} us/iter/col",
+          flush=True)
+
     # GMRES: marginal cost per RESTART CYCLE (30 Arnoldi steps + small
     # (31,30) lstsq + true-residual apply). The Krylov basis V is
     # (31, n) = 512 MB; each Arnoldi step reads it twice.
