@@ -496,6 +496,12 @@ class LinearOperator(abc.ABC):
             from ..ops.eye import Eye
 
             return Eye(self.nrow, dtype=self.dtype)
+        if p == 1:
+            # fresh node, not `self`: every other p returns a new operator,
+            # and aliasing would share counters/timers with the base
+            from .algebra import Scale
+
+            return Scale(1.0, self)
         result = None
         base = self
         while p:

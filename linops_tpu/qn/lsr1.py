@@ -131,7 +131,18 @@ def _push(state: LSR1State, s, y, *, scaling: bool, with_a: bool = True) -> LSR1
     ``with_a=False`` (the operator's lazy default) maintains only S/Y/Grams
     — O(mem·n) — and defers the O(mem²·n) a-vector recompute to
     ``_recompute_all_a`` on first diag()/opnorm-bound use; the compact
-    apply never needs it. Acceptance uses the compact Bs."""
+    apply never needs it. Acceptance uses the compact Bs.
+
+    Note on lazy/eager parity: the compact Bs comes from a solve of the
+    small M matrix while the eager path uses the masked a-form recursion —
+    algebraically identical, but when M is ill-conditioned the two Bs
+    values can differ enough to flip the well-definedness test on
+    BORDERLINE pairs (|⟨y−Bs, s⟩| within a few ulps of its threshold), so
+    a lazy and an eager operator fed the same stream may diverge there.
+    Both decisions are individually sound SR1 updates (the threshold is
+    itself a heuristic guard, reference src/lsr1.jl:131-149); callers
+    needing bit-identical accept/reject across modes should use
+    ``lazy_a=False``."""
     mem, _ = state.S.shape
     eps = jnp.finfo(state.S.dtype).eps
 

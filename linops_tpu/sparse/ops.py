@@ -307,9 +307,17 @@ class BSROperator(_SparseBase):
 
     # --- kernel eligibility (host-side; aux + shapes only, so the decision
     # is baked into the jit cache key via the operator's structure) ---
-    def _pallas_eligible(self, gathered_elems: int, nbcol: int, transpose: bool) -> bool:
+    def _pallas_eligible(self, gathered_elems: int, nbcol: int, transpose: bool,
+                         x_dtype=None) -> bool:
         if self._backend == "xla":
             return False
+        if x_dtype is not None:
+            # the RESULT dtype must be Mosaic-lowerable too: an f64/complex
+            # input vector against f32 blocks would otherwise reach the
+            # kernel and fail at compile time instead of using XLA
+            res = jnp.dtype(jnp.result_type(self.data.blocks.dtype, x_dtype))
+            if res not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+                return False
         from ..kernels.bsr_spmv import (
             BSR_PALLAS_MAX_X_ELEMS,
             BSR_PALLAS_ONEHOT_MAX_NBCOL,
@@ -356,7 +364,7 @@ class BSROperator(_SparseBase):
         nbrow = d.blocks.shape[0]
         nbcol = -(-d.shape[1] // bn)
         xb = self._pad_in(v, nbcol, bn).reshape(nbcol, bn)
-        if self._pallas_eligible(xb.size, nbcol, transpose=False):
+        if self._pallas_eligible(xb.size, nbcol, transpose=False, x_dtype=xb.dtype):
             from ..kernels.bsr_spmv import bsr_matvec_pallas
 
             variant = "onehot_fast" if self._backend == "pallas_fast" else "auto"
@@ -374,7 +382,7 @@ class BSROperator(_SparseBase):
         nbrow = blocks.shape[0]
         nbcol = -(-d.shape[1] // bn)
         ub = self._pad_in(u, nbrow, bm).reshape(nbrow, bm)
-        if self._pallas_eligible(nbcol * bn, nbcol, transpose=True):
+        if self._pallas_eligible(nbcol * bn, nbcol, transpose=True, x_dtype=ub.dtype):
             from ..kernels.bsr_spmv import bsr_rmatvec_pallas
 
             x = bsr_rmatvec_pallas(

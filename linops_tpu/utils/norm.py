@@ -19,7 +19,7 @@ import jax
 from .residency import chain_resident
 import jax.numpy as jnp
 
-from ..core.base import LinearOperator
+from ..core.base import LinearOperator, LinearOperatorException
 from .rng import fresh_key
 
 __all__ = ["normest", "estimate_opnorm"]
@@ -215,6 +215,9 @@ def estimate_opnorm(
                 )
                 if converged(th, res):
                     return float(jnp.sqrt(max(float(th[0]), 0.0))), True
-        except Exception as e:  # pragma: no cover - fallback must not mask
+        except (LinearOperatorException, ValueError, FloatingPointError) as e:
+            # expected numerical failures only — programming errors (shape
+            # bugs, lobpcg regressions) propagate instead of being
+            # downgraded to (NaN, False)
             warnings.warn(f"estimate_opnorm: lobpcg fallback failed: {e}")
     return float("nan"), False

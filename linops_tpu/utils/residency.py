@@ -32,7 +32,12 @@ import jax.numpy as jnp
 __all__ = ["chain_resident"]
 
 _MIN_LEAF_BYTES = 1 << 20  # don't bother under 1 MiB
-_BUDGET_BYTES = 96 << 20  # empirical: 64 MiB measured resident on v5e
+# Largest working set MEASURED to stay resident on v5e is 64 MiB (the bf16
+# headline BSR blocks, bench.py sec_spmv_bf16); 96 MiB = 1.5× headroom so
+# slightly-larger operators still get the attempt — between 64 and 96 MiB
+# residency is extrapolated, and the cost of a failed attempt is one extra
+# rematerialization pass, not a correctness issue.
+_BUDGET_BYTES = 96 << 20
 _DTYPES = (jnp.bfloat16, jnp.float32)
 
 
