@@ -61,17 +61,68 @@ def _conj(x):
 # ----------------------------------------------------------------------------
 
 
+# A single gather+segment_sum over ≥16M nnz reproducibly CRASHES the TPU
+# worker (measured on v5e through the relay; sometimes less under HBM
+# pressure) — the whole process is then dead, every later call fails
+# UNAVAILABLE. Above this bound the apply is chunked over the nnz axis
+# (static slices under one lax.scan), which bounds the gather/scatter
+# transients to one chunk while leaving small operators on the original
+# single fused computation.
+CSR_CHUNK_NNZ = 8_000_000
+
+
+def _chunked_segments(vals, rows, cols, nrow):
+    """Pad + reshape the nnz axis to (nchunk, CSR_CHUNK_NNZ). Padding rows
+    point at segment id ``nrow``, which jit-mode scatter-add DROPS (jax
+    FILL_OR_DROP), so padding contributes exactly nothing."""
+    nnz = vals.shape[0]
+    nchunk = -(-nnz // CSR_CHUNK_NNZ)
+    pad = nchunk * CSR_CHUNK_NNZ - nnz
+    if pad:
+        vals = jnp.pad(vals, (0, pad))
+        cols = jnp.pad(cols, (0, pad))
+        rows = jnp.pad(rows, (0, pad), constant_values=nrow)
+    shape = (nchunk, CSR_CHUNK_NNZ)
+    return vals.reshape(shape), rows.reshape(shape), cols.reshape(shape)
+
+
 def coo_matvec(vals, rows, cols, nrow, x, sorted_rows=False):
     """y[r] = Σ vals[k]·x[cols[k]] over k with rows[k]=r."""
-    return jax.ops.segment_sum(
-        vals * x[cols], rows, num_segments=nrow, indices_are_sorted=sorted_rows
-    )
+    if vals.shape[0] <= CSR_CHUNK_NNZ:
+        return jax.ops.segment_sum(
+            vals * x[cols], rows, num_segments=nrow, indices_are_sorted=sorted_rows
+        )
+    vc, rc, cc = _chunked_segments(vals, rows, cols, nrow)
+
+    def body(acc, args):
+        v, r, c = args
+        return acc + jax.ops.segment_sum(
+            v * x[c], r, num_segments=nrow, indices_are_sorted=sorted_rows
+        ), None
+
+    y0 = jnp.zeros(nrow, jnp.result_type(vals.dtype, x.dtype))
+    y, _ = jax.lax.scan(body, y0, (vc, rc, cc))
+    return y
 
 
 def coo_matmat(vals, rows, cols, nrow, X, sorted_rows=False):
-    return jax.ops.segment_sum(
-        vals[:, None] * X[cols], rows, num_segments=nrow, indices_are_sorted=sorted_rows
-    )
+    if vals.shape[0] <= CSR_CHUNK_NNZ:
+        return jax.ops.segment_sum(
+            vals[:, None] * X[cols], rows, num_segments=nrow,
+            indices_are_sorted=sorted_rows,
+        )
+    vc, rc, cc = _chunked_segments(vals, rows, cols, nrow)
+
+    def body(acc, args):
+        v, r, c = args
+        return acc + jax.ops.segment_sum(
+            v[:, None] * X[c], r, num_segments=nrow,
+            indices_are_sorted=sorted_rows,
+        ), None
+
+    y0 = jnp.zeros((nrow, X.shape[1]), jnp.result_type(vals.dtype, X.dtype))
+    y, _ = jax.lax.scan(body, y0, (vc, rc, cc))
+    return y
 
 
 def bsr_matvec(blocks, block_cols, x_padded_blocks):

@@ -349,3 +349,27 @@ def test_sparse_apply_matrix_rejects_wrong_shape(rng):
                 op.apply_matrix(jnp.zeros((n - 3, 2)), mode)
             with _pytest.raises(lo.LinearOperatorException):
                 op.apply_matrix(jnp.zeros(n), mode)
+
+
+def test_csr_chunked_apply(rng, monkeypatch):
+    """nnz above CSR_CHUNK_NNZ routes through the lax.scan chunked path
+    (the guard for the ≥16M-nnz TPU-worker crash); results must match the
+    single-shot path and the dense oracle exactly, including matrix RHS
+    and non-divisible chunk counts."""
+    from linops_tpu.sparse import ops as sops
+
+    monkeypatch.setattr(sops, "CSR_CHUNK_NNZ", 37)  # force ~8 chunks
+    m, n = 40, 50
+    A = sprand(rng, m, n, 0.15)
+    nnz = int((A != 0).sum())
+    assert nnz > 2 * 37
+    for fmt in ("csr", "coo"):
+        op = opSparse(A, format=fmt)
+        v = rng.standard_normal(n)
+        u = rng.standard_normal(m)
+        assert_close(op * v, A @ v)
+        assert_close(op.T * u, A.T @ u)
+        M = rng.standard_normal((n, 3))
+        assert_close(op.apply_matrix(jnp.asarray(M)), A @ M)
+        U = rng.standard_normal((m, 3))
+        assert_close(op.apply_matrix(jnp.asarray(U), "T"), A.T @ U)
