@@ -478,14 +478,21 @@ for _cls in (COOOperator, CSROperator, ELLOperator, BSROperator):
 
 
 # largest tile first: on equal stored bytes the bigger tile streams faster
-_BSR_AUTO_CANDIDATES = ((128, 128), (32, 128), (8, 128))
+_BSR_AUTO_CANDIDATES = ((128, 128), (32, 128), (16, 128), (8, 128))
 
 
-def _auto_block_shape(sp, return_stored: bool = False):
-    """Pick the BSR block shape minimizing stored (padded) bytes, using the
-    native block counter when available. Larger tiles run closer to the MXU
-    streaming rate but cost fill-in on scattered patterns; stored bytes is
-    the bandwidth-roofline proxy for apply time."""
+def _auto_block_shape(sp, return_stored: bool = False, dtype=None):
+    """Pick the BSR block shape minimizing the STREAMED (padded) bytes per
+    apply, using the native block counter when available. Larger tiles run
+    closer to the MXU streaming rate but cost fill-in on scattered patterns.
+
+    Streamed bytes is dtype-aware: the Mosaic storage tile has
+    ``32 // itemsize * 4`` sublanes (8 for f32, 16 for bf16), so a block
+    with bm below that occupies the FULL tile in memory and the DMA sees no
+    saving — measured on v5e: 8×128 bf16 streams at f32 speed while 16×128
+    bf16 realizes the 2× (kernels/bsr_spmv.py:30-33; bench
+    spmv_16x128_bf16 330 vs 8x128 251 Gnnz/s). An auto-built bf16 operator
+    therefore lands on bm ≥ 16 unless fill-in outweighs the tile waste."""
     try:
         from ..native import _load
 
@@ -497,14 +504,20 @@ def _auto_block_shape(sp, return_stored: bool = False):
     cols = np.ascontiguousarray(sp.indices, np.int32)
     indptr = np.ascontiguousarray(sp.indptr, np.int32)
     nrow = sp.shape[0]
-    best, best_stored = (8, 128), None
+    itemsize = jnp.dtype(dtype or sp.data.dtype).itemsize
+    # (8, 16, 32) sublanes per storage tile for 4-, 2-, 1-byte dtypes
+    native_sublanes = 8 * max(4 // itemsize, 1)
+    best, best_cost, best_stored = (8, 128), None, None
     for bm, bn in _BSR_AUTO_CANDIDATES:
         nbrow = -(-nrow // bm)
         counts = np.zeros(nbrow, np.int32)
         kmax = max(int(lib.bsr_count(cols, indptr, nrow, bm, bn, counts)), 1)
         stored = nbrow * kmax * bm * bn  # uniform-kmax padded layout
-        if best_stored is None or stored < best_stored:
-            best, best_stored = (bm, bn), stored
+        # sub-native-tile bm streams the whole tile's bytes anyway
+        tile_waste = max(native_sublanes / bm, 1.0)
+        cost = stored * itemsize * tile_waste
+        if best_cost is None or cost < best_cost:
+            best, best_cost, best_stored = (bm, bn), cost, stored
     if return_stored:
         return best, best_stored
     return best
@@ -518,6 +531,7 @@ def opSparse(
     hermitian: bool = False,
     tol: float = 0.0,
     backend: str = "auto",
+    dtype=None,
 ) -> _SparseBase:
     """Build a sparse operator from a dense array, a scipy sparse matrix, or
     a prebuilt COO/CSR/BSR/ELL pytree. ``format`` in {'coo', 'csr', 'bsr',
@@ -528,8 +542,17 @@ def opSparse(
     BSR (the TPU-native path), scattered ones stay gather/segment-sum CSR.
     ``backend`` (BSR only) selects the apply kernels — "auto" (default)
     engages the Pallas VMEM-gather kernels on TPU for fine blocks; see
-    ``BSROperator``.
+    ``BSROperator``. ``dtype`` selects the stored value dtype (e.g.
+    ``jnp.bfloat16`` — scipy can't carry bf16, so the cast happens at
+    device upload); the auto block-shape pick is dtype-aware (a bf16
+    operator lands on bm ≥ 16, where the 2× byte saving is real).
     """
+    cast = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
+    if dtype is not None and isinstance(A, (COO, CSR, ELL, BSR)):
+        if isinstance(A, BSR):
+            A = BSR(jnp.asarray(A.blocks, dtype), A.block_cols, A.shape)
+        else:
+            A = A._replace(vals=jnp.asarray(A.vals, dtype))
     if isinstance(A, COO):
         return COOOperator(A, symmetric, hermitian)
     if isinstance(A, CSR):
@@ -555,17 +578,21 @@ def opSparse(
     if hasattr(A, "tocsr"):
         sp = A.tocsr()
         if format == "auto":
-            shape_best, stored = _auto_block_shape(sp, return_stored=True)
-            itemsize = np.dtype(sp.data.dtype).itemsize
+            shape_best, stored = _auto_block_shape(sp, return_stored=True, dtype=dtype)
+            itemsize = jnp.dtype(dtype or sp.data.dtype).itemsize
             if stored is not None and stored * itemsize < sp.nnz * (itemsize + 8):
                 format, block_shape = "bsr", shape_best
             else:
                 format = "csr"
         if format == "csr":
             data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
+            if dtype is not None:
+                data = data._replace(vals=jnp.asarray(data.vals, dtype))
             return CSROperator(data, symmetric, hermitian)
         if format == "ell":
             data = ell_from_csr_parts(sp.data, sp.indices, sp.indptr, sp.shape)
+            if dtype is not None:
+                data = data._replace(vals=jnp.asarray(data.vals, dtype))
             return ELLOperator(data, symmetric, hermitian)
         if format == "coo":
             from .formats import check_int32_range
@@ -573,7 +600,7 @@ def opSparse(
             sc = sp.tocoo()
             check_int32_range(sc.shape, sc.nnz)
             data = COO(
-                vals=jnp.asarray(sc.data),
+                vals=cast(sc.data),
                 rows=jnp.asarray(sc.row, jnp.int32),
                 cols=jnp.asarray(sc.col, jnp.int32),
                 shape=tuple(sc.shape),
@@ -585,13 +612,13 @@ def opSparse(
                 from ..native import bsr_pack_csr
 
                 if block_shape == "auto":
-                    block_shape = _auto_block_shape(sp)
+                    block_shape = _auto_block_shape(sp, dtype=dtype)
 
                 from ..kernels.bsr_spmv import bsr_pallas_rows_per_program
 
                 pad_to = bsr_pallas_rows_per_program(
                     block_shape[0], bn=block_shape[1],
-                    itemsize=np.dtype(sp.data.dtype).itemsize,
+                    itemsize=jnp.dtype(dtype or sp.data.dtype).itemsize,
                 )
                 blocks, bcols = bsr_pack_csr(
                     sp.data, sp.indices, sp.indptr, sp.shape[0], sp.shape[1],
@@ -600,7 +627,7 @@ def opSparse(
                 import jax.numpy as _jnp
 
                 return BSROperator(
-                    BSR(_jnp.asarray(blocks), _jnp.asarray(bcols), tuple(sp.shape)),
+                    BSR(cast(blocks), _jnp.asarray(bcols), tuple(sp.shape)),
                     symmetric,
                     hermitian,
                     backend=backend,
@@ -610,12 +637,14 @@ def opSparse(
         A = sp.toarray()
 
     A = np.asarray(A)
+    def _cast_vals(data):
+        return data._replace(vals=jnp.asarray(data.vals, dtype)) if dtype is not None else data
     if format == "coo":
-        return COOOperator(coo_from_dense(A, tol), symmetric, hermitian)
+        return COOOperator(_cast_vals(coo_from_dense(A, tol)), symmetric, hermitian)
     if format == "csr":
-        return CSROperator(csr_from_dense(A, tol), symmetric, hermitian)
+        return CSROperator(_cast_vals(csr_from_dense(A, tol)), symmetric, hermitian)
     if format == "ell":
-        return ELLOperator(ell_from_dense(A, tol), symmetric, hermitian)
+        return ELLOperator(_cast_vals(ell_from_dense(A, tol)), symmetric, hermitian)
     if format == "bsr":
         if block_shape == "auto":
             try:
@@ -624,8 +653,12 @@ def opSparse(
                 return opSparse(
                     sps.csr_matrix(A), format="bsr", block_shape="auto",
                     symmetric=symmetric, hermitian=hermitian, backend=backend,
+                    dtype=dtype,
                 )
             except ImportError:
                 block_shape = (8, 128)
-        return BSROperator(bsr_from_dense(A, block_shape, tol), symmetric, hermitian, backend=backend)
+        data = bsr_from_dense(A, block_shape, tol)
+        if dtype is not None:
+            data = BSR(jnp.asarray(data.blocks, dtype), data.block_cols, data.shape)
+        return BSROperator(data, symmetric, hermitian, backend=backend)
     raise ValueError(f"unknown sparse format {format!r}")

@@ -373,3 +373,49 @@ def test_csr_chunked_apply(rng, monkeypatch):
         assert_close(op.apply_matrix(jnp.asarray(M)), A @ M)
         U = rng.standard_normal((m, 3))
         assert_close(op.apply_matrix(jnp.asarray(U), "T"), A.T @ U)
+
+
+def test_bsr_auto_block_shape_bf16(rng):
+    """bf16 storage must auto-pick bm >= 16: a (8, 128) bf16 slab occupies
+    the full (16, 128) Mosaic tile so the DMA sees no byte saving
+    (kernels/bsr_spmv.py:30-33; bench 16x128 bf16 330 vs 8x128 251
+    Gnnz/s)."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    from linops_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native counter unavailable")
+    n = 1024
+    # low-density scattered pattern: distinct-block count grows sublinearly
+    # with bm, so f32 strictly prefers 8 rows; the bf16 tile-waste term
+    # (an (8,128) bf16 slab fills the whole (16,128) tile) flips it to 16
+    rng2 = np.random.default_rng(3)
+    nn = 4096
+    rows_i = np.repeat(np.arange(nn), 2)
+    cols_i = rng2.integers(0, nn, size=nn * 2)
+    sp32 = scipy_sparse.csr_matrix(
+        (np.ones(nn * 2, np.float32), (rows_i, cols_i)), shape=(nn, nn)
+    )
+    A = sp32.toarray()
+    n = nn
+    from linops_tpu.sparse.ops import _auto_block_shape
+
+    (bm32, _bn32) = _auto_block_shape(sp32)
+    (bm16, _bn16) = _auto_block_shape(sp32, dtype=jnp.bfloat16)
+    assert bm32 == 8, bm32
+    assert bm16 >= 16, bm16
+
+    op = lo.opSparse(sp32, format="bsr", block_shape="auto", dtype=jnp.bfloat16)
+    assert op.data.block_shape[0] >= 16
+    assert op.data.blocks.dtype == jnp.bfloat16
+    v = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(op * jnp.asarray(v), np.float32)
+    ref = A @ v
+    np.testing.assert_allclose(got, ref, rtol=2e-2)
+
+    # dtype kwarg on the other formats casts the stored values too
+    for fmt in ("csr", "coo", "ell"):
+        opf = lo.opSparse(sp32, format=fmt, dtype=jnp.bfloat16)
+        assert opf.data.vals.dtype == jnp.bfloat16
+        gotf = np.asarray(opf * jnp.asarray(v), np.float32)
+        np.testing.assert_allclose(gotf, ref, rtol=2e-2)
