@@ -1,0 +1,492 @@
+"""Clos-routed unstructured SpMV: pack + device pipeline.
+
+The TPU has no fast fine-grained gather: ``x[cols]`` over a scattered
+``cols`` runs ~3 orders below the streaming roofline (0.063 Gnnz/s measured
+for the CSR gather+segment_sum path on v5e). The ONE fast data-movement
+primitive is the lane-wise dynamic gather (~100 G elem/s within 128-lane
+windows with int8 indices, kernels/lane_gather.py). This module turns
+unstructured SpMV into a fixed sequence of lane gathers:
+
+1. **Pack (host, this file):** nnz are laid out col-block-major, each
+   128-column block's segment padded to a multiple of 128 — so fetching
+   ``x[col]`` for a whole 128-lane window is ONE dynamic lane gather from a
+   single 128-element x block. Rows are split into width-``w`` sub-row
+   slots (ELL-style) on the output side.
+2. **Route:** moving each product from its gather-friendly position to its
+   row-slot is a STATIC permutation, realized by a radix-128 Clos network
+   (sparse/routing.py): 3 or 5 crossbar stages, each crossbar = one lane
+   gather, wirings = XLA transposes (dedicated transpose unit, measured
+   160-210 G elem/s). The input crossbar (G1) folds into pack-time
+   ordering, so the device runs at most 4 gathers per routing level.
+3. **Apply (device):** phase-1 fused gather·multiply, the crossbar chain,
+   and a ``(slots/w, w)`` reshape-sum into sub-row partials.
+4. **Combine:** sub-row partials reduce into rows through further (much
+   smaller) routed passes — partials route into width-``u`` per-row
+   windows and reshape-sum, repeating while any row still holds more than
+   ``u`` partials. An XLA ``segment_sum`` here would cost ~100× the whole
+   pipeline (sorted scatter ≈ 0.1 G elem/s measured); the routed combine
+   keeps every byte on the lane-gather/transpose path.
+
+Matrices beyond one routing domain (2^21 slots) are chunked by sub-row
+ranges; chunks share shapes and run under one ``lax.map``.
+
+The reference's whole unstructured story is delegation to SparseArrays CSC
+mul! on the host (reference: src/constructors.jl:25-27); this is its
+TPU-native replacement.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .formats import _register, check_int32_range
+from .routing import RADIX, clos_route
+
+__all__ = ["RoutedSpMV", "pack_routed_csr", "routed_matvec", "CLOS_MAX_SLOTS"]
+
+CLOS_MID = RADIX * RADIX          # 16384: largest 3-stage domain
+CLOS_MAX_SLOTS = RADIX ** 3       # 2^21: largest single routing domain
+_REDUCE_U = 8                     # combine-pass window (divides 128)
+
+
+class ReducePass(NamedTuple):
+    """One routed combine pass: slice per-chunk input spans, pad each to the
+    shared domain N, route, reshape-sum by u, concatenate."""
+
+    stages: tuple            # full crossbar list (G1 first), (C, ...) int8
+    u: int                   # static: reshape-sum width
+    n_in: int                # static: padded per-chunk domain size N
+    in_spans: tuple          # static: per-chunk (lo, hi) input position spans
+    out_keep: tuple          # static: per-chunk kept output length (None =
+    #                          keep all N/u — used by intermediate passes)
+
+
+_register(ReducePass, ("u", "n_in", "in_spans", "out_keep"))
+
+
+class RoutedSpMV(NamedTuple):
+    """A packed routing program (C chunks sharing a slot count N = m·128).
+
+    vals/lane_idx are in post-G1 col-block-major window order; ``stages``
+    holds the remaining crossbar index arrays (0, 2 or 4 of them). The
+    middle (G3) crossbar is lane-padded to 128 when B < 128 so it stays a
+    Pallas lane gather (measured 78 G elem/s padded vs 0.1 G XLA).
+    """
+
+    vals: jnp.ndarray        # (C, m, 128) products' left factors (0 at pads)
+    lane_idx: jnp.ndarray    # (C, m, 128) int8: col % 128
+    win_block: jnp.ndarray   # (C, m) int32: x block id per window
+    stages: tuple            # per-stage (C, ...) int8 gather arrays
+    passes: tuple            # ReducePass combine chain (may be empty)
+    shape: Tuple[int, int]   # static: (nrow, ncol)
+    w: int                   # static: slots per sub-row (divides 128)
+
+    @property
+    def nnz_slots(self):
+        return self.vals.shape[0] * self.vals.shape[1] * RADIX
+
+
+_register(RoutedSpMV, ("shape", "w"))
+
+
+# ----------------------------------------------------------------------------
+# Pack (host, numpy)
+# ----------------------------------------------------------------------------
+
+
+def _clos_size(slots: int) -> int:
+    """Smallest valid Clos domain size ≥ slots (≤ CLOS_MAX_SLOTS)."""
+    if slots <= CLOS_MID:
+        return max(-(-slots // RADIX) * RADIX, RADIX)
+    return -(-slots // CLOS_MID) * CLOS_MID
+
+
+def _auto_width(nnz_row: np.ndarray) -> int:
+    """Pick w minimizing padded slots + a small per-sub-row combine cost."""
+    best, best_cost = 8, None
+    for w in (4, 8, 16, 32, 64, 128):
+        n_sub = -(-nnz_row // w)
+        cost = int(n_sub.sum()) * (w + 2)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = w, cost
+    return best
+
+
+def _col_padded_slots(cols: np.ndarray) -> int:
+    """Col-side slots: each nonempty 128-col block padded to ×128."""
+    counts = np.unique(cols // RADIX, return_counts=True)[1]
+    return int(((-(-counts // RADIX)) * RADIX).sum())
+
+
+def _pad_middle_stage(stages):
+    """Lane-pad the middle crossbar of a 5-stage route when B < 128."""
+    stages = list(stages)
+    if len(stages) == 5:
+        g3 = stages[2]
+        if g3.shape[1] < RADIX:
+            stages[2] = np.pad(g3, ((0, 0), (0, RADIX - g3.shape[1])))
+    return stages
+
+
+def _route_int8(dest):
+    """clos_route + middle-stage padding + int8 cast."""
+    return [g.astype(np.int8) for g in _pad_middle_stage(clos_route(dest))]
+
+
+def _build_reduce_passes(seg0: np.ndarray, n_rows: int):
+    """Build the routed combine chain.
+
+    seg0: row id per initial partial position (-1 = trash), nondecreasing
+    over the real entries. Returns a tuple of ReducePass. After the final
+    pass, position r of the output holds y[r].
+    """
+    passes = []
+    seg = seg0
+    while True:
+        real = seg >= 0
+        pos_real = np.flatnonzero(real)
+        segs = seg[pos_real]
+        counts = np.bincount(segs, minlength=n_rows)
+        final = counts.max(initial=0) <= _REDUCE_U
+        if final:
+            u = int(2 ** np.ceil(np.log2(max(int(counts.max(initial=1)), 1))))
+            u = max(u, 1)
+            gcnt = np.ones(n_rows, np.int64)
+            gbase = np.arange(n_rows, dtype=np.int64)
+        else:
+            u = _REDUCE_U
+            gcnt = -(-counts // u)
+            cum = np.zeros(n_rows + 1, np.int64)
+            np.cumsum(gcnt, out=cum[1:])
+            gbase = cum[:-1]
+
+        L = seg.shape[0]
+        # rank of each real element within its row (real entries sorted)
+        starts = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        rank = np.arange(segs.shape[0]) - starts[segs]
+        dest_of_real = (gbase[segs] + rank // u) * u + rank % u
+
+        # input position upper bound per row (for row-range chunking)
+        row_hi = np.zeros(n_rows, np.int64)
+        np.maximum.at(row_hi, segs, pos_real + 1)
+        row_hi = np.maximum.accumulate(row_hi)
+
+        chunks = []  # (r0, r1, in_lo, in_hi)
+        r0, in_lo = 0, 0
+
+        def fits(r0, r1, in_lo):
+            in_hi = max(int(row_hi[r1 - 1]), in_lo)
+            out_span = int((gbase[r1 - 1] + gcnt[r1 - 1] - gbase[r0]) * u)
+            return max(in_hi - in_lo, out_span) <= CLOS_MAX_SLOTS
+
+        while r0 < n_rows:
+            if fits(r0, n_rows, in_lo):
+                r1 = n_rows
+            else:
+                lo, hi = r0 + 1, n_rows
+                while lo < hi:
+                    mid = (lo + hi + 1) // 2
+                    if fits(r0, mid, in_lo):
+                        lo = mid
+                    else:
+                        hi = mid - 1
+                r1 = lo
+            in_hi = max(int(row_hi[r1 - 1]), in_lo)
+            if r1 == n_rows:
+                in_hi = L  # absorb trailing trash
+            chunks.append((r0, r1, in_lo, in_hi))
+            r0, in_lo = r1, in_hi
+
+        N = 1
+        for (r0c, r1c, ilo, ihi) in chunks:
+            out_span = int((gbase[r1c - 1] + gcnt[r1c - 1] - gbase[r0c]) * u)
+            N = max(N, _clos_size(max(ihi - ilo, out_span)))
+
+        stage_l, next_seg_parts, out_keep = [], [], []
+        for (r0c, r1c, ilo, ihi) in chunks:
+            Lc = ihi - ilo
+            out_base = int(gbase[r0c]) * u
+            mask = (pos_real >= ilo) & (pos_real < ihi)
+            dest_c = np.full(N, -1, np.int64)
+            dest_c[pos_real[mask] - ilo] = dest_of_real[mask] - out_base
+            realc = dest_c >= 0
+            used = np.zeros(N, bool)
+            used[dest_c[realc]] = True
+            dest = np.empty(N, np.int64)
+            dest[realc] = dest_c[realc]
+            dest[~realc] = np.flatnonzero(~used)  # trash + pads -> free slots
+            stage_l.append(_route_int8(dest))
+            grp_rows = np.repeat(np.arange(r0c, r1c), gcnt[r0c:r1c])
+            seg_part = np.full(N // u, -1, np.int64)
+            seg_part[: grp_rows.shape[0]] = grp_rows
+            next_seg_parts.append(seg_part)
+            out_keep.append(r1c - r0c if final else N // u)
+
+        stages_stacked = tuple(
+            jnp.asarray(np.stack([s[i] for s in stage_l]))
+            for i in range(len(stage_l[0]))
+        )
+        passes.append(ReducePass(
+            stages=stages_stacked, u=int(u), n_in=int(N),
+            in_spans=tuple((int(a), int(b)) for (_, _, a, b) in chunks),
+            out_keep=tuple(int(k) for k in out_keep),
+        ))
+        if final:
+            break
+        seg = np.concatenate(next_seg_parts)
+    return tuple(passes)
+
+
+def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
+    """Pack host CSR arrays into a RoutedSpMV routing program."""
+    n_r, n_c = int(shape[0]), int(shape[1])
+    check_int32_range(shape, int(data.shape[0]))
+    data = np.asarray(data)
+    if dtype is not None:
+        data = data.astype(dtype)
+    indices = np.asarray(indices, np.int64)
+    indptr = np.asarray(indptr, np.int64)
+    nnz = int(data.shape[0])
+    if nnz == 0:
+        raise ValueError("cannot route an empty matrix")
+    nnz_row = np.diff(indptr)
+    if w == "auto":
+        w = _auto_width(nnz_row)
+    if RADIX % w:
+        raise ValueError(f"w must divide {RADIX}, got {w}")
+
+    # sub-rows: row r contributes ceil(nnz_r / w) of them, in row order
+    n_sub = -(-nnz_row // w)
+    S0 = int(n_sub.sum())
+    sub_base = np.zeros(n_r + 1, np.int64)
+    np.cumsum(n_sub, out=sub_base[1:])
+    row_of_sub = np.repeat(np.arange(n_r, dtype=np.int64), n_sub)
+    # nnz range covered by each sub-row (CSR order is contiguous per row)
+    j_of_sub = np.arange(S0) - np.repeat(sub_base[:-1], n_sub)
+    sub_start = np.repeat(indptr[:-1], n_sub) + j_of_sub * w
+    sub_end = np.minimum(sub_start + w, np.repeat(indptr[1:], n_sub))
+
+    # destination slot of every nnz (global sub-row-major)
+    row_of_nnz = np.repeat(np.arange(n_r, dtype=np.int64), nnz_row)
+    k_in_row = np.arange(nnz, dtype=np.int64) - np.repeat(indptr[:-1], nnz_row)
+    dest_global = (sub_base[row_of_nnz] + k_in_row // w) * w + k_in_row % w
+
+    # chunk split over sub-row ranges: each chunk must fit both its
+    # sub-row slots and its padded col-side layout in one routing domain
+    def fits(s0, s1, cap):
+        if (s1 - s0) * w > cap:
+            return False
+        lo, hi = sub_start[s0], sub_end[s1 - 1]
+        return _col_padded_slots(indices[lo:hi]) <= cap
+
+    bounds = [0]
+    while bounds[-1] < S0:
+        s0 = bounds[-1]
+        lo = s0 + 1
+        hi = min(s0 + CLOS_MAX_SLOTS // w, S0)
+        if fits(s0, hi, CLOS_MAX_SLOTS):
+            bounds.append(hi)
+            continue
+        while lo < hi:  # largest s1 with fits(s0, s1)
+            mid = (lo + hi + 1) // 2
+            if fits(s0, mid, CLOS_MAX_SLOTS):
+                lo = mid
+            else:
+                hi = mid - 1
+        bounds.append(lo)
+    chunks = list(zip(bounds[:-1], bounds[1:]))
+
+    # shared domain size N across chunks (stacking requires equal shapes)
+    N = 0
+    for s0, s1 in chunks:
+        lo, hi = sub_start[s0], sub_end[s1 - 1]
+        need = max((s1 - s0) * w, _col_padded_slots(indices[lo:hi]))
+        N = max(N, _clos_size(need))
+
+    vals_l, lane_l, winb_l, stage_l = [], [], [], []
+    for s0, s1 in chunks:
+        lo, hi = sub_start[s0], sub_end[s1 - 1]
+        cols_c = indices[lo:hi]
+        vals_c = data[lo:hi]
+        dest_c = dest_global[lo:hi] - s0 * w
+        nnz_c = cols_c.shape[0]
+
+        # col-block-major layout with per-block ×128 padding
+        blk = cols_c // RADIX
+        order = np.argsort(blk, kind="stable")
+        ublk, counts = np.unique(blk, return_counts=True)
+        padded = (-(-counts // RADIX)) * RADIX
+        seg_off = np.zeros(ublk.shape[0] + 1, np.int64)
+        np.cumsum(padded, out=seg_off[1:])
+        rank = np.arange(nnz_c) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)])[:-1], counts
+        )
+        pos = np.repeat(seg_off[:-1], counts) + rank  # col-side position
+
+        col_in = np.zeros(N, np.int64)
+        val_in = np.zeros(N, data.dtype)
+        col_in[: seg_off[-1]] = np.repeat(ublk * RADIX, padded)  # pad cols
+        col_in[pos] = cols_c[order]
+        val_in[pos] = vals_c[order]
+
+        # destination permutation: real nnz to their slots, pads to the
+        # remaining (row-pad + trash) slots in order
+        is_real = np.zeros(N, bool)
+        is_real[pos] = True
+        used = np.zeros(N, bool)
+        used[dest_c] = True
+        dest = np.empty(N, np.int64)
+        dest[pos] = dest_c[order]
+        dest[~is_real] = np.flatnonzero(~used)
+
+        stages = clos_route(dest)
+        g1 = stages[0]
+        m = N // RADIX
+        vals_l.append(np.take_along_axis(val_in.reshape(m, RADIX), g1, axis=1))
+        lane_l.append(
+            np.take_along_axis((col_in % RADIX).reshape(m, RADIX), g1, axis=1
+                               ).astype(np.int8)
+        )
+        winb_l.append((col_in.reshape(m, RADIX)[:, 0] // RADIX).astype(np.int32))
+        stage_l.append([g.astype(np.int8) for g in _pad_middle_stage(stages)[1:]])
+
+    stages_stacked = tuple(
+        jnp.asarray(np.stack([s[i] for s in stage_l]))
+        for i in range(len(stage_l[0]))
+    )
+
+    # combine chain: initial partial vector = concatenated per-chunk
+    # (N/w) sub-row partials; real entries carry their row id
+    S_pad = N // w
+    seg0 = np.full(len(chunks) * S_pad, -1, np.int64)
+    for c, (s0, s1) in enumerate(chunks):
+        seg0[c * S_pad: c * S_pad + (s1 - s0)] = row_of_sub[s0:s1]
+    # trivial combine: single chunk whose sub-rows are exactly the rows
+    if (len(chunks) == 1 and S0 == n_r
+            and np.array_equal(row_of_sub, np.arange(n_r)) and S_pad >= n_r):
+        passes = ()
+    else:
+        passes = _build_reduce_passes(seg0, n_r)
+
+    return RoutedSpMV(
+        vals=jnp.asarray(np.stack(vals_l)),
+        lane_idx=jnp.asarray(np.stack(lane_l)),
+        win_block=jnp.asarray(np.stack(winb_l)),
+        stages=stages_stacked,
+        passes=passes,
+        shape=(n_r, n_c),
+        w=int(w),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Device pipeline
+# ----------------------------------------------------------------------------
+
+
+def _take(a, idx, use_pallas):
+    if use_pallas and a.shape[1] == RADIX:
+        from ..kernels.lane_gather import lane_gather
+
+        return lane_gather(a, idx)
+    return jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
+
+
+def _crossbars(a, stages, use_pallas, g1_folded):
+    """Run the crossbar chain on (m, 128) tiles, mirroring
+    routing.py::clos_apply exactly (minus G1 when it's folded)."""
+    m = a.shape[0]
+    stages = list(stages)
+    if not g1_folded and stages:
+        a = _take(a, stages.pop(0), use_pallas)
+    if not stages:
+        return a
+    if m <= RADIX:          # 3-stage: run G3/G5
+        g3, g5 = stages
+        a = _take(a.T, g3, use_pallas and m == RADIX)
+        a = _take(a.T, g5, use_pallas)
+        return a
+    b = m // RADIX          # 5-stage: run G2/G3/G4/G5
+    g2, g3, g4, g5 = stages
+    a = a.T.reshape(RADIX * b, RADIX)
+    a = _take(a, g2, use_pallas)
+    a = a.reshape(RADIX, b, RADIX).transpose(0, 2, 1).reshape(RADIX * RADIX, b)
+    if b < RADIX:
+        # middle crossbar is lane-padded at pack time: pad the data lanes
+        # (fuses into the preceding transpose copy), gather at 128 lanes,
+        # slice back — ~1.5× stage traffic but stays on the Pallas path
+        a = _take(jnp.pad(a, ((0, 0), (0, RADIX - b))), g3, use_pallas)[:, :b]
+    else:
+        a = _take(a, g3, use_pallas)
+    a = a.reshape(RADIX, RADIX, b).transpose(0, 2, 1).reshape(RADIX * b, RADIX)
+    a = _take(a, g4, use_pallas)
+    a = a.reshape(RADIX, b * RADIX).T.reshape(m, RADIX)
+    a = _take(a, g5, use_pallas)
+    return a
+
+
+def _chunk_partials(vals, lane_idx, win_block, stages, x2, w, use_pallas):
+    """One chunk: phase-1 gather·mul, crossbars, reshape-sum by w."""
+    if use_pallas:
+        from ..kernels.lane_gather import lane_gather_mul
+
+        a = lane_gather_mul(x2[win_block], lane_idx, vals)
+    else:
+        g = jnp.take_along_axis(x2[win_block], lane_idx.astype(jnp.int32), axis=1)
+        a = (vals * g).astype(jnp.result_type(vals.dtype, x2.dtype))
+    a = _crossbars(a, stages, use_pallas, g1_folded=True)
+    return a.reshape(-1, w).sum(axis=1)
+
+
+def _reduce_pass(q, p: ReducePass, use_pallas):
+    """Route partials into width-u per-row windows and reshape-sum."""
+    outs = []
+    for c, (lo, hi) in enumerate(p.in_spans):
+        qc = q[lo:hi]
+        if qc.shape[0] < p.n_in:
+            qc = jnp.pad(qc, (0, p.n_in - qc.shape[0]))
+        a = qc.reshape(-1, RADIX)
+        a = _crossbars(a, tuple(s[c] for s in p.stages), use_pallas,
+                       g1_folded=False)
+        part = a.reshape(-1, p.u).sum(axis=1)
+        outs.append(part[: p.out_keep[c]])
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+
+def routed_matvec(p: RoutedSpMV, x, use_pallas=None):
+    """y = A @ x through the packed routing program ``p``."""
+    n_r, n_c = p.shape
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and jnp.result_type(p.vals.dtype, x.dtype)
+            in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        )
+    nb = -(-n_c // RADIX)
+    if x.shape[0] < nb * RADIX:
+        x = jnp.pad(x, (0, nb * RADIX - x.shape[0]))
+    x2 = x.reshape(nb, RADIX)
+
+    C = p.vals.shape[0]
+    if C == 1:
+        q = _chunk_partials(p.vals[0], p.lane_idx[0], p.win_block[0],
+                            tuple(s[0] for s in p.stages), x2, p.w, use_pallas)
+    else:
+        def one(args):
+            c_vals, c_lane, c_winb = args[:3]
+            c_stages = args[3:]
+            return _chunk_partials(c_vals, c_lane, c_winb, c_stages, x2,
+                                   p.w, use_pallas)
+
+        parts = jax.lax.map(
+            one, (p.vals, p.lane_idx, p.win_block) + tuple(p.stages))
+        q = parts.reshape(-1)
+
+    for rp in p.passes:
+        q = _reduce_pass(q, rp, use_pallas)
+    return q[:n_r]

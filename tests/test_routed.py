@@ -1,0 +1,76 @@
+"""Clos-routed unstructured SpMV: pack + device pipeline vs scipy oracle.
+
+CPU tier (conftest): the pipeline runs with jnp gathers (use_pallas=False
+path); the Pallas kernels are TPU-only and share the exact same layout
+contract (sparse/routing.py::clos_apply is the numpy oracle of both).
+"""
+
+import numpy as np
+import pytest
+
+scipy_sparse = pytest.importorskip("scipy.sparse")
+
+from linops_tpu.sparse import routed as R
+from linops_tpu.sparse.routed import pack_routed_csr, routed_matvec
+
+
+def _random_csr(n_r, n_c, density, seed, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    A = scipy_sparse.random(n_r, n_c, density=density, format="csr",
+                            random_state=seed, dtype=dtype)
+    A.data[:] = rng.standard_normal(A.nnz)
+    return A
+
+
+@pytest.mark.parametrize(
+    "n_r,n_c,density,w",
+    [
+        (300, 500, 0.02, "auto"),    # small domain
+        (2000, 2000, 0.004, 8),      # 3-stage
+        (5000, 4000, 0.005, "auto"), # 5-stage (B > 1)
+        (700, 900, 0.05, 4),
+        (128, 64, 0.2, 16),          # wide rows, tiny cols
+    ],
+)
+def test_routed_matvec_oracle(n_r, n_c, density, w):
+    A = _random_csr(n_r, n_c, density, seed=n_r + n_c)
+    p = pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=w)
+    x = np.random.default_rng(1).standard_normal(n_c)
+    y = np.asarray(routed_matvec(p, x, use_pallas=False))
+    ref = A @ x
+    np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12 * np.abs(ref).max())
+
+
+def test_routed_matvec_chunked(monkeypatch):
+    # shrink the routing domain so a modest matrix needs several chunks
+    monkeypatch.setattr(R, "CLOS_MAX_SLOTS", 16384)
+    A = _random_csr(3000, 2500, 0.01, seed=7)
+    p = pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=8)
+    assert p.vals.shape[0] > 1  # really chunked
+    x = np.random.default_rng(2).standard_normal(2500)
+    y = np.asarray(routed_matvec(p, x, use_pallas=False))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+
+
+def test_routed_handles_empty_and_heavy_rows():
+    n_r, n_c = 400, 600
+    rng = np.random.default_rng(3)
+    A = _random_csr(n_r, n_c, 0.01, seed=3).tolil()
+    A[5, :] = 0                       # empty row
+    A[7, :] = rng.standard_normal(n_c)  # dense row (splits into sub-rows)
+    A = A.tocsr()
+    A.eliminate_zeros()
+    p = pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=8)
+    x = rng.standard_normal(n_c)
+    y = np.asarray(routed_matvec(p, x, use_pallas=False))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+    assert y[5] == 0.0
+
+
+def test_routed_rejects_empty_and_bad_w():
+    A = _random_csr(100, 100, 0.01, seed=4)
+    with pytest.raises(ValueError):
+        pack_routed_csr(np.zeros(0), np.zeros(0, np.int64),
+                        np.zeros(101, np.int64), (100, 100))
+    with pytest.raises(ValueError):
+        pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=7)
