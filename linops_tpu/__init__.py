@@ -85,6 +85,7 @@ from .sparse import (
     ELL,
     COOOperator,
     CSROperator,
+    RoutedCSROperator,
     BSROperator,
     ELLOperator,
     opSparse,
@@ -193,6 +194,7 @@ __all__ = [
     "ELL",
     "COOOperator",
     "CSROperator",
+    "RoutedCSROperator",
     "BSROperator",
     "ELLOperator",
     "opSparse",

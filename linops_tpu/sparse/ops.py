@@ -46,6 +46,7 @@ from .formats import (
 __all__ = [
     "COOOperator",
     "CSROperator",
+    "RoutedCSROperator",
     "BSROperator",
     "ELLOperator",
     "opSparse",
@@ -304,6 +305,93 @@ class ELLOperator(_SparseBase):
         )
 
 
+class RoutedCSROperator(CSROperator):
+    """CSR operator whose matvec runs through the Clos-routed lane-gather
+    pipeline (sparse/routed.py) instead of gather+segment_sum — the TPU
+    path for genuinely unstructured patterns (measured ~3 orders above the
+    XLA gather path on v5e; see docs/performance.md).
+
+    Storage: the plain CSR pytree (matrix RHS, densification and the f64
+    CPU reference path reuse it) plus the packed forward routing program;
+    the transpose program is packed lazily on the first T/C/H apply and
+    cached on the host wrapper. ``backend="xla"`` forces the inherited
+    gather+segment_sum applies (useful for A/B tests).
+    """
+
+    _fields_children = ("data", "routed", "routed_t")
+    _fields_aux = ("_symmetric", "_hermitian", "_backend", "_w")
+
+    def __init__(self, data, symmetric=False, hermitian=False,
+                 routed=None, routed_t=None, w="auto", backend="auto"):
+        super().__init__(data, symmetric, hermitian)
+        if backend not in ("auto", "routed", "xla"):
+            raise ValueError(f"unknown routed backend {backend!r}")
+        self._backend = backend
+        self._w = w
+        self.routed = routed
+        self.routed_t = routed_t
+        if routed is None and backend != "xla":
+            self.routed = self._pack(transpose=False)
+
+    def _pack(self, transpose: bool):
+        from .routed import pack_routed_csr
+
+        d = self.data
+        if not transpose:
+            return pack_routed_csr(
+                np.asarray(d.vals), np.asarray(d.cols), np.asarray(d.indptr),
+                d.shape)
+        # transpose pack: re-sort by (col, row) — a stable CSC build
+        rows = np.asarray(d.cols)
+        cols = np.asarray(d.rows)
+        vals = np.asarray(d.vals)
+        shp = (d.shape[1], d.shape[0])
+        order = np.argsort(rows, kind="stable")
+        indptr = np.zeros(shp[0] + 1, np.int64)
+        np.cumsum(np.bincount(rows, minlength=shp[0]), out=indptr[1:])
+        return pack_routed_csr(vals[order], cols[order], indptr, shp)
+
+    def _use_routed(self):
+        return self._backend != "xla"
+
+    def _ensure_transpose(self):
+        if self.routed_t is None and self._use_routed():
+            self.routed_t = self._pack(transpose=True)
+
+    def bump(self, mode: str, n: int = 1):
+        # the transpose routing program must exist BEFORE jit dispatch
+        # (packing is host-side; a None->pytree swap changes the operator's
+        # structure, so it cannot happen at trace time). ``bump`` is the
+        # host-side pre-dispatch walk that reaches every node with its
+        # effective mode (wrappers/composites cross-map, core/adjoint.py).
+        if mode != "N" and not (self._symmetric or self._hermitian):
+            self._ensure_transpose()
+        super().bump(mode, n)
+
+    def _prod(self, v):
+        if not self._use_routed() or self.routed is None:
+            return super()._prod(v)
+        from .routed import routed_matvec
+
+        return routed_matvec(self.routed, v)
+
+    def _tprod_routed(self, u, conj_vals):
+        if not self._use_routed() or self.routed_t is None:
+            return super()._ctprod(u) if conj_vals else super()._tprod(u)
+        from .routed import routed_matvec
+
+        rt = self.routed_t
+        if conj_vals and jnp.iscomplexobj(rt.vals):
+            rt = rt._replace(vals=jnp.conj(rt.vals))
+        return routed_matvec(rt, u)
+
+    def _tprod(self, u):
+        return self._tprod_routed(u, conj_vals=False)
+
+    def _ctprod(self, w):
+        return self._tprod_routed(w, conj_vals=True)
+
+
 class BSROperator(_SparseBase):
     """Block-sparse-row operator — the TPU-native format: apply is a batched
     dense block contraction (MXU), indexing is per 8×128 (or larger) block.
@@ -468,7 +556,8 @@ class BSROperator(_SparseBase):
         return Y[: d.shape[0]]
 
 
-for _cls in (COOOperator, CSROperator, ELLOperator, BSROperator):
+for _cls in (COOOperator, CSROperator, ELLOperator, BSROperator,
+             RoutedCSROperator):
     register_operator(_cls)
 
 
@@ -479,6 +568,11 @@ for _cls in (COOOperator, CSROperator, ELLOperator, BSROperator):
 
 # largest tile first: on equal stored bytes the bigger tile streams faster
 _BSR_AUTO_CANDIDATES = ((128, 128), (32, 128), (16, 128), (8, 128))
+
+# format="auto" only picks the Clos-routed layout below this nnz count:
+# the route computation is currently host-Python (~25 s per 1M nnz); the
+# native (C++) router will raise this substantially
+ROUTED_AUTO_MAX_NNZ = 150_000
 
 
 def _auto_block_shape(sp, return_stored: bool = False, dtype=None):
@@ -532,14 +626,16 @@ def opSparse(
     tol: float = 0.0,
     backend: str = "auto",
     dtype=None,
+    w="auto",
 ) -> _SparseBase:
     """Build a sparse operator from a dense array, a scipy sparse matrix, or
     a prebuilt COO/CSR/BSR/ELL pytree. ``format`` in {'coo', 'csr', 'bsr',
-    'ell', 'auto'}; ``block_shape="auto"`` picks the BSR tile minimizing
-    stored bytes; ``format="auto"`` additionally routes to CSR when the
-    best BSR packing would stream MORE bytes per apply than the 12 B/nnz
-    (vals+cols+rows) CSR layout — i.e. block-structured patterns pack to
-    BSR (the TPU-native path), scattered ones stay gather/segment-sum CSR.
+    'ell', 'routed', 'auto'}; ``block_shape="auto"`` picks the BSR tile
+    minimizing stored bytes; ``format="auto"`` routes block-structured
+    patterns to BSR (the MXU path) and scattered ones to the Clos-routed
+    lane-gather pipeline ('routed', sparse/routed.py — ``w`` selects the
+    row-slot width). 'csr'/'coo'/'ell' remain the plain gather/segment-sum
+    layouts (correctness-only on TPU: ~3 orders below roofline).
     ``backend`` (BSR only) selects the apply kernels — "auto" (default)
     engages the Pallas VMEM-gather kernels on TPU for fine blocks; see
     ``BSROperator``. ``dtype`` selects the stored value dtype (e.g.
@@ -582,6 +678,8 @@ def opSparse(
             itemsize = jnp.dtype(dtype or sp.data.dtype).itemsize
             if stored is not None and stored * itemsize < sp.nnz * (itemsize + 8):
                 format, block_shape = "bsr", shape_best
+            elif 0 < sp.nnz <= ROUTED_AUTO_MAX_NNZ:
+                format = "routed"
             else:
                 format = "csr"
         if format == "csr":
@@ -589,6 +687,11 @@ def opSparse(
             if dtype is not None:
                 data = data._replace(vals=jnp.asarray(data.vals, dtype))
             return CSROperator(data, symmetric, hermitian)
+        if format == "routed":
+            data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
+            if dtype is not None:
+                data = data._replace(vals=jnp.asarray(data.vals, dtype))
+            return RoutedCSROperator(data, symmetric, hermitian, w=w)
         if format == "ell":
             data = ell_from_csr_parts(sp.data, sp.indices, sp.indptr, sp.shape)
             if dtype is not None:
@@ -643,6 +746,9 @@ def opSparse(
         return COOOperator(_cast_vals(coo_from_dense(A, tol)), symmetric, hermitian)
     if format == "csr":
         return CSROperator(_cast_vals(csr_from_dense(A, tol)), symmetric, hermitian)
+    if format == "routed":
+        return RoutedCSROperator(_cast_vals(csr_from_dense(A, tol)),
+                                 symmetric, hermitian, w=w)
     if format == "ell":
         return ELLOperator(_cast_vals(ell_from_dense(A, tol)), symmetric, hermitian)
     if format == "bsr":

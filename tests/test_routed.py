@@ -74,3 +74,70 @@ def test_routed_rejects_empty_and_bad_w():
                         np.zeros(101, np.int64), (100, 100))
     with pytest.raises(ValueError):
         pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=7)
+
+
+# ----------------------------------------------------------------------------
+# Operator integration (public API)
+# ----------------------------------------------------------------------------
+
+
+def test_routed_operator_all_modes():
+    import linops_tpu as lo
+
+    A = _random_csr(800, 600, 0.02, seed=11)
+    op = lo.opSparse(A, format="routed")
+    assert isinstance(op, lo.RoutedCSROperator)
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(600)
+    u = rng.standard_normal(800)
+    np.testing.assert_allclose(np.asarray(op * v), A @ v, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.T * u), A.T @ u, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.H * u), A.T @ u, rtol=1e-12)
+    # matrix RHS goes through the inherited CSR path
+    M = rng.standard_normal((600, 3))
+    np.testing.assert_allclose(np.asarray(op.matmat(M)), A @ M, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.matmat(rng.standard_normal((800, 3)),
+                                                    mode="T")).shape, (600, 3))
+    # densification oracle
+    np.testing.assert_allclose(
+        np.asarray(lo.to_dense(op)), A.toarray(), rtol=1e-12, atol=1e-14)
+
+
+def test_routed_operator_complex_and_symmetric():
+    import linops_tpu as lo
+
+    rng = np.random.default_rng(9)
+    B = _random_csr(300, 300, 0.03, seed=13)
+    Bc = B + B.T  # symmetric
+    op = lo.opSparse(Bc.tocsr(), format="routed", symmetric=True, hermitian=True)
+    v = rng.standard_normal(300)
+    np.testing.assert_allclose(np.asarray(op.T * v), Bc.T @ v, rtol=1e-12)
+    # complex values exercise the conj path
+    C = B.tocsr().astype(np.complex128)
+    C.data = C.data + 1j * rng.standard_normal(C.nnz)
+    opc = lo.opSparse(C, format="routed")
+    vc = rng.standard_normal(300) + 1j * rng.standard_normal(300)
+    np.testing.assert_allclose(np.asarray(opc * vc), C @ vc, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(opc.H * vc), C.conj().T @ vc, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(opc.T * vc), C.T @ vc, rtol=1e-12)
+
+
+def test_routed_auto_format_picks_routed_for_scattered():
+    import linops_tpu as lo
+
+    A = _random_csr(4096, 4096, 16 / 4096, seed=17)  # scattered, small
+    op = lo.opSparse(A, format="auto")
+    assert isinstance(op, lo.RoutedCSROperator)
+    v = np.random.default_rng(1).standard_normal(4096)
+    np.testing.assert_allclose(np.asarray(op * v), A @ v, rtol=1e-12)
+
+
+def test_routed_backend_xla_matches():
+    import linops_tpu as lo
+
+    A = _random_csr(500, 400, 0.02, seed=21)
+    data_op = lo.opSparse(A, format="routed")
+    xla_op = lo.RoutedCSROperator(data_op.data, backend="xla")
+    v = np.random.default_rng(2).standard_normal(400)
+    np.testing.assert_allclose(
+        np.asarray(data_op * v), np.asarray(xla_op * v), rtol=1e-12)

@@ -262,11 +262,23 @@ def test_opsparse_format_auto(rng):
     v = rng.standard_normal(n)
     assert_close(opb * v, blocky @ v)
 
-    # scattered: ~2 nnz/row uniform
+    # scattered: ~2 nnz/row uniform — no recoverable block structure, so
+    # auto picks the Clos-routed lane-gather layout (sparse/routed.py)
     scat = rng.standard_normal((n, n)) * (rng.random((n, n)) < 2.0 / n)
     opc = lo.opSparse(scipy_sparse.csr_matrix(scat), format="auto")
-    assert type(opc).__name__ == "CSROperator"
+    assert type(opc).__name__ == "RoutedCSROperator"
     assert_close(opc * v, scat @ v)
+
+    # above the routed auto-pack budget, scattered stays plain CSR
+    from linops_tpu.sparse import ops as sparse_ops
+
+    old = sparse_ops.ROUTED_AUTO_MAX_NNZ
+    try:
+        sparse_ops.ROUTED_AUTO_MAX_NNZ = 1
+        opd = lo.opSparse(scipy_sparse.csr_matrix(scat), format="auto")
+        assert type(opd).__name__ == "CSROperator"
+    finally:
+        sparse_ops.ROUTED_AUTO_MAX_NNZ = old
 
 
 def test_ell_operator(rng):
