@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lane_gather", "lane_gather_mul"]
+__all__ = ["lane_gather", "lane_gather_mul", "lane_gather_sum",
+           "middle_crossbars"]
 
 
 def _tile_rows(m: int) -> int:
@@ -60,6 +61,89 @@ def lane_gather(a, idx, interpret: bool = False):
         in_specs=[_specs(r), _specs(r)],
         out_specs=_specs(r),
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        interpret=interpret,
+    )(a, idx)
+
+
+def _middle_kernel(a_ref, g2_ref, g3_ref, g4_ref, o_ref):
+    """Fused G2·W2·G3·W2ᵀ·G4 for one major index c: the W2 wiring
+    ``(128, B, 128) -> transpose(0, 2, 1)`` is c-local, so the three middle
+    crossbars of the 5-stage Clos network act on one (B, 128) tile.
+    In-tile transposes go through an exact identity dot on the MXU
+    (f32 HIGHEST — the same selector-exactness contract as
+    kernels/bsr_spmv.py); lane padding keeps every gather at 128 lanes."""
+    b = a_ref.shape[0]
+    a = jnp.take_along_axis(a_ref[...], g2_ref[...].astype(jnp.int32), axis=1)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(a.dtype)
+    # (128, B) = I(128,128) · a(B,128) contracted on the 128 axis = aᵀ
+    at = jax.lax.dot_general(eye, a, (((1,), (1,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=a.dtype)
+    if b < 128:
+        at = jnp.pad(at, ((0, 0), (0, 128 - b)))
+    at = jnp.take_along_axis(at, g3_ref[...].astype(jnp.int32), axis=1)
+    at = at[:, :b]
+    # back: (B, 128) = atᵀ — contract at's sublane axis against the identity
+    a = jax.lax.dot_general(at, eye, (((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=at.dtype)
+    o_ref[...] = jnp.take_along_axis(a, g4_ref[...].astype(jnp.int32), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def middle_crossbars(a, g2, g3, g4, interpret: bool = False):
+    """The three middle crossbars of a 5-stage route in ONE kernel.
+
+    a: (128·B, 128) — the post-W1 layout; g2/g4: (128·B, 128) int8;
+    g3: (128·128, 128) int8 (lane-padded when B < 128).
+    Returns the post-G4 (128·B, 128) array (pre-W1ᵀ layout)."""
+    b = a.shape[0] // 128
+    spec_bc = pl.BlockSpec((b, 128), lambda c: (c, 0), memory_space=pltpu.VMEM)
+    spec_g3 = pl.BlockSpec((128, 128), lambda c: (c, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _middle_kernel,
+        grid=(128,),
+        in_specs=[spec_bc, spec_bc, spec_g3, spec_bc],
+        out_specs=spec_bc,
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        interpret=interpret,
+    )(a, g2, g3, g4)
+
+
+def _gather_sum_kernel(w, x_ref, idx_ref, o_ref):
+    a = jnp.take_along_axis(x_ref[...], idx_ref[...].astype(jnp.int32), axis=1)
+    # lane-group sum via an exact one-hot MXU contraction (no relayout):
+    # S[l, j] = 1 iff l // w == j; out = a · S
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128 // w), 0) // w
+        == jax.lax.broadcasted_iota(jnp.int32, (128, 128 // w), 1)
+    ).astype(a.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        a, sel, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=a.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def lane_gather_sum(a, idx, w: int, interpret: bool = False):
+    """Fused final crossbar + width-w slot reduction: gathers lanes by idx
+    then sums consecutive lane groups of w — writes 1/w of the bytes.
+    Returns (m, 128 // w)."""
+    m = a.shape[0]
+    r = _tile_rows(m)
+    if r == 0 or a.shape[1] != 128 or 128 % w:
+        g = jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
+        return g.reshape(m, 128 // w, w).sum(axis=2)
+    return pl.pallas_call(
+        functools.partial(_gather_sum_kernel, w),
+        grid=(m // r,),
+        in_specs=[_specs(r), _specs(r)],
+        out_specs=pl.BlockSpec((r, 128 // w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, 128 // w), a.dtype),
         interpret=interpret,
     )(a, idx)
 

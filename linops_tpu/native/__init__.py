@@ -19,7 +19,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["bsr_pack_csr", "rcm_permutation", "native_available"]
+__all__ = ["bsr_pack_csr", "rcm_permutation", "native_available",
+           "clos_route_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "bsr_pack.cpp")
@@ -131,3 +132,72 @@ def rcm_permutation(cols, indptr, n) -> np.ndarray:
     perm = np.zeros(n, np.int32)
     lib.rcm_order(cols, indptr, n, perm)
     return perm
+
+
+# ----------------------------------------------------------------------------
+# Clos router (clos_route.cpp) — separate lazily-built library
+# ----------------------------------------------------------------------------
+
+_CLOS_SRC = os.path.join(_HERE, "clos_route.cpp")
+_CLOS_SO = os.path.join(_HERE, "_libclosroute.so")
+_clos_lib = None
+_clos_tried = False
+
+
+def _load_clos():
+    global _clos_lib, _clos_tried
+    with _lock:
+        if _clos_lib is not None or _clos_tried:
+            return _clos_lib
+        _clos_tried = True
+        try:
+            if (not os.path.exists(_CLOS_SO)) or os.path.getmtime(
+                    _CLOS_SO) < os.path.getmtime(_CLOS_SRC):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _CLOS_SRC, "-o", _CLOS_SO],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_CLOS_SO)
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            lib.clos_route_c.restype = ctypes.c_int64
+            lib.clos_route_c.argtypes = [i64p, ctypes.c_int64] + [i32p] * 5
+            _clos_lib = lib
+        except Exception:
+            _clos_lib = None
+        return _clos_lib
+
+
+def clos_route_native(dest):
+    """Native radix-128 Clos routing; same stage-array contract as
+    sparse/routing.py::clos_route (which is ~50x slower at the 2^21
+    domain). Returns None when the native library is unavailable."""
+    lib = _load_clos()
+    if lib is None:
+        return None
+    dest = np.ascontiguousarray(dest, np.int64)
+    n = dest.shape[0]
+    RADIX = 128
+    if n % RADIX:
+        raise ValueError(f"clos size must be a multiple of {RADIX}, got {n}")
+    m = n // RADIX
+    g1 = np.zeros((m, RADIX), np.int32)
+    g5 = np.zeros((m, RADIX), np.int32)
+    if m <= RADIX:
+        g3 = np.zeros((RADIX, m), np.int32)
+        g2 = g4 = np.zeros(1, np.int32)
+    else:
+        b = m // RADIX
+        g2 = np.zeros((RADIX * b, RADIX), np.int32)
+        g3 = np.zeros((RADIX * RADIX, b), np.int32)
+        g4 = np.zeros((RADIX * b, RADIX), np.int32)
+    stages = int(lib.clos_route_c(dest, n, g1.reshape(-1), g2.reshape(-1),
+                                  g3.reshape(-1), g4.reshape(-1),
+                                  g5.reshape(-1)))
+    if stages < 0:
+        raise ValueError(f"unsupported clos size {n}")
+    if stages == 1:
+        return [g1[:1]]
+    if stages == 3:
+        return [g1, g3, g5]
+    return [g1, g2, g3, g4, g5]

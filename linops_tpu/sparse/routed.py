@@ -99,10 +99,15 @@ _register(RoutedSpMV, ("shape", "w"))
 
 
 def _clos_size(slots: int) -> int:
-    """Smallest valid Clos domain size ≥ slots (≤ CLOS_MAX_SLOTS)."""
+    """Smallest valid Clos domain size ≥ slots (≤ CLOS_MAX_SLOTS).
+
+    5-stage domains are rounded so B = N/16384 is a multiple of 8: the
+    fused middle kernel tiles (B, 128) blocks and Mosaic requires sublane
+    counts divisible by 8."""
     if slots <= CLOS_MID:
         return max(-(-slots // RADIX) * RADIX, RADIX)
-    return -(-slots // CLOS_MID) * CLOS_MID
+    step = 8 * CLOS_MID
+    return -(-slots // step) * step
 
 
 def _auto_width(nnz_row: np.ndarray) -> int:
@@ -132,9 +137,25 @@ def _pad_middle_stage(stages):
     return stages
 
 
+def _clos_route_fast(dest):
+    """Native (C++) router when available — ~50x the numpy router at the
+    2^21 domain — with the pure-Python implementation as fallback/oracle."""
+    try:
+        from ..native import clos_route_native
+
+        r = clos_route_native(dest)
+        if r is not None:
+            return r
+    except ValueError:
+        raise
+    except Exception:
+        pass
+    return clos_route(dest)
+
+
 def _route_int8(dest):
     """clos_route + middle-stage padding + int8 cast."""
-    return [g.astype(np.int8) for g in _pad_middle_stage(clos_route(dest))]
+    return [g.astype(np.int8) for g in _pad_middle_stage(_clos_route_fast(dest))]
 
 
 def _build_reduce_passes(seg0: np.ndarray, n_rows: int):
@@ -344,7 +365,7 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
         dest[pos] = dest_c[order]
         dest[~is_real] = np.flatnonzero(~used)
 
-        stages = clos_route(dest)
+        stages = _clos_route_fast(dest)
         g1 = stages[0]
         m = N // RADIX
         vals_l.append(np.take_along_axis(val_in.reshape(m, RADIX), g1, axis=1))
@@ -393,41 +414,53 @@ def _take(a, idx, use_pallas):
     if use_pallas and a.shape[1] == RADIX:
         from ..kernels.lane_gather import lane_gather
 
-        return lane_gather(a, idx)
+        return lane_gather(a, idx, interpret=use_pallas == "interpret")
     return jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
 
 
-def _crossbars(a, stages, use_pallas, g1_folded):
-    """Run the crossbar chain on (m, 128) tiles, mirroring
-    routing.py::clos_apply exactly (minus G1 when it's folded)."""
+def _route_and_sum(a, stages, use_pallas, g1_folded, w):
+    """Crossbar chain on (m, 128) tiles — mirroring
+    routing.py::clos_apply exactly (minus G1 when folded) — fused with the
+    final width-w slot reduction. Returns the (m·128/w,) partials.
+
+    On the Pallas path the three middle crossbars run as ONE kernel
+    (the W2 wirings are local to each major index c — see
+    kernels/lane_gather.py::middle_crossbars) and the last crossbar fuses
+    with the slot reduction (lane_gather_sum): the full array crosses HBM
+     4 times instead of ~10."""
     m = a.shape[0]
+    interp = use_pallas == "interpret"
     stages = list(stages)
     if not g1_folded and stages:
         a = _take(a, stages.pop(0), use_pallas)
-    if not stages:
-        return a
-    if m <= RADIX:          # 3-stage: run G3/G5
+    if stages and m <= RADIX:   # 3-stage: run G3/G5 (tiny domains)
         g3, g5 = stages
-        a = _take(a.T, g3, use_pallas and m == RADIX)
+        a = _take(a.T, g3, use_pallas if m == RADIX else False)
         a = _take(a.T, g5, use_pallas)
-        return a
-    b = m // RADIX          # 5-stage: run G2/G3/G4/G5
+        stages = []
+    if not stages:
+        return a.reshape(-1, w).sum(axis=1)
+    b = m // RADIX              # 5-stage: run G2/G3/G4/G5
     g2, g3, g4, g5 = stages
     a = a.T.reshape(RADIX * b, RADIX)
-    a = _take(a, g2, use_pallas)
+    if use_pallas:
+        from ..kernels.lane_gather import lane_gather_sum, middle_crossbars
+
+        a = middle_crossbars(a, g2, g3, g4, interpret=interp)
+        a = a.reshape(RADIX, b * RADIX).T.reshape(m, RADIX)
+        return lane_gather_sum(a, g5, w, interpret=interp).reshape(-1)
+    a = _take(a, g2, False)
     a = a.reshape(RADIX, b, RADIX).transpose(0, 2, 1).reshape(RADIX * RADIX, b)
     if b < RADIX:
-        # middle crossbar is lane-padded at pack time: pad the data lanes
-        # (fuses into the preceding transpose copy), gather at 128 lanes,
-        # slice back — ~1.5× stage traffic but stays on the Pallas path
-        a = _take(jnp.pad(a, ((0, 0), (0, RADIX - b))), g3, use_pallas)[:, :b]
+        # the middle crossbar is lane-padded at pack time
+        a = _take(jnp.pad(a, ((0, 0), (0, RADIX - b))), g3, False)[:, :b]
     else:
-        a = _take(a, g3, use_pallas)
+        a = _take(a, g3, False)
     a = a.reshape(RADIX, RADIX, b).transpose(0, 2, 1).reshape(RADIX * b, RADIX)
-    a = _take(a, g4, use_pallas)
+    a = _take(a, g4, False)
     a = a.reshape(RADIX, b * RADIX).T.reshape(m, RADIX)
-    a = _take(a, g5, use_pallas)
-    return a
+    a = _take(a, g5, False)
+    return a.reshape(-1, w).sum(axis=1)
 
 
 def _chunk_partials(vals, lane_idx, win_block, stages, x2, w, use_pallas):
@@ -435,12 +468,12 @@ def _chunk_partials(vals, lane_idx, win_block, stages, x2, w, use_pallas):
     if use_pallas:
         from ..kernels.lane_gather import lane_gather_mul
 
-        a = lane_gather_mul(x2[win_block], lane_idx, vals)
+        a = lane_gather_mul(x2[win_block], lane_idx, vals,
+                            interpret=use_pallas == "interpret")
     else:
         g = jnp.take_along_axis(x2[win_block], lane_idx.astype(jnp.int32), axis=1)
         a = (vals * g).astype(jnp.result_type(vals.dtype, x2.dtype))
-    a = _crossbars(a, stages, use_pallas, g1_folded=True)
-    return a.reshape(-1, w).sum(axis=1)
+    return _route_and_sum(a, stages, use_pallas, g1_folded=True, w=w)
 
 
 def _reduce_pass(q, p: ReducePass, use_pallas):
@@ -451,9 +484,8 @@ def _reduce_pass(q, p: ReducePass, use_pallas):
         if qc.shape[0] < p.n_in:
             qc = jnp.pad(qc, (0, p.n_in - qc.shape[0]))
         a = qc.reshape(-1, RADIX)
-        a = _crossbars(a, tuple(s[c] for s in p.stages), use_pallas,
-                       g1_folded=False)
-        part = a.reshape(-1, p.u).sum(axis=1)
+        part = _route_and_sum(a, tuple(s[c] for s in p.stages), use_pallas,
+                              g1_folded=False, w=p.u)
         outs.append(part[: p.out_keep[c]])
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 

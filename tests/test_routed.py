@@ -141,3 +141,22 @@ def test_routed_backend_xla_matches():
     v = np.random.default_rng(2).standard_normal(400)
     np.testing.assert_allclose(
         np.asarray(data_op * v), np.asarray(xla_op * v), rtol=1e-12)
+
+
+def test_routed_pallas_interpret_matches_jnp():
+    """The fused Pallas path (middle_crossbars + lane_gather_sum) must equal
+    the plain jnp path — run in interpreter mode on CPU. f32: the in-kernel
+    identity-dot transposes are exact (HIGHEST precision selector dots)."""
+    A = _random_csr(3000, 2800, 0.006, seed=31, dtype=np.float32)
+    A.data[:] = A.data.astype(np.float32)
+    p = pack_routed_csr(A.data.astype(np.float32), A.indices, A.indptr,
+                        A.shape, w=8)
+    assert p.vals.shape[1] > 128  # really 5-stage
+    x = np.random.default_rng(3).standard_normal(2800).astype(np.float32)
+    y_jnp = np.asarray(routed_matvec(p, x, use_pallas=False))
+    y_pal = np.asarray(routed_matvec(p, x, use_pallas="interpret"))
+    # routing/transposes are exact (one-hot dots); only the final w-group
+    # summation ORDER differs (one-hot MXU dot vs reshape-sum), so the two
+    # paths agree to f32 rounding, not bitwise
+    np.testing.assert_allclose(y_pal, y_jnp, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(y_jnp, A @ x, rtol=2e-5, atol=1e-5)

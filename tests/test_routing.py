@@ -61,3 +61,23 @@ def test_clos_rejects_bad_sizes():
         clos_stage_shapes(RADIX ** 3 + RADIX ** 2)  # above 128^3
     with pytest.raises(ValueError):
         clos_route(np.zeros(RADIX, np.int64))  # not a permutation
+
+
+def test_native_router_matches_python():
+    """The C++ router must emit the exact same stage arrays as the numpy
+    reference implementation (same Euler-walk order by construction)."""
+    from linops_tpu.native import clos_route_native
+
+    for n in (RADIX, 4 * RADIX, RADIX * RADIX, 3 * RADIX * RADIX):
+        dest = np.random.default_rng(n).permutation(n)
+        got = clos_route_native(dest)
+        if got is None:
+            import pytest as _pytest
+
+            _pytest.skip("native router unavailable (no g++)")
+        want = clos_route(dest)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        out = clos_apply(np.arange(n, dtype=float), got)
+        np.testing.assert_array_equal(out[dest], np.arange(n))
