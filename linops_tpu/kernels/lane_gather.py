@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["lane_gather", "lane_gather_mul", "lane_gather_sum",
-           "middle_crossbars"]
+           "middle_crossbars", "tiled_combine"]
 
 
 def _tile_rows(m: int) -> int:
@@ -69,27 +69,16 @@ def _middle_kernel(a_ref, g2_ref, g3_ref, g4_ref, o_ref):
     """Fused G2·W2·G3·W2ᵀ·G4 for one major index c: the W2 wiring
     ``(128, B, 128) -> transpose(0, 2, 1)`` is c-local, so the three middle
     crossbars of the 5-stage Clos network act on one (B, 128) tile.
-    In-tile transposes go through an exact identity dot on the MXU
-    (f32 HIGHEST — the same selector-exactness contract as
-    kernels/bsr_spmv.py); lane padding keeps every gather at 128 lanes."""
+    In-tile transposes lower natively in Mosaic (measured exact and ~1.5×
+    faster than MXU identity-dot transposes); lane padding keeps every
+    gather at 128 lanes."""
     b = a_ref.shape[0]
     a = jnp.take_along_axis(a_ref[...], g2_ref[...].astype(jnp.int32), axis=1)
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    ).astype(a.dtype)
-    # (128, B) = I(128,128) · a(B,128) contracted on the 128 axis = aᵀ
-    at = jax.lax.dot_general(eye, a, (((1,), (1,)), ((), ())),
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=a.dtype)
+    at = a.T
     if b < 128:
         at = jnp.pad(at, ((0, 0), (0, 128 - b)))
     at = jnp.take_along_axis(at, g3_ref[...].astype(jnp.int32), axis=1)
-    at = at[:, :b]
-    # back: (B, 128) = atᵀ — contract at's sublane axis against the identity
-    a = jax.lax.dot_general(at, eye, (((0,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=at.dtype)
+    a = at[:, :b].T
     o_ref[...] = jnp.take_along_axis(a, g4_ref[...].astype(jnp.int32), axis=1)
 
 
@@ -111,6 +100,55 @@ def middle_crossbars(a, g2, g3, g4, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         interpret=interpret,
     )(a, g2, g3, g4)
+
+
+_TILED_SEG = 2048  # lanes per in-kernel select segment (bounds VMEM)
+
+
+_TILES_PER_PROGRAM = 8  # Mosaic needs block sublane counts divisible by 8
+
+
+def _tiled_combine_kernel(q_ref, rid_ref, o_ref):
+    """Per-row-tile combine: o[t, i] = Σ_k q[t, k]·[rid[t, k] == i] for 8
+    tiles of 128 rows each. rid is the row-within-tile of each sub-row
+    slot (-1 = trash); slots of a tile are contiguous by construction
+    (sparse/routed.py pack), so this replaces a scatter with a
+    lane-broadcast compare-select."""
+    K = q_ref.shape[1]
+    for g in range(_TILES_PER_PROGRAM):
+        acc = jnp.zeros((128, 1), q_ref.dtype)
+        for s in range(0, K, _TILED_SEG):
+            e = min(s + _TILED_SEG, K)
+            rid = rid_ref[g:g + 1, s:e].astype(jnp.int32)    # (1, seg)
+            sel = rid == jax.lax.broadcasted_iota(jnp.int32, (128, e - s), 0)
+            q = q_ref[g:g + 1, s:e]
+            acc = acc + jnp.sum(jnp.where(sel, q, 0.0), axis=1, keepdims=True)
+        o_ref[g * 128:(g + 1) * 128, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tiled_combine(q, rowid, interpret: bool = False):
+    """Sub-row partials -> per-row sums over 128-row tiles.
+
+    q: (T·K,) partials, tile t owning slots [t·K, (t+1)·K); rowid: (T, K)
+    int8 row-within-tile per slot (-1 = trash), T a multiple of 8 (pack
+    pads with trash tiles). Returns (T·128,) row sums. An XLA segment_sum
+    here measures ~0.1 G elem/s (sorted scatter); this kernel is a
+    compare-select reduction at VPU rate."""
+    T, K = rowid.shape
+    G = _TILES_PER_PROGRAM
+    return pl.pallas_call(
+        _tiled_combine_kernel,
+        grid=(T // G,),
+        in_specs=[
+            pl.BlockSpec((G, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G * 128, 1), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T * 128, 1), q.dtype),
+        interpret=interpret,
+    )(q.reshape(T, K), rowid).reshape(-1)
 
 
 def _gather_sum_kernel(w, x_ref, idx_ref, o_ref):

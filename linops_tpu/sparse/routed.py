@@ -20,14 +20,15 @@ unstructured SpMV into a fixed sequence of lane gathers:
    ordering, so the device runs at most 4 gathers per routing level.
 3. **Apply (device):** phase-1 fused gather·multiply, the crossbar chain,
    and a ``(slots/w, w)`` reshape-sum into sub-row partials.
-4. **Combine:** sub-row partials reduce into rows through further (much
-   smaller) routed passes — partials route into width-``u`` per-row
-   windows and reshape-sum, repeating while any row still holds more than
-   ``u`` partials. An XLA ``segment_sum`` here would cost ~100× the whole
-   pipeline (sorted scatter ≈ 0.1 G elem/s measured); the routed combine
-   keeps every byte on the lane-gather/transpose path.
+4. **Combine:** rows are tiled by 128 and each tile's sub-rows are padded
+   to a shared per-tile slot count K at PACK time, so the partial→row
+   reduction is one tile-local compare-select kernel
+   (kernels/lane_gather.py::tiled_combine). An XLA ``segment_sum`` here
+   would cost ~100× the rest of the pipeline (sorted scatter ≈ 0.1 G
+   elem/s measured); pathological tiles (K beyond ``TILED_MAX_K``) fall
+   back to a chain of smaller routed ReducePass rounds.
 
-Matrices beyond one routing domain (2^21 slots) are chunked by sub-row
+Matrices beyond one routing domain (2^21 slots) are chunked by row-tile
 ranges; chunks share shapes and run under one ``lax.map``.
 
 The reference's whole unstructured story is delegation to SparseArrays CSC
@@ -51,6 +52,7 @@ __all__ = ["RoutedSpMV", "pack_routed_csr", "routed_matvec", "CLOS_MAX_SLOTS"]
 CLOS_MID = RADIX * RADIX          # 16384: largest 3-stage domain
 CLOS_MAX_SLOTS = RADIX ** 3       # 2^21: largest single routing domain
 _REDUCE_U = 8                     # combine-pass window (divides 128)
+TILED_MAX_K = 32768               # per-tile slot cap for the tiled combine
 
 
 class ReducePass(NamedTuple):
@@ -81,16 +83,20 @@ class RoutedSpMV(NamedTuple):
     lane_idx: jnp.ndarray    # (C, m, 128) int8: col % 128
     win_block: jnp.ndarray   # (C, m) int32: x block id per window
     stages: tuple            # per-stage (C, ...) int8 gather arrays
-    passes: tuple            # ReducePass combine chain (may be empty)
+    rowid: jnp.ndarray       # (T, K) int8 row-within-tile per sub-row slot
+    #                          (-1 = trash) for the tiled combine; None when
+    #                          the fallback ReducePass chain is used
+    passes: tuple            # ReducePass combine chain (fallback / empty)
     shape: Tuple[int, int]   # static: (nrow, ncol)
     w: int                   # static: slots per sub-row (divides 128)
+    chunk_keep: tuple        # static: per-chunk kept partial count (tiled)
 
     @property
     def nnz_slots(self):
         return self.vals.shape[0] * self.vals.shape[1] * RADIX
 
 
-_register(RoutedSpMV, ("shape", "w"))
+_register(RoutedSpMV, ("shape", "w", "chunk_keep"))
 
 
 # ----------------------------------------------------------------------------
@@ -111,11 +117,18 @@ def _clos_size(slots: int) -> int:
 
 
 def _auto_width(nnz_row: np.ndarray) -> int:
-    """Pick w minimizing padded slots + a small per-sub-row combine cost."""
+    """Pick w minimizing the TILE-PADDED slot count T·K(w)·w — the true
+    routed-domain size under the tiled combine layout."""
+    n_r = nnz_row.shape[0]
+    tiles = np.arange(n_r) // RADIX
+    T = -(-n_r // RADIX)
     best, best_cost = 8, None
     for w in (4, 8, 16, 32, 64, 128):
         n_sub = -(-nnz_row // w)
-        cost = int(n_sub.sum()) * (w + 2)
+        tile_cnt = np.bincount(tiles, weights=n_sub.astype(np.float64),
+                               minlength=T)
+        K = max(-(-int(tile_cnt.max(initial=1.0)) // RADIX) * RADIX, RADIX)
+        cost = T * K * w
         if best_cost is None or cost < best_cost:
             best, best_cost = w, cost
     return best
@@ -292,49 +305,94 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
     sub_start = np.repeat(indptr[:-1], n_sub) + j_of_sub * w
     sub_end = np.minimum(sub_start + w, np.repeat(indptr[1:], n_sub))
 
-    # destination slot of every nnz (global sub-row-major)
     row_of_nnz = np.repeat(np.arange(n_r, dtype=np.int64), nnz_row)
     k_in_row = np.arange(nnz, dtype=np.int64) - np.repeat(indptr[:-1], nnz_row)
-    dest_global = (sub_base[row_of_nnz] + k_in_row // w) * w + k_in_row % w
+    sub_of_nnz = sub_base[row_of_nnz] + k_in_row // w
 
-    # chunk split over sub-row ranges: each chunk must fit both its
-    # sub-row slots and its padded col-side layout in one routing domain
-    def fits(s0, s1, cap):
-        if (s1 - s0) * w > cap:
+    # combine layout: tile rows by 128 and pad every tile's sub-row list to
+    # a shared K, so the partial->row reduction is ONE tile-local kernel
+    # (kernels/lane_gather.py::tiled_combine). The routed ReducePass chain
+    # remains as fallback for pathological tiles.
+    T = -(-n_r // RADIX)
+    tile_cnt = np.bincount(row_of_sub // RADIX, minlength=T).astype(np.int64)
+    K = max(-(-int(tile_cnt.max(initial=1)) // RADIX) * RADIX, RADIX)
+    trivial = bool((n_sub == 1).all())
+    tiled = (not trivial) and K * w <= CLOS_MAX_SLOTS and K <= TILED_MAX_K
+
+    rowid = None
+    if trivial:
+        # every row is exactly one sub-row: partials ARE the rows
+        dest_global = sub_of_nnz * w + k_in_row % w
+        slot_of_sub = np.arange(S0)
+    elif tiled:
+        tile_first = np.zeros(T + 1, np.int64)
+        np.cumsum(tile_cnt, out=tile_first[1:])
+        tile_of_sub = row_of_sub // RADIX
+        slot_of_sub = tile_of_sub * K + (np.arange(S0) - tile_first[tile_of_sub])
+        dest_global = slot_of_sub[sub_of_nnz] * w + k_in_row % w
+        T8 = -(-T // 8) * 8  # tiled_combine runs 8 tiles per program
+        rowid = np.full((T8, K), -1, np.int8)
+        rowid[tile_of_sub, slot_of_sub - tile_of_sub * K] = (
+            row_of_sub % RADIX).astype(np.int8)
+    else:
+        dest_global = sub_of_nnz * w + k_in_row % w
+        slot_of_sub = np.arange(S0)
+
+    # chunk split: contiguous slot ranges (tile-aligned when tiled) fitting
+    # both the sub-row slots and the padded col-side layout in one domain
+    if tiled:
+        def chunk_units():  # (unit slot size, unit count, nnz bounds fn)
+            def nnz_range(t0, t1):
+                return indptr[t0 * RADIX], indptr[min(t1 * RADIX, n_r)]
+            return K * w, T, nnz_range
+    else:
+        def chunk_units():
+            def nnz_range(s0, s1):
+                return sub_start[s0], sub_end[s1 - 1]
+            return w, S0, nnz_range
+
+    unit_slots, n_units, nnz_range = chunk_units()
+
+    def fits(u0, u1, cap):
+        if (u1 - u0) * unit_slots > cap:
             return False
-        lo, hi = sub_start[s0], sub_end[s1 - 1]
+        lo, hi = nnz_range(u0, u1)
         return _col_padded_slots(indices[lo:hi]) <= cap
 
     bounds = [0]
-    while bounds[-1] < S0:
-        s0 = bounds[-1]
-        lo = s0 + 1
-        hi = min(s0 + CLOS_MAX_SLOTS // w, S0)
-        if fits(s0, hi, CLOS_MAX_SLOTS):
+    while bounds[-1] < n_units:
+        u0 = bounds[-1]
+        lo = u0 + 1
+        hi = min(u0 + CLOS_MAX_SLOTS // unit_slots, n_units)
+        if fits(u0, hi, CLOS_MAX_SLOTS):
             bounds.append(hi)
             continue
-        while lo < hi:  # largest s1 with fits(s0, s1)
+        while lo < hi:  # largest u1 with fits(u0, u1)
             mid = (lo + hi + 1) // 2
-            if fits(s0, mid, CLOS_MAX_SLOTS):
+            if fits(u0, mid, CLOS_MAX_SLOTS):
                 lo = mid
             else:
                 hi = mid - 1
+        if lo == u0:
+            raise ValueError(
+                "a single row tile exceeds the routing domain; use the "
+                "gather/segment-sum CSR path for this pattern")
         bounds.append(lo)
     chunks = list(zip(bounds[:-1], bounds[1:]))
 
     # shared domain size N across chunks (stacking requires equal shapes)
     N = 0
-    for s0, s1 in chunks:
-        lo, hi = sub_start[s0], sub_end[s1 - 1]
-        need = max((s1 - s0) * w, _col_padded_slots(indices[lo:hi]))
+    for u0, u1 in chunks:
+        lo, hi = nnz_range(u0, u1)
+        need = max((u1 - u0) * unit_slots, _col_padded_slots(indices[lo:hi]))
         N = max(N, _clos_size(need))
 
     vals_l, lane_l, winb_l, stage_l = [], [], [], []
-    for s0, s1 in chunks:
-        lo, hi = sub_start[s0], sub_end[s1 - 1]
+    for u0, u1 in chunks:
+        lo, hi = nnz_range(u0, u1)
         cols_c = indices[lo:hi]
         vals_c = data[lo:hi]
-        dest_c = dest_global[lo:hi] - s0 * w
+        dest_c = dest_global[lo:hi] - u0 * unit_slots
         nnz_c = cols_c.shape[0]
 
         # col-block-major layout with per-block ×128 padding
@@ -381,17 +439,17 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
         for i in range(len(stage_l[0]))
     )
 
-    # combine chain: initial partial vector = concatenated per-chunk
-    # (N/w) sub-row partials; real entries carry their row id
+    # combine: tiled (rowid kernel) / trivial (partials ARE rows) /
+    # fallback routed ReducePass chain
     S_pad = N // w
-    seg0 = np.full(len(chunks) * S_pad, -1, np.int64)
-    for c, (s0, s1) in enumerate(chunks):
-        seg0[c * S_pad: c * S_pad + (s1 - s0)] = row_of_sub[s0:s1]
-    # trivial combine: single chunk whose sub-rows are exactly the rows
-    if (len(chunks) == 1 and S0 == n_r
-            and np.array_equal(row_of_sub, np.arange(n_r)) and S_pad >= n_r):
-        passes = ()
+    passes = ()
+    if trivial or tiled:
+        keep = tuple(int(u1 - u0) * (K if tiled else 1) for u0, u1 in chunks)
     else:
+        keep = ()  # ReducePass chain consumes the FULL per-chunk partials
+        seg0 = np.full(len(chunks) * S_pad, -1, np.int64)
+        for c, (s0, s1) in enumerate(chunks):
+            seg0[c * S_pad: c * S_pad + (s1 - s0)] = row_of_sub[s0:s1]
         passes = _build_reduce_passes(seg0, n_r)
 
     return RoutedSpMV(
@@ -399,9 +457,11 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
         lane_idx=jnp.asarray(np.stack(lane_l)),
         win_block=jnp.asarray(np.stack(winb_l)),
         stages=stages_stacked,
+        rowid=None if rowid is None else jnp.asarray(rowid),
         passes=passes,
         shape=(n_r, n_c),
         w=int(w),
+        chunk_keep=keep,
     )
 
 
@@ -506,8 +566,9 @@ def routed_matvec(p: RoutedSpMV, x, use_pallas=None):
 
     C = p.vals.shape[0]
     if C == 1:
-        q = _chunk_partials(p.vals[0], p.lane_idx[0], p.win_block[0],
-                            tuple(s[0] for s in p.stages), x2, p.w, use_pallas)
+        parts_list = [_chunk_partials(
+            p.vals[0], p.lane_idx[0], p.win_block[0],
+            tuple(s[0] for s in p.stages), x2, p.w, use_pallas)]
     else:
         def one(args):
             c_vals, c_lane, c_winb = args[:3]
@@ -517,8 +578,32 @@ def routed_matvec(p: RoutedSpMV, x, use_pallas=None):
 
         parts = jax.lax.map(
             one, (p.vals, p.lane_idx, p.win_block) + tuple(p.stages))
-        q = parts.reshape(-1)
+        parts_list = [parts[c] for c in range(C)]
 
-    for rp in p.passes:
-        q = _reduce_pass(q, rp, use_pallas)
-    return q[:n_r]
+    if p.passes:  # fallback routed combine (pathological tiles)
+        q = parts_list[0] if C == 1 else jnp.concatenate(parts_list)
+        for rp in p.passes:
+            q = _reduce_pass(q, rp, use_pallas)
+        return q[:n_r]
+
+    kept = [pp[:k] for pp, k in zip(parts_list, p.chunk_keep)]
+    q = kept[0] if len(kept) == 1 else jnp.concatenate(kept)
+    if p.rowid is None:
+        return q[:n_r]  # trivial: every row is exactly one sub-row
+    if use_pallas:
+        from ..kernels.lane_gather import tiled_combine
+
+        T8, K = p.rowid.shape
+        if q.shape[0] < T8 * K:  # trailing trash tiles (T padded to 8)
+            q = jnp.pad(q, (0, T8 * K - q.shape[0]))
+        y = tiled_combine(q, p.rowid, interpret=use_pallas == "interpret")
+    else:
+        T8, K = p.rowid.shape
+        if q.shape[0] < T8 * K:
+            q = jnp.pad(q, (0, T8 * K - q.shape[0]))
+        rid = p.rowid.astype(jnp.int32)
+        seg = jnp.where(rid >= 0,
+                        jnp.arange(T8, dtype=jnp.int32)[:, None] * RADIX + rid,
+                        T8 * RADIX)
+        y = jax.ops.segment_sum(q, seg.reshape(-1), num_segments=T8 * RADIX)
+    return y[:n_r]

@@ -160,3 +160,32 @@ def test_routed_pallas_interpret_matches_jnp():
     # paths agree to f32 rounding, not bitwise
     np.testing.assert_allclose(y_pal, y_jnp, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(y_jnp, A @ x, rtol=2e-5, atol=1e-5)
+
+
+def test_routed_fallback_reduce_passes(monkeypatch):
+    """Pathological tiles (huge K) fall back to the routed ReducePass chain."""
+    monkeypatch.setattr(R, "TILED_MAX_K", 0)
+    A = _random_csr(900, 700, 0.02, seed=41)
+    p = pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=8)
+    assert p.rowid is None and len(p.passes) >= 1
+    x = np.random.default_rng(4).standard_normal(700)
+    np.testing.assert_allclose(
+        np.asarray(routed_matvec(p, x, use_pallas=False)), A @ x, rtol=1e-12)
+
+
+def test_routed_trivial_combine():
+    """Uniform 1-sub-row rows skip the combine entirely."""
+    rng = np.random.default_rng(6)
+    n = 600
+    # exactly 4 nnz per row, w=8 -> one sub-row per row
+    cols = np.sort(rng.integers(0, n, (n, 4)), axis=1).astype(np.int64)
+    vals = rng.standard_normal((n, 4))
+    indptr = np.arange(0, 4 * n + 1, 4, dtype=np.int64)
+    p = pack_routed_csr(vals.reshape(-1), cols.reshape(-1), indptr, (n, n), w=8)
+    assert p.rowid is None and p.passes == ()
+    x = rng.standard_normal(n)
+    ref = np.zeros(n)
+    for r in range(n):
+        ref[r] = vals[r] @ x[cols[r]]
+    np.testing.assert_allclose(np.asarray(routed_matvec(p, x, use_pallas=False)),
+                               ref, rtol=1e-12)
