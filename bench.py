@@ -380,6 +380,41 @@ def main():
         detail["algebra_stress_spmm_us"] = round(max(ts2 - ts1, 1e-9) / 400 * 1e6, 1)
 
 
+    def sec_routed_unstructured():
+        # Clos-routed lane-gather SpMV (sparse/routed.py) on the truly
+        # unstructured 16-nnz/row matrix — the production unstructured
+        # path (format="auto" picks it below the pack budget). Forward and
+        # transpose applies plus the host pack cost.
+        nu = 1 << 16
+        nnz_row = 16
+        counts = rng.poisson(nnz_row, nu)
+        nnzu = int(counts.sum())
+        indptr_u = np.zeros(nu + 1, np.int64)
+        np.cumsum(counts, out=indptr_u[1:])
+        cols_r = rng.integers(0, nu, nnzu)
+        order = np.lexsort((cols_r, np.repeat(np.arange(nu), counts)))
+        cols_u = cols_r[order]
+        vals_u = rng.standard_normal(nnzu).astype(np.float32)
+        from linops_tpu.sparse.formats import csr_from_parts
+
+        t0 = time.perf_counter()
+        opR = lo.RoutedCSROperator(
+            csr_from_parts(vals_u, cols_u.astype(np.int32), indptr_u.astype(np.int32),
+                           (nu, nu)))
+        detail["routed_pack_s"] = round(time.perf_counter() - t0, 2)
+        vu = jnp.ones((nu,), dtype)
+        tR = _marginal_apply_time(opR, vu, reps=3)
+        detail["routed_unstructured_n"] = nu
+        detail["routed_unstructured_nnz"] = nnzu
+        detail["routed_unstructured_gnnz_per_s"] = round(nnzu / tR / 1e9, 3)
+        detail["routed_unstructured_us_per_apply"] = round(tR * 1e6, 1)
+        # matvec_chain applies inside jit (no host bump), so pack the
+        # transpose routing program explicitly before the T-mode timing
+        opR._ensure_transpose()
+        tRT = _marginal_apply_time(opR, vu, reps=2, mode="T")
+        detail["routed_unstructured_T_gnnz_per_s"] = round(nnzu / tRT / 1e9, 3)
+        detail["routed_unstructured_T_us_per_apply"] = round(tRT * 1e6, 1)
+
     def sec_csr_unstructured():
         # raw gather CSR on a truly unstructured matrix (16 nnz/row).
         # Runs LAST and capped at 4M nnz: the 16M-nnz case reproducibly
@@ -572,6 +607,7 @@ def main():
     section("solvers", sec_solvers)
     section("scaling", sec_scaling)
     section("lobpcg", sec_lobpcg)
+    section("routed_unstructured", sec_routed_unstructured)
     section("csr_unstructured", sec_csr_unstructured)
 
     print(

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["lane_gather", "lane_gather_mul", "lane_gather_sum",
-           "middle_crossbars", "tiled_combine"]
+           "tiled_combine"]
 
 
 def _tile_rows(m: int) -> int:
@@ -65,43 +65,6 @@ def lane_gather(a, idx, interpret: bool = False):
     )(a, idx)
 
 
-def _middle_kernel(a_ref, g2_ref, g3_ref, g4_ref, o_ref):
-    """Fused G2·W2·G3·W2ᵀ·G4 for one major index c: the W2 wiring
-    ``(128, B, 128) -> transpose(0, 2, 1)`` is c-local, so the three middle
-    crossbars of the 5-stage Clos network act on one (B, 128) tile.
-    In-tile transposes lower natively in Mosaic (measured exact and ~1.5×
-    faster than MXU identity-dot transposes); lane padding keeps every
-    gather at 128 lanes."""
-    b = a_ref.shape[0]
-    a = jnp.take_along_axis(a_ref[...], g2_ref[...].astype(jnp.int32), axis=1)
-    at = a.T
-    if b < 128:
-        at = jnp.pad(at, ((0, 0), (0, 128 - b)))
-    at = jnp.take_along_axis(at, g3_ref[...].astype(jnp.int32), axis=1)
-    a = at[:, :b].T
-    o_ref[...] = jnp.take_along_axis(a, g4_ref[...].astype(jnp.int32), axis=1)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def middle_crossbars(a, g2, g3, g4, interpret: bool = False):
-    """The three middle crossbars of a 5-stage route in ONE kernel.
-
-    a: (128·B, 128) — the post-W1 layout; g2/g4: (128·B, 128) int8;
-    g3: (128·128, 128) int8 (lane-padded when B < 128).
-    Returns the post-G4 (128·B, 128) array (pre-W1ᵀ layout)."""
-    b = a.shape[0] // 128
-    spec_bc = pl.BlockSpec((b, 128), lambda c: (c, 0), memory_space=pltpu.VMEM)
-    spec_g3 = pl.BlockSpec((128, 128), lambda c: (c, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _middle_kernel,
-        grid=(128,),
-        in_specs=[spec_bc, spec_bc, spec_g3, spec_bc],
-        out_specs=spec_bc,
-        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
-        interpret=interpret,
-    )(a, g2, g3, g4)
-
-
 _TILED_SEG = 2048  # lanes per in-kernel select segment (bounds VMEM)
 
 
@@ -112,17 +75,21 @@ def _tiled_combine_kernel(q_ref, rid_ref, o_ref):
     """Per-row-tile combine: o[t, i] = Σ_k q[t, k]·[rid[t, k] == i] for 8
     tiles of 128 rows each. rid is the row-within-tile of each sub-row
     slot (-1 = trash); slots of a tile are contiguous by construction
-    (sparse/routed.py pack), so this replaces a scatter with a
-    lane-broadcast compare-select."""
+    (sparse/routed.py pack), so this replaces a scatter with an exact
+    one-hot MXU contraction (measured faster than the VPU compare-select
+    form: 35 vs 44 µs at the bench shape)."""
     K = q_ref.shape[1]
     for g in range(_TILES_PER_PROGRAM):
         acc = jnp.zeros((128, 1), q_ref.dtype)
         for s in range(0, K, _TILED_SEG):
             e = min(s + _TILED_SEG, K)
             rid = rid_ref[g:g + 1, s:e].astype(jnp.int32)    # (1, seg)
-            sel = rid == jax.lax.broadcasted_iota(jnp.int32, (128, e - s), 0)
-            q = q_ref[g:g + 1, s:e]
-            acc = acc + jnp.sum(jnp.where(sel, q, 0.0), axis=1, keepdims=True)
+            sel = (rid == jax.lax.broadcasted_iota(jnp.int32, (128, e - s), 0)
+                   ).astype(q_ref.dtype)
+            acc = acc + jax.lax.dot_general(
+                sel, q_ref[g:g + 1, s:e], (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=q_ref.dtype)
         o_ref[g * 128:(g + 1) * 128, :] = acc
 
 

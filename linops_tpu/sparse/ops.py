@@ -570,9 +570,9 @@ for _cls in (COOOperator, CSROperator, ELLOperator, BSROperator,
 _BSR_AUTO_CANDIDATES = ((128, 128), (32, 128), (16, 128), (8, 128))
 
 # format="auto" only picks the Clos-routed layout below this nnz count:
-# the route computation is currently host-Python (~25 s per 1M nnz); the
-# native (C++) router will raise this substantially
-ROUTED_AUTO_MAX_NNZ = 150_000
+# packing costs ~3 s per 1M nnz with the native (C++) router — acceptable
+# for an explicit format="routed", surprising for silent auto-routing
+ROUTED_AUTO_MAX_NNZ = 2_000_000
 
 
 def _auto_block_shape(sp, return_stored: bool = False, dtype=None):

@@ -502,23 +502,25 @@ def _route_and_sum(a, stages, use_pallas, g1_folded, w):
         return a.reshape(-1, w).sum(axis=1)
     b = m // RADIX              # 5-stage: run G2/G3/G4/G5
     g2, g3, g4, g5 = stages
+    # Pallas lane gathers with the wirings as XLA transposes: measured
+    # FASTER than one fused middle kernel (48 vs 92 µs at the bench
+    # domain) — XLA pipelines the transpose copies against the gather
+    # kernels, while a fused kernel serializes gathers and relayouts.
     a = a.T.reshape(RADIX * b, RADIX)
-    if use_pallas:
-        from ..kernels.lane_gather import lane_gather_sum, middle_crossbars
-
-        a = middle_crossbars(a, g2, g3, g4, interpret=interp)
-        a = a.reshape(RADIX, b * RADIX).T.reshape(m, RADIX)
-        return lane_gather_sum(a, g5, w, interpret=interp).reshape(-1)
-    a = _take(a, g2, False)
+    a = _take(a, g2, use_pallas)
     a = a.reshape(RADIX, b, RADIX).transpose(0, 2, 1).reshape(RADIX * RADIX, b)
     if b < RADIX:
         # the middle crossbar is lane-padded at pack time
-        a = _take(jnp.pad(a, ((0, 0), (0, RADIX - b))), g3, False)[:, :b]
+        a = _take(jnp.pad(a, ((0, 0), (0, RADIX - b))), g3, use_pallas)[:, :b]
     else:
-        a = _take(a, g3, False)
+        a = _take(a, g3, use_pallas)
     a = a.reshape(RADIX, RADIX, b).transpose(0, 2, 1).reshape(RADIX * b, RADIX)
-    a = _take(a, g4, False)
+    a = _take(a, g4, use_pallas)
     a = a.reshape(RADIX, b * RADIX).T.reshape(m, RADIX)
+    if use_pallas:
+        from ..kernels.lane_gather import lane_gather_sum
+
+        return lane_gather_sum(a, g5, w, interpret=interp).reshape(-1)
     a = _take(a, g5, False)
     return a.reshape(-1, w).sum(axis=1)
 
