@@ -321,6 +321,18 @@ class LinearOperator(abc.ABC):
     def apply_matrix(self, M, mode: str = "N"):
         return jax.vmap(lambda col: self.apply(col, mode), in_axes=1, out_axes=1)(M)
 
+    def apply_matrix_t(self, Mt, mode: str = "N"):
+        """Row-panel apply: ``(op @ Mtᵀ)ᵀ`` for ``Mt`` of shape (k, n).
+
+        TPU tiled layouts pad an array's minor dimension to 128 lanes, so
+        a narrow (n, k) column panel wastes up to 128/k of every byte
+        moved; block methods (LOBPCG, multi-RHS solvers) therefore carry
+        panels TRANSPOSED as (k, n) rows and apply through this method.
+        The default is transpose → apply_matrix → transpose (paying the
+        padded layout only inside the apply); operators whose kernel is
+        shift/contraction-based override it with a native row-panel form."""
+        return self.apply_matrix(Mt.T, mode).T
+
     # ------------------------------------------------------------------
     # Counters
     # ------------------------------------------------------------------

@@ -77,6 +77,17 @@ class MatrixOperator(LinearOperator):
             return pmatmul(jnp.conj(self.A).T, M)
         return pmatmul(jnp.conj(self.A), M)
 
+    def apply_matrix_t(self, Mt, mode: str = "N"):
+        # (A Mtᵀ)ᵀ = Mt Aᵀ — contract on the other side, keeping the
+        # dense (k, n) row panel as both input and output layout
+        if mode == "N":
+            return pmatmul(Mt, self.A.T)
+        if mode == "T":
+            return pmatmul(Mt, self.A)
+        if mode == "H":
+            return pmatmul(Mt, jnp.conj(self.A))
+        return pmatmul(Mt, jnp.conj(self.A).T)
+
     def _name(self):
         return "Matrix operator"
 

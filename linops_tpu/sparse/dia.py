@@ -120,6 +120,20 @@ class DIAOperator(LinearOperator):
             return Y
         return super().apply_matrix(M, mode)
 
+    def apply_matrix_t(self, Mt, mode: str = "N"):
+        # native row-panel apply: shifts move along the LANE axis of the
+        # dense (k, n) panel — no transposes, no padded-minor-dim traffic
+        # (the shift structure is identical to _prod, vectorized over rows)
+        if mode != "N":
+            return super().apply_matrix_t(Mt, mode)
+        mo = self._max_off
+        n = self.nrow
+        Xp = jnp.pad(Mt, ((0, 0), (mo, mo)))
+        Y = jnp.zeros_like(Mt)
+        for i, o in enumerate(self._offsets):
+            Y = Y + self.diags[i][None, :] * Xp[:, mo + o: mo + o + n]
+        return Y
+
     @property
     def nnz(self):
         return int(jnp.sum(self.diags != 0))

@@ -417,14 +417,21 @@ class BSROperator(_SparseBase):
     nothing); the logical ``shape`` is unchanged.
     """
 
-    _fields_aux = ("_symmetric", "_hermitian", "_backend")
+    _fields_children = ("data", "win_q", "cols_local")
+    _fields_aux = ("_symmetric", "_hermitian", "_backend", "_wb",
+                   "_x_pad_blocks")
 
     def __init__(self, data, symmetric: bool = False, hermitian: bool = False,
-                 backend: str = "auto"):
+                 backend: str = "auto", win_q=None, cols_local=None,
+                 _wb=0, _x_pad_blocks=0):
         super().__init__(data, symmetric, hermitian)
         if backend not in ("auto", "pallas", "pallas_fast", "xla"):
             raise ValueError(f"unknown BSR backend {backend!r}")
         self._backend = backend
+        self.win_q = win_q
+        self.cols_local = cols_local
+        self._wb = _wb
+        self._x_pad_blocks = _x_pad_blocks
         maybe_kernel = backend != "xla" and (
             backend != "auto" or data.block_shape[0] < 128
         )
@@ -443,6 +450,29 @@ class BSROperator(_SparseBase):
                 blocks = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0), (0, 0)))
                 cols = jnp.pad(cols, ((0, pad), (0, 0)))
                 self.data = BSR(blocks=blocks, block_cols=cols, shape=data.shape)
+            # x beyond VMEM residency: plan sliding windows (banded
+            # patterns, e.g. after RCM) so the forward apply stays on the
+            # Pallas path instead of the 0.70-roofline XLA gather
+            if win_q is None and not isinstance(cols, jax.core.Tracer):
+                from ..kernels.bsr_spmv import (BSR_PALLAS_MAX_X_ELEMS,
+                                                bsr_window_plan)
+
+                bm, bn = self.data.block_shape
+                nbcol = -(-data.shape[1] // bn)
+                if nbcol * bn > BSR_PALLAS_MAX_X_ELEMS:
+                    from ..kernels.bsr_spmv import bsr_windowed_rows_per_program
+
+                    Rw = bsr_windowed_rows_per_program(
+                        bm, self.data.blocks.shape[1], bn,
+                        jnp.dtype(self.data.blocks.dtype).itemsize,
+                        self.data.blocks.shape[0])
+                    plan = bsr_window_plan(self.data.block_cols, Rw, nbcol)
+                    if plan is not None:
+                        q, cl, wb, xpb = plan
+                        self.win_q = jnp.asarray(q)
+                        self.cols_local = jnp.asarray(cl)
+                        self._wb = wb
+                        self._x_pad_blocks = xpb
 
     # --- kernel eligibility (host-side; aux + shapes only, so the decision
     # is baked into the jit cache key via the operator's structure) ---
@@ -497,6 +527,14 @@ class BSROperator(_SparseBase):
             v = jnp.pad(v, (0, need - v.shape[0]))
         return v
 
+    def _windowed_eligible(self, x_dtype) -> bool:
+        if self.win_q is None or self._backend == "xla":
+            return False
+        res = jnp.dtype(jnp.result_type(self.data.blocks.dtype, x_dtype))
+        if res not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+            return False
+        return self._backend != "auto" or jax.default_backend() == "tpu"
+
     def _prod(self, v):
         d = self.data
         bm, bn = d.block_shape
@@ -510,6 +548,17 @@ class BSROperator(_SparseBase):
             y = bsr_matvec_pallas(
                 d.blocks, d.block_cols, xb, interpret=self._interpret(),
                 variant=variant,
+            ).reshape(nbrow * bm)
+        elif self._windowed_eligible(xb.dtype):
+            # x beyond VMEM residency on a banded pattern: sliding-window
+            # Pallas kernel (kernels/bsr_spmv.py::bsr_matvec_pallas_windowed)
+            from ..kernels.bsr_spmv import bsr_matvec_pallas_windowed
+
+            y = bsr_matvec_pallas_windowed(
+                d.blocks, self.cols_local, self.win_q, xb,
+                wb=self._wb, x_pad_blocks=self._x_pad_blocks,
+                interpret=self._interpret(),
+                fast=self._backend == "pallas_fast",
             ).reshape(nbrow * bm)
         else:
             y = bsr_matvec(d.blocks, d.block_cols, xb).reshape(nbrow * bm)

@@ -54,13 +54,17 @@ def _svqb_transform(S):
     ``clipped[j]`` marks directions with negligible Gram weight — their
     columns of ``S @ T`` are ~zero and must be masked out of
     Rayleigh–Ritz selection by the caller (SVQB with soft dropping)."""
-    m = S.shape[1]
-    rdt = jnp.real(S).dtype
+    return _svqb_transform_g(pmatmul(jnp.conj(S).T, S))
+
+
+def _svqb_transform_g(G):
+    """:func:`_svqb_transform` from a precomputed column Gram matrix."""
+    m = G.shape[0]
+    rdt = jnp.real(G).dtype
     eps = jnp.finfo(rdt).eps
     # floors must stay in NORMAL float range: XLA flushes subnormals to
     # zero, and a flushed-to-zero threshold lets 1/sqrt(0) through as inf
     tiny = jnp.asarray(jnp.finfo(rdt).tiny * 100, rdt)
-    G = pmatmul(jnp.conj(S).T, S)
     d = jnp.real(jnp.diag(G))
     dmax = jnp.max(d)
     # scale-INVARIANT column keep: small-norm residual columns are exactly
@@ -72,7 +76,7 @@ def _svqb_transform(S):
     w, V = jnp.linalg.eigh(Gn)
     clipped = w < jnp.maximum(jnp.max(w) * (m * 10) * eps, tiny)
     winv = jnp.where(clipped, 0.0, 1.0 / jnp.sqrt(jnp.where(clipped, 1.0, w)))
-    T = ((Dinv[:, None] * V) * winv[None, :]).astype(S.dtype)
+    T = ((Dinv[:, None] * V) * winv[None, :]).astype(G.dtype)
     return T, clipped
 
 
@@ -81,6 +85,13 @@ def _svqb(S):
     with ``Q = S @ T`` (see :func:`_svqb_transform`)."""
     T, clipped = _svqb_transform(S)
     return pmatmul(S, T), T, clipped
+
+
+def _svqb_t(St):
+    """Transposed-panel SVQB: orthonormalize the ROWS of ``St`` (k, n).
+    Returns ``(Qt, clipped)`` with ``Qt = Tᵀ St``."""
+    T, clipped = _svqb_transform_g(pmatmul(jnp.conj(St), St.T))
+    return pmatmul(T.T, St), clipped
 
 
 @functools.partial(jax.jit, static_argnames=("k", "maxiter", "largest", "has_M", "has_Y"))
@@ -93,6 +104,14 @@ def _lobpcg_jit(op, Mop, X0, Yc, tol, k, maxiter, largest, has_M, has_Y):
     # Laplacian) and under-reports residuals 10x even before blow-up —
     # while saving only the 3k-vs-k apply width (~6% of the measured
     # iteration cost on a stencil operator at n=1M).
+    #
+    # All panels are carried TRANSPOSED as (k, n) row panels: TPU tiled
+    # layouts pad the minor dimension to 128 lanes, so an (n, k) column
+    # panel moves up to 128/k× its logical bytes on every elementwise op
+    # and Gram/update matmul — measured 7.3 ms/iter at k=2 on the 2048²
+    # stencil, ~64 apply-equivalents, dominated by exactly that padding.
+    # Operator applies go through ``apply_matrix_t`` (native row-panel
+    # kernels where available, transpose-wrapped otherwise).
     n = X0.shape[0]
     rdt = jnp.real(X0).dtype
     op = chain_resident(op, X0)
@@ -113,70 +132,71 @@ def _lobpcg_jit(op, Mop, X0, Yc, tol, k, maxiter, largest, has_M, has_Y):
             idx = jnp.arange(k)
         return jnp.real(w)[idx], C[:, idx]
 
-    def gs(Y, Z, passes=2):
-        # Gram–Schmidt against orthonormal Z ("twice is enough")
+    def gs_t(Yt, Zt, passes=2):
+        # Gram–Schmidt against row-orthonormal Zt ("twice is enough"):
+        # Yt -= (Yt · conj(Zt)ᵀ) · Zt, all in dense (rows, n) layout
         for _ in range(passes):
-            Y = Y - pmatmul(Z, pmatmul(jnp.conj(Z).T, Y))
-        return Y
+            Yt = Yt - pmatmul(pmatmul(Yt, jnp.conj(Zt).T), Zt)
+        return Yt
 
-    def deflate(B):
+    Yct = Yc.T if has_Y else None
+
+    def deflate(Bt):
         # constraint block: keep the search orthogonal to span(Yc) — the
         # new directions (W, and the start block) are projected out every
         # iteration; X/P inherit the property through the Ritz updates
-        return gs(B, Yc) if has_Y else B
+        return gs_t(Bt, Yct) if has_Y else Bt
 
     # initial Rayleigh–Ritz on the orthonormalized start block (the host
     # wrapper rejects rank-deficient explicit X0, so clip0 only guards the
     # measure-zero random-start collision)
-    X, _, clip0 = _svqb(deflate(X0))
-    AX = op.apply_matrix(X, "N")
-    theta, C = rr_from_H(pmatmul(jnp.conj(X).T, AX), clip0)
-    X = pmatmul(X, C)
-    AX = pmatmul(AX, C)
-    P = jnp.zeros_like(X)
+    Xt, clip0 = _svqb_t(deflate(X0.T))
+    AXt = op.apply_matrix_t(Xt, "N")
+    theta, C = rr_from_H(pmatmul(jnp.conj(Xt), AXt.T), clip0)
+    Xt = pmatmul(C.T, Xt)
+    AXt = pmatmul(C.T, AXt)
+    Pt = jnp.zeros_like(Xt)
 
     inf = jnp.full((k,), jnp.inf, rdt)
 
     def cond(carry):
-        X, AX, P, theta, res, it = carry
+        Xt, AXt, Pt, theta, res, it = carry
         return jnp.logical_and(
             it < maxiter, jnp.max(res / jnp.maximum(jnp.abs(theta), 1.0)) > tol
         )
 
     def body(carry):
-        X, AX, P, theta, _, it = carry
-        R = AX - X * theta[None, :].astype(X.dtype)
-        res = jnp.linalg.norm(R, axis=0)
-        W = Mop.apply_matrix(R, "N") if has_M else R
+        Xt, AXt, Pt, theta, _, it = carry
+        Rt = AXt - theta[:, None].astype(Xt.dtype) * Xt
+        res = jnp.linalg.norm(Rt, axis=1)
+        Wt = Mop.apply_matrix_t(Rt, "N") if has_M else Rt
         # blockwise orthonormal basis [X | W | P]: block identity is what
         # makes the implicit-P row-zeroing below meaningful
-        W = gs(deflate(W), X)
-        Tw, cW = _svqb_transform(W)
-        W = pmatmul(W, Tw)
+        Wt = gs_t(deflate(Wt), Xt)
+        Wt, cW = _svqb_t(Wt)
         # X and W are now mutually orthonormal, so projecting P against
         # the joint [X | W] block equals the sequential projections but
         # runs as ONE wider (better MXU-utilized) matmul pair per pass
-        XW = jnp.concatenate([X, W], axis=1)  # (n, 2k)
-        Pb = gs(P, XW)
-        Tp, cP = _svqb_transform(Pb)
-        Pb = pmatmul(Pb, Tp)
-        S = jnp.concatenate([XW, Pb], axis=1)  # (n, 3k)
+        XWt = jnp.concatenate([Xt, Wt], axis=0)  # (2k, n)
+        Pbt = gs_t(Pt, XWt)
+        Pbt, cP = _svqb_t(Pbt)
+        St = jnp.concatenate([XWt, Pbt], axis=0)  # (3k, n)
         clipped = jnp.concatenate([jnp.zeros((k,), bool), cW, cP])
-        AS = op.apply_matrix(S, "N")  # fresh image: see module note
-        H = pmatmul(jnp.conj(S).T, AS)
+        ASt = op.apply_matrix_t(St, "N")  # fresh image: see module note
+        H = pmatmul(jnp.conj(St), ASt.T)
         theta_new, C = rr_from_H(H, clipped)
         # implicit P: the W+P contribution to the new X (zero the X rows)
         Cp = C.at[:k, :].set(0)
-        OUT = pmatmul(S, jnp.concatenate([C, Cp], axis=1))  # (n, 2k)
-        Xn, Pn = OUT[:, :k], OUT[:, k:]
-        AXn = pmatmul(AS, C)
-        Rn = AXn - Xn * theta_new[None, :].astype(Xn.dtype)
-        return (Xn, AXn, Pn, theta_new, jnp.linalg.norm(Rn, axis=0), it + 1)
+        OUT = pmatmul(jnp.concatenate([C, Cp], axis=1).T, St)  # (2k, n)
+        Xn, Pn = OUT[:k], OUT[k:]
+        AXn = pmatmul(C.T, ASt)
+        Rn = AXn - theta_new[:, None].astype(Xn.dtype) * Xn
+        return (Xn, AXn, Pn, theta_new, jnp.linalg.norm(Rn, axis=1), it + 1)
 
-    X, AX, P, theta, res, it = jax.lax.while_loop(
-        cond, body, (X, AX, P, theta, inf, jnp.zeros((), jnp.int32))
+    Xt, AXt, Pt, theta, res, it = jax.lax.while_loop(
+        cond, body, (Xt, AXt, Pt, theta, inf, jnp.zeros((), jnp.int32))
     )
-    return theta, X, res, it
+    return theta, Xt.T, res, it
 
 
 def lobpcg(op, k: int = 1, X0=None, *, largest: bool = False, tol: float = 1e-6,

@@ -431,3 +431,37 @@ def test_bsr_auto_block_shape_bf16(rng):
         assert opf.data.vals.dtype == jnp.bfloat16
         gotf = np.asarray(opf * jnp.asarray(v), np.float32)
         np.testing.assert_allclose(gotf, ref, rtol=2e-2)
+
+
+def test_bsr_windowed_forward(monkeypatch, rng):
+    """x beyond the VMEM residency bound on a banded pattern routes to the
+    sliding-window Pallas kernel (interpret mode on CPU) and matches the
+    XLA path exactly-ish (same 3-pass split contract)."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    import linops_tpu.kernels.bsr_spmv as BK
+
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_X_ELEMS", 2048)
+    n = 40 * 128  # nbcol = 40 > 16 blocks over the shrunken bound
+    A = np.zeros((n, n), np.float32)
+    # block-banded: each 8-row stripe touches a narrow sliding column window
+    for bi in range(n // 8):
+        j0 = min(max((bi * 8 * 40 // (n // 128)) // 1, 0), 39 - 3)
+        j0 = int(bi * 37 / (n // 8))  # slowly sliding window start
+        for k in range(3):
+            A[bi * 8:(bi + 1) * 8, (j0 + k) * 128:(j0 + k + 1) * 128] = (
+                rng.standard_normal((8, 128)).astype(np.float32))
+    op = lo.opSparse(scipy_sparse.csr_matrix(A), format="bsr",
+                     block_shape=(8, 128), backend="pallas")
+    assert op.win_q is not None and op._wb > 0
+    v = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(op * v)
+    ref = A @ v
+    np.testing.assert_allclose(y, ref, rtol=3e-6, atol=3e-5)
+    # scattered pattern (not banded): plan refuses, falls back to XLA
+    S = np.zeros((n, n), np.float32)
+    idx = rng.integers(0, 40, n // 8)
+    S[np.arange(n), ((idx.repeat(8) * 997) % 40) * 128 + rng.integers(0, 128, n)] = 1.0
+    op2 = lo.opSparse(scipy_sparse.csr_matrix(S), format="bsr",
+                      block_shape=(8, 128), backend="pallas")
+    v2 = rng.standard_normal(n).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op2 * v2), S @ v2, rtol=3e-6, atol=3e-5)
