@@ -263,7 +263,10 @@ def bsr_windowed_rows_per_program(bm: int, kmax: int, bn: int, itemsize: int,
     target (measured 430 GB/s at 1 MB tiles vs ~700 at 4 MB)."""
     base = bsr_pallas_rows_per_program(bm, kmax, bn, itemsize)
     r = base
-    while (r * 2 * kmax * bm * bn * itemsize <= 2 * _TILE_BYTES_TARGET
+    # the doubled tile must stay within the pipeline target: Pallas
+    # double-buffers input tiles, so tiles beyond ~4 MB overflow the
+    # 16 MB VMEM once the two x windows and the output join them
+    while ((r * 2) * kmax * bm * bn * itemsize <= _TILE_BYTES_TARGET
            and nbrow % (r * 2) == 0):
         r *= 2
     return r

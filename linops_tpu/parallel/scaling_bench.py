@@ -145,7 +145,75 @@ def scaling_report(n_devices: int = None, m_per_dev: int = 2048, band: int = 3) 
     report["gspmd_strong_scaling_efficiency"] = round(
         gs_t["1dev"] / (n_devices * gs_t["ndev"]), 3
     )
+    report["projected_efficiency_v5e"] = ici_projection(
+        n_devices=n_devices, m_per_dev=m_per_dev, band=band)
     return report
+
+
+# v5e hardware constants for the ICI projection (public figures; the
+# virtual-CPU mesh cannot measure these — see docs/distributed.md)
+_V5E_HBM_BPS = 747e9        # measured streaming ceiling on this chip
+_V5E_ICI_BPS = 45e9         # per-link one-directional ICI bandwidth
+_V5E_ICI_LAT_S = 1e-6       # per-hop collective latency
+
+
+def ici_projection(n_devices: int = 8, m_per_dev: int = 2048, band: int = 3,
+                   tile2d: int = 2048, n_strong: int = 65536) -> dict:
+    """Project multi-chip scaling efficiency on real v5e ICI from the
+    portable quantities the virtual mesh CAN validate (collective COUNTS
+    and per-device byte/FLOP volumes) plus public hardware constants.
+
+    The virtual-mesh efficiencies measured by ``scaling_report`` are
+    structural lower bounds (all virtual devices share one physical CPU and
+    collectives are emulated through host memory); this model answers the
+    BASELINE.md ">=75% at N >= 2 hosts" row for the paths whose collective
+    counts the harness asserts:
+
+    - halo (1-D banded, weak): per apply each device streams its
+      (m, 2·band+1) slab once and exchanges 2 ppermutes of band·4 B with
+      ring neighbors — latency-dominated on ICI.
+    - halo2d (5-point stencil, weak): 6 tile-sized streams (5 diags +
+      in + out ≈ 7·tile²·4 B) against 4 edge permutes of tile·4 B.
+    - gspmd dense row-partition (strong): per-device (n²/P)·4 B matmul
+      traffic against the GSPMD re-gather of the iterate, modeled as a
+      ring all-gather moving (P-1)/P · n·4 B over the slowest link.
+    """
+    out = {"model": "per-device HBM-bound compute vs ICI ring transfers; "
+                    "counts audited on the virtual mesh",
+           "ici_bw_gbps": _V5E_ICI_BPS / 1e9, "ici_lat_us": _V5E_ICI_LAT_S * 1e6}
+    P = max(int(n_devices), 2)
+    b = 4  # f32
+
+    # halo 1-D weak scaling. The comm side is 2 latency-bound ppermutes
+    # (band·4 B payloads), so efficiency is set by the per-device slab
+    # size: the harness's 2048-row toy slab is latency-dominated by
+    # construction; report the harness size, a production-scale slab
+    # (the 1e6-row headline chain), and the 75% break-even size.
+    def halo_eff(m):
+        compute = m * (2 * band + 1 + 2) * b / _V5E_HBM_BPS
+        comm = 2 * max(band * b / _V5E_ICI_BPS, _V5E_ICI_LAT_S)
+        return compute / (compute + comm)
+
+    out["halo_weak_harness_m%d" % m_per_dev] = round(halo_eff(m_per_dev), 3)
+    out["halo_weak_m1e6"] = round(halo_eff(1_000_000), 3)
+    comm = 2 * _V5E_ICI_LAT_S
+    m_be = 3 * comm * _V5E_HBM_BPS / ((2 * band + 3) * b)
+    out["halo_weak_rows_per_dev_for_75pct"] = int(m_be)
+
+    # halo2d weak scaling (4-neighbor exchange, 2-D mesh)
+    compute = 7 * tile2d * tile2d * b / _V5E_HBM_BPS
+    comm = 4 * max(tile2d * b / _V5E_ICI_BPS, _V5E_ICI_LAT_S)
+    out["halo2d_weak"] = round(compute / (compute + comm), 3)
+
+    # gspmd dense row-partition, strong scaling at n = n_strong
+    compute = (n_strong * n_strong // P) * b / _V5E_HBM_BPS
+    gather = (P - 1) / P * n_strong * b / _V5E_ICI_BPS + (P - 1) * _V5E_ICI_LAT_S
+    out["gspmd_strong"] = round(compute / (compute + gather), 3)
+
+    out["meets_baseline_75pct_at_production_sizes"] = bool(
+        out["halo_weak_m1e6"] >= 0.75 and out["halo2d_weak"] >= 0.75
+        and out["gspmd_strong"] >= 0.75)
+    return out
 
 
 def main():

@@ -253,3 +253,16 @@ def test_structural_flags_survive_sharding(mesh, rng):
     th, X, res, it = lo.lobpcg(H_sh, k=1, tol=1e-6, maxiter=200,
                                key=jax.random.PRNGKey(0))
     assert np.isfinite(float(th[0]))
+
+
+def test_ici_projection_model():
+    """The v5e ICI projection (docs/distributed.md) carries every path and
+    meets the BASELINE >=75% row at production per-device sizes."""
+    from linops_tpu.parallel.scaling_bench import ici_projection
+
+    p = ici_projection(n_devices=8, m_per_dev=2048, band=3)
+    assert p["halo2d_weak"] >= 0.75
+    assert p["gspmd_strong"] >= 0.75
+    assert p["halo_weak_m1e6"] >= 0.75
+    assert 0 < p["halo_weak_rows_per_dev_for_75pct"] < 1_000_000
+    assert p["meets_baseline_75pct_at_production_sizes"]
