@@ -35,6 +35,7 @@ from .core.ad import apply_linear
 from .ops.eye import Eye, UniversalEye, Ones, Zeros, opEye, opOnes, opZeros
 from .ops.diagonal import DiagonalOperator, opDiagonal
 from .ops.restriction import RestrictionOperator, opRestriction, opExtension
+from .ops.permutation import PermutationOperator, opPermutation
 from .ops.cat import (
     HCatOperator,
     VCatOperator,
@@ -149,6 +150,8 @@ __all__ = [
     "opDiagonal",
     "RestrictionOperator",
     "opRestriction",
+    "opPermutation",
+    "PermutationOperator",
     "opExtension",
     "HCatOperator",
     "VCatOperator",

@@ -268,9 +268,12 @@ class ELLOperator(_SparseBase):
     (``(vals · x[cols]).sum(1)``), which measures ~2× the segment-sum CSR
     path on TPU for unstructured patterns. Both remain gather-bound
     (~0.1 Gnnz/s on v5e — fine-grained random access is ~3 orders below
-    the streaming roofline); for production throughput recover structure
-    instead (``opSparse(format="auto")`` → RCM + block packing). Transpose
-    still scatters (segment_sum over the column ids)."""
+    the streaming roofline), so this format is CORRECTNESS-ONLY on TPU:
+    for production throughput use ``format="routed"`` (the Clos-routed
+    lane-gather pipeline, 6.7 Gnnz/s measured — conceptually the same
+    row-slot layout with the gather replaced by a routing network) or
+    ``format="bsr"`` when block structure exists. Transpose still
+    scatters (segment_sum over the column ids)."""
 
     def _prod(self, v):
         d = self.data

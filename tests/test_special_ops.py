@@ -235,3 +235,27 @@ def test_slicing_always_returns_operators(rng):
     assert block.shape == (3, 2)
     np.testing.assert_allclose(np.asarray(lo.to_dense(block)), A[1:4, 0:2],
                                atol=1e-12)
+
+
+def test_permutation_operator(rng):
+    """Clos-routed permutation operator: P x = x[perm], P^T = P^-1,
+    matrix RHS, and algebra participation (RCM-conjugation pattern)."""
+    import numpy as np
+    n = 700
+    perm = rng.permutation(n)
+    P = lo.opPermutation(perm)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(P * x), x[perm], rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(P.T * (P * x)), x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(P.H * x),
+                               np.asarray(P.T * x), atol=0)
+    M = rng.standard_normal((n, 3))
+    np.testing.assert_allclose(np.asarray(P.matmat(M)), M[perm], atol=0)
+    # conjugation: P A P^T applied == dense conjugation
+    A = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.02)
+    opA = lo.LinearOperator(A)
+    chain = P @ opA @ P.T
+    ref = A[perm][:, perm] @ x
+    np.testing.assert_allclose(np.asarray(chain * x), ref, rtol=1e-10)
+    with pytest.raises(lo.LinearOperatorException):
+        lo.opPermutation(np.zeros(5, int))
