@@ -153,6 +153,34 @@ def lane_gather_sum(a, idx, w: int, interpret: bool = False):
     )(a, idx)
 
 
+def _gather_mul_t_kernel(x_ref, idx_ref, v_ref, o_ref):
+    g = jnp.take_along_axis(x_ref[...], idx_ref[...].astype(jnp.int32), axis=1)
+    o_ref[...] = (v_ref[...] * g).astype(o_ref.dtype).T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lane_gather_mul_t(xw, idx, vals, interpret: bool = False):
+    """Phase-1 fused gather·multiply with TRANSPOSED output (128, m):
+    the W1 wiring of the 5-stage route is then a free reshape
+    ((128, m).reshape(128·B, 128) is the same flat layout), saving one
+    full-array XLA transpose per apply."""
+    m = xw.shape[0]
+    out_dtype = jnp.result_type(vals.dtype, xw.dtype)
+    r = _tile_rows(m)
+    if r == 0 or xw.shape[1] != 128:
+        g = jnp.take_along_axis(xw, idx.astype(jnp.int32), axis=1)
+        return (vals * g).astype(out_dtype).T
+    return pl.pallas_call(
+        _gather_mul_t_kernel,
+        grid=(m // r,),
+        in_specs=[_specs(r), _specs(r), _specs(r)],
+        out_specs=pl.BlockSpec((128, r), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((128, m), out_dtype),
+        interpret=interpret,
+    )(xw, idx, vals)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lane_gather_mul(xw, idx, vals, interpret: bool = False):
     """out[i, l] = vals[i, l] * xw[i, idx[i, l]] — the phase-1 fused

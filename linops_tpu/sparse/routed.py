@@ -478,7 +478,7 @@ def _take(a, idx, use_pallas):
     return jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
 
 
-def _route_and_sum(a, stages, use_pallas, g1_folded, w):
+def _route_and_sum(a, stages, use_pallas, g1_folded, w, pre_w1=False):
     """Crossbar chain on (m, 128) tiles — mirroring
     routing.py::clos_apply exactly (minus G1 when folded) — fused with the
     final width-w slot reduction. Returns the (m·128/w,) partials.
@@ -488,7 +488,7 @@ def _route_and_sum(a, stages, use_pallas, g1_folded, w):
     kernels/lane_gather.py::middle_crossbars) and the last crossbar fuses
     with the slot reduction (lane_gather_sum): the full array crosses HBM
      4 times instead of ~10."""
-    m = a.shape[0]
+    m = a.shape[1] if pre_w1 else a.shape[0]
     interp = use_pallas == "interpret"
     stages = list(stages)
     if not g1_folded and stages:
@@ -506,7 +506,9 @@ def _route_and_sum(a, stages, use_pallas, g1_folded, w):
     # FASTER than one fused middle kernel (48 vs 92 µs at the bench
     # domain) — XLA pipelines the transpose copies against the gather
     # kernels, while a fused kernel serializes gathers and relayouts.
-    a = a.T.reshape(RADIX * b, RADIX)
+    # ``pre_w1``: the producer already emitted the (128, m) layout
+    # (phase-1 transposed output), so W1 is a free reshape.
+    a = a.reshape(RADIX * b, RADIX) if pre_w1 else a.T.reshape(RADIX * b, RADIX)
     a = _take(a, g2, use_pallas)
     a = a.reshape(RADIX, b, RADIX).transpose(0, 2, 1).reshape(RADIX * RADIX, b)
     if b < RADIX:
@@ -527,6 +529,15 @@ def _route_and_sum(a, stages, use_pallas, g1_folded, w):
 
 def _chunk_partials(vals, lane_idx, win_block, stages, x2, w, use_pallas):
     """One chunk: phase-1 gather·mul, crossbars, reshape-sum by w."""
+    five_stage = vals.shape[0] > RADIX and len(stages) == 4
+    if use_pallas and five_stage:
+        # transposed phase-1 output folds the W1 wiring into a reshape
+        from ..kernels.lane_gather import lane_gather_mul_t
+
+        at = lane_gather_mul_t(x2[win_block], lane_idx, vals,
+                               interpret=use_pallas == "interpret")
+        return _route_and_sum(at, stages, use_pallas, g1_folded=True, w=w,
+                              pre_w1=True)
     if use_pallas:
         from ..kernels.lane_gather import lane_gather_mul
 
