@@ -704,6 +704,8 @@ def opSparse(
     if isinstance(A, COO):
         return COOOperator(A, symmetric, hermitian)
     if isinstance(A, CSR):
+        if format == "routed":
+            return RoutedCSROperator(A, symmetric, hermitian, w=w)
         return CSROperator(A, symmetric, hermitian)
     if isinstance(A, ELL):
         return ELLOperator(A, symmetric, hermitian)

@@ -288,7 +288,15 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
     nnz = int(data.shape[0])
     if nnz == 0:
         raise ValueError("cannot route an empty matrix")
+    if indptr.shape[0] != n_r + 1 or indptr[0] != 0 or indptr[-1] != nnz:
+        raise ValueError(
+            f"indptr must be (nrow+1,) with indptr[0]=0, indptr[-1]=nnz; got "
+            f"shape {indptr.shape}, ends ({indptr[0]}, {indptr[-1]}) vs nnz {nnz}")
     nnz_row = np.diff(indptr)
+    if (nnz_row < 0).any():
+        raise ValueError("indptr must be nondecreasing")
+    if indices.min(initial=0) < 0 or indices.max(initial=0) >= n_c:
+        raise ValueError("column indices out of range")
     if w == "auto":
         w = _auto_width(nnz_row)
     if RADIX % w:

@@ -189,3 +189,29 @@ def test_routed_trivial_combine():
         ref[r] = vals[r] @ x[cols[r]]
     np.testing.assert_allclose(np.asarray(routed_matvec(p, x, use_pallas=False)),
                                ref, rtol=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_routed_fuzz(seed, monkeypatch):
+    """Property fuzz: random shapes/densities/widths (+ shrunken domains to
+    force chunking and the reduce-pass fallback) against the scipy oracle."""
+    rng = np.random.default_rng(100 + seed)
+    n_r = int(rng.integers(50, 3000))
+    n_c = int(rng.integers(50, 3000))
+    nnz_target = int(rng.integers(1, max(2, n_r * n_c // 50)))
+    A = scipy_sparse.random(n_r, n_c, density=min(0.9, nnz_target / (n_r * n_c)),
+                            format="csr", random_state=seed, dtype=np.float64)
+    if A.nnz == 0:
+        A[0, 0] = 1.0
+        A = A.tocsr()
+    A.data[:] = rng.standard_normal(A.nnz)
+    w = int(rng.choice([4, 8, 16, 32, 64, 128]))
+    if seed % 3 == 1:
+        monkeypatch.setattr(R, "CLOS_MAX_SLOTS", 16384)  # force chunking
+    if seed % 3 == 2:
+        monkeypatch.setattr(R, "TILED_MAX_K", 0)  # force reduce passes
+    p = pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=w)
+    x = rng.standard_normal(n_c)
+    y = np.asarray(routed_matvec(p, x, use_pallas=False))
+    ref = A @ x
+    np.testing.assert_allclose(y, ref, rtol=1e-11, atol=1e-11 * max(1.0, np.abs(ref).max()))
