@@ -319,6 +319,14 @@ class RoutedCSROperator(CSROperator):
     the transpose program is packed lazily on the first T/C/H apply and
     cached on the host wrapper. ``backend="xla"`` forces the inherited
     gather+segment_sum applies (useful for A/B tests).
+
+    The lazy transpose pack happens at HOST dispatch (``bump``, called by
+    the engine entry points ``matvec``/``matmat``/``mul``). Code that
+    first reaches a T/H apply only INSIDE its own jit (a hand-rolled
+    ``lax`` loop — or ``matvec_chain(mode="T")`` — calling ``op.apply``
+    directly) sees the CSR fallback for that trace: correct but slow.
+    Call ``op._ensure_transpose()`` (or run one eager ``op.T @ u``)
+    before jitting such code.
     """
 
     _fields_children = ("data", "routed", "routed_t")
@@ -358,7 +366,11 @@ class RoutedCSROperator(CSROperator):
         return self._backend != "xla"
 
     def _ensure_transpose(self):
-        if self.routed_t is None and self._use_routed():
+        if (self.routed_t is None and self._use_routed()
+                and not isinstance(self.data.vals, jax.core.Tracer)):
+            # tracer guard: a traced reconstruction of this operator can
+            # reach bump/apply inside someone's jit — packing needs
+            # concrete arrays, so that trace keeps the CSR fallback
             self.routed_t = self._pack(transpose=True)
 
     def bump(self, mode: str, n: int = 1):
