@@ -133,50 +133,30 @@ def _onehot_gather(cols_ref, x_ref, out_dtype, fast: bool):
     relative) — at the bench shape both variants are DMA-bound, the fast
     one with a little more headroom.
     """
-    RK = cols_ref.shape[0]
-    nbcol = x_ref.shape[0]
-    # sel[(r,k), c] = 1 iff block_cols[r,k] == c  (no reshapes: cols comes in
-    # as (RK, 1) and broadcasts against a 2-D iota)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (RK, nbcol), 1)
-    sel = (ids == cols_ref[...]).astype(x_ref.dtype)
-
-    def dot(m):
-        return jax.lax.dot_general(
-            sel,
-            m,
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=out_dtype,
-        )
-
-    x = x_ref[...]
-    x_hi = x.astype(jnp.bfloat16).astype(x.dtype)
-    r1 = x - x_hi
-    x_mid = r1.astype(jnp.bfloat16).astype(x.dtype)
-    out = dot(x_hi) + dot(x_mid)
-    if fast:
-        return out
-    x_lo = r1 - x_mid
-    return out + dot(x_lo)
+    return _onehot_gather_offset(cols_ref, x_ref, out_dtype, fast, 0)
 
 
-def _fwd_kernel_onehot(kmax: int, fast: bool, cols_ref, x_ref, blocks_ref, y_ref):
-    RK, bm, bn = blocks_ref.shape  # RK = R*kmax, flattened host-side
+def _group_ksum(z, kmax, out_dtype):
+    """Per-row k-sum of a (RK, bm) block-contribution tile via a second
+    exact 0/1 selector: group[r, (r',k)] = (r' == r)."""
+    RK = z.shape[0]
     R = RK // kmax
-    xg = _onehot_gather(cols_ref, x_ref, y_ref.dtype, fast)  # (RK, bn)
-    z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm), VPU
-    # k-sum via a second exact 0/1 selector: group[r, (r',k)] = (r' == r)
     row_of = jax.lax.broadcasted_iota(jnp.int32, (R, RK), 1) // kmax
     group = (row_of == jax.lax.broadcasted_iota(jnp.int32, (R, RK), 0)).astype(
         z.dtype
     )
-    y_ref[...] = jax.lax.dot_general(
-        group,
-        z,
-        (((1,), (0,)), ((), ())),
+    return jax.lax.dot_general(
+        group, z, (((1,), (0,)), ((), ())),
         precision=_GATHER_PRECISION,
-        preferred_element_type=y_ref.dtype,
+        preferred_element_type=out_dtype,
     )  # (R, bm)
+
+
+def _fwd_kernel_onehot(kmax: int, fast: bool, cols_ref, x_ref, blocks_ref, y_ref):
+    RK, bm, bn = blocks_ref.shape  # RK = R*kmax, flattened host-side
+    xg = _onehot_gather(cols_ref, x_ref, y_ref.dtype, fast)  # (RK, bn)
+    z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm), VPU
+    y_ref[...] = _group_ksum(z, kmax, y_ref.dtype)
 
 
 def _fwd_kernel_loop(kmax: int, cols_ref, x_ref, blocks_ref, y_ref):
@@ -273,7 +253,8 @@ def bsr_windowed_rows_per_program(bm: int, kmax: int, bn: int, itemsize: int,
 
 
 def bsr_window_plan(block_cols, R: int, nbcol: int,
-                    wb_max: int = BSR_PALLAS_MAX_WINDOW_BLOCKS):
+                    wb_max: int = BSR_PALLAS_MAX_WINDOW_BLOCKS,
+                    blocks=None):
     """Host-side sliding-window plan for operators whose x exceeds VMEM.
 
     For each group of R block-rows, find the block-column span its REAL
@@ -293,6 +274,28 @@ def bsr_window_plan(block_cols, R: int, nbcol: int,
     ngroups = nbrow // R
     real = np.ones_like(cols, dtype=bool)
     real[:, 1:] = cols[:, 1:] != 0
+    # the pad convention (zeros AFTER sorted real cols) only holds for
+    # packer-built operators; a hand-built BSR could carry a REAL block at
+    # block-col 0 in a later slot, which the mask would treat as padding
+    # and gather from the wrong window. The ambiguity is resolved by the
+    # ground truth: padding blocks are all-zero. Refuse the plan unless
+    # every nonzero-valued slot is marked real (one device reduction over
+    # the suspicious slots only) and the real cols are nondecreasing.
+    if kmax > 1:
+        d_ok = (cols[:, 1:] >= cols[:, :-1]) | ~real[:, 1:]
+        if not bool(d_ok.all()):
+            return None
+        if (~real).any():
+            if blocks is None:
+                return None
+            import jax.numpy as _jnp
+
+            susp = _jnp.asarray(~real)
+            masked_max = _jnp.max(
+                _jnp.where(susp[:, :, None, None],
+                           _jnp.abs(_jnp.asarray(blocks)), 0.0))
+            if float(masked_max) != 0.0:
+                return None  # a "pad" slot holds a real block
     cg = cols.reshape(ngroups, -1)
     rg = real.reshape(ngroups, -1)
     mn = np.where(rg, cg, np.iinfo(np.int32).max).min(axis=1)
@@ -324,20 +327,11 @@ def bsr_window_plan(block_cols, R: int, nbcol: int,
 def _fwd_kernel_onehot_win(kmax: int, fast: bool, q_ref, cols_ref, xlo_ref,
                            xhi_ref, blocks_ref, y_ref):
     RK, bm, bn = blocks_ref.shape
-    R = RK // kmax
     wb = xlo_ref.shape[0]
     xg = _onehot_gather_offset(cols_ref, xlo_ref, y_ref.dtype, fast, 0)
     xg = xg + _onehot_gather_offset(cols_ref, xhi_ref, y_ref.dtype, fast, wb)
     z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm)
-    row_of = jax.lax.broadcasted_iota(jnp.int32, (R, RK), 1) // kmax
-    group = (row_of == jax.lax.broadcasted_iota(jnp.int32, (R, RK), 0)).astype(
-        z.dtype
-    )
-    y_ref[...] = jax.lax.dot_general(
-        group, z, (((1,), (0,)), ((), ())),
-        precision=_GATHER_PRECISION,
-        preferred_element_type=y_ref.dtype,
-    )
+    y_ref[...] = _group_ksum(z, kmax, y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("wb", "x_pad_blocks",

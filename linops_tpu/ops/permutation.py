@@ -65,7 +65,9 @@ class PermutationOperator(LinearOperator):
         self.perm = jnp.asarray(perm, jnp.int32)
         self.perm_inv = jnp.asarray(inv, jnp.int32)
         self.stages = _build_stages(inv, self._npad)
-        self.stages_inv = _build_stages(perm, self._npad)
+        # the inverse routing program packs lazily on the first T/H
+        # dispatch (bump) — forward-only users skip half the pack cost
+        self.stages_inv = None
 
     @property
     def nrow(self):
@@ -98,10 +100,21 @@ class PermutationOperator(LinearOperator):
                            g1_folded=False, w=1)
         return a.reshape(-1)[: self._n]
 
+    def bump(self, mode: str, n: int = 1):
+        if (mode in ("T", "H") and self.stages_inv is None
+                and not isinstance(self.perm, jax.core.Tracer)):
+            self.stages_inv = _build_stages(
+                np.asarray(self.perm, np.int64), self._npad)
+        super().bump(mode, n)
+
     def _prod(self, v):
         return self._route(v, self.stages)
 
     def _tprod(self, u):
+        if self.stages_inv is None:
+            # in-jit first touch (no host bump ran): fall back to the
+            # plain gather — correct, slower; see RoutedCSROperator note
+            return u[self.perm_inv]
         return self._route(u, self.stages_inv)
 
     def _ctprod(self, w):
@@ -109,8 +122,9 @@ class PermutationOperator(LinearOperator):
 
     def apply_matrix(self, M, mode: str = "N"):
         # matrix RHS: an XLA row gather moves whole (k,)-rows — efficient
-        # for wide blocks, no per-element scatter involved
-        idx = self.perm if mode == "N" else self.perm_inv
+        # for wide blocks, no per-element scatter involved. Mode "C"
+        # (conjugate, NO transpose) of a real permutation acts like "N".
+        idx = self.perm if mode in ("N", "C") else self.perm_inv
         return M[idx]
 
     def _name(self):

@@ -57,6 +57,10 @@ def _conj(x):
     return jnp.conj(x) if jnp.iscomplexobj(x) else x
 
 
+def _on_tpu() -> bool:  # patchable seam for tests
+    return jax.default_backend() == "tpu"
+
+
 # ----------------------------------------------------------------------------
 # Pure apply kernels
 # ----------------------------------------------------------------------------
@@ -72,18 +76,18 @@ def _conj(x):
 CSR_CHUNK_NNZ = 8_000_000
 
 
-def _chunked_segments(vals, rows, cols, nrow):
-    """Pad + reshape the nnz axis to (nchunk, CSR_CHUNK_NNZ). Padding rows
-    point at segment id ``nrow``, which jit-mode scatter-add DROPS (jax
+def _chunked_segments(vals, rows, cols, nrow, chunk=CSR_CHUNK_NNZ):
+    """Pad + reshape the nnz axis to (nchunk, chunk). Padding rows point at
+    segment id ``nrow``, which jit-mode scatter-add DROPS (jax
     FILL_OR_DROP), so padding contributes exactly nothing."""
     nnz = vals.shape[0]
-    nchunk = -(-nnz // CSR_CHUNK_NNZ)
-    pad = nchunk * CSR_CHUNK_NNZ - nnz
+    nchunk = -(-nnz // chunk)
+    pad = nchunk * chunk - nnz
     if pad:
         vals = jnp.pad(vals, (0, pad))
         cols = jnp.pad(cols, (0, pad))
         rows = jnp.pad(rows, (0, pad), constant_values=nrow)
-    shape = (nchunk, CSR_CHUNK_NNZ)
+    shape = (nchunk, chunk)
     return vals.reshape(shape), rows.reshape(shape), cols.reshape(shape)
 
 
@@ -107,12 +111,16 @@ def coo_matvec(vals, rows, cols, nrow, x, sorted_rows=False):
 
 
 def coo_matmat(vals, rows, cols, nrow, X, sorted_rows=False):
-    if vals.shape[0] <= CSR_CHUNK_NNZ:
+    # the gather/scatter transient is nnz * k ELEMENTS — chunk by that, not
+    # by nnz alone (the >=16M-element TPU-worker crash bound is on elements)
+    k = max(int(X.shape[1]), 1)
+    chunk = max(CSR_CHUNK_NNZ // k, 1 << 16)
+    if vals.shape[0] <= chunk:
         return jax.ops.segment_sum(
             vals[:, None] * X[cols], rows, num_segments=nrow,
             indices_are_sorted=sorted_rows,
         )
-    vc, rc, cc = _chunked_segments(vals, rows, cols, nrow)
+    vc, rc, cc = _chunked_segments(vals, rows, cols, nrow, chunk)
 
     def body(acc, args):
         v, r, c = args
@@ -351,7 +359,7 @@ class RoutedCSROperator(CSROperator):
         if not transpose:
             return pack_routed_csr(
                 np.asarray(d.vals), np.asarray(d.cols), np.asarray(d.indptr),
-                d.shape)
+                d.shape, w=self._w)
         # transpose pack: re-sort by (col, row) — a stable CSC build
         rows = np.asarray(d.cols)
         cols = np.asarray(d.rows)
@@ -360,7 +368,7 @@ class RoutedCSROperator(CSROperator):
         order = np.argsort(rows, kind="stable")
         indptr = np.zeros(shp[0] + 1, np.int64)
         np.cumsum(np.bincount(rows, minlength=shp[0]), out=indptr[1:])
-        return pack_routed_csr(vals[order], cols[order], indptr, shp)
+        return pack_routed_csr(vals[order], cols[order], indptr, shp, w=self._w)
 
     def _use_routed(self):
         return self._backend != "xla"
@@ -379,7 +387,8 @@ class RoutedCSROperator(CSROperator):
         # structure, so it cannot happen at trace time). ``bump`` is the
         # host-side pre-dispatch walk that reaches every node with its
         # effective mode (wrappers/composites cross-map, core/adjoint.py).
-        if mode != "N" and not (self._symmetric or self._hermitian):
+        if mode in ("T", "H") and not (self._symmetric or self._hermitian):
+            # mode "C" is served by the FORWARD program (conj∘prod∘conj)
             self._ensure_transpose()
         super().bump(mode, n)
 
@@ -405,6 +414,34 @@ class RoutedCSROperator(CSROperator):
 
     def _ctprod(self, w):
         return self._tprod_routed(w, conj_vals=True)
+
+    def apply_matrix(self, M, mode: str = "N"):
+        # matrix RHS: on TPU, map the routed matvec over columns (one
+        # compiled program) — both this and the inherited gather+segment
+        # CSR path scale linearly in k, but the routed column loop keeps
+        # the ~100× per-column advantage. Off-TPU the CSR path wins
+        # (vectorized host gather beats a sequential column loop).
+        self._check_mat(M, mode)
+        if self._use_routed() and _on_tpu():
+            from .routed import routed_matvec
+
+            prog, conj_vals, conj_io = {
+                "N": (self.routed, False, False),
+                "C": (self.routed, False, True),
+                "T": (self.routed_t, False, False),
+                "H": (self.routed_t, True, False),
+            }[mode]
+            if prog is not None:
+                if conj_vals and jnp.iscomplexobj(prog.vals):
+                    prog = prog._replace(vals=jnp.conj(prog.vals))
+                X = _conj(M) if conj_io else M
+                # use_pallas follows the REAL backend (the _on_tpu seam
+                # above exists so tests can exercise this branch on CPU)
+                up = None if jax.default_backend() == "tpu" else False
+                Y = jax.lax.map(
+                    lambda c: routed_matvec(prog, c, use_pallas=up), X.T).T
+                return _conj(Y) if conj_io else Y
+        return super().apply_matrix(M, mode)
 
 
 class BSROperator(_SparseBase):
@@ -481,7 +518,8 @@ class BSROperator(_SparseBase):
                         bm, self.data.blocks.shape[1], bn,
                         jnp.dtype(self.data.blocks.dtype).itemsize,
                         self.data.blocks.shape[0])
-                    plan = bsr_window_plan(self.data.block_cols, Rw, nbcol)
+                    plan = bsr_window_plan(self.data.block_cols, Rw, nbcol,
+                                           blocks=self.data.blocks)
                     if plan is not None:
                         q, cl, wb, xpb = plan
                         self.win_q = jnp.asarray(q)

@@ -232,7 +232,11 @@ def _build_reduce_passes(seg0: np.ndarray, n_rows: int):
                 r1 = lo
             in_hi = max(int(row_hi[r1 - 1]), in_lo)
             if r1 == n_rows:
-                in_hi = L  # absorb trailing trash
+                # absorb trailing trash (every position past the last real
+                # one is a zero) — but only up to one routing domain: the
+                # rest is safely DROPPED, never routed (fits() validated
+                # the span only through row_hi[r1-1])
+                in_hi = max(in_hi, min(L, in_lo + CLOS_MAX_SLOTS))
             chunks.append((r0, r1, in_lo, in_hi))
             r0, in_lo = r1, in_hi
 

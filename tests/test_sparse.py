@@ -465,3 +465,21 @@ def test_bsr_windowed_forward(monkeypatch, rng):
                       block_shape=(8, 128), backend="pallas")
     v2 = rng.standard_normal(n).astype(np.float32)
     np.testing.assert_allclose(np.asarray(op2 * v2), S @ v2, rtol=3e-6, atol=3e-5)
+
+
+def test_bsr_window_plan_refuses_real_col0_in_pad_slot():
+    """Regression: a hand-built BSR can carry a REAL block at block-col 0
+    in a non-first slot, which looks identical to padding from the cols
+    alone; the plan must consult the block values (pads are all-zero) and
+    refuse instead of silently misrouting."""
+    from linops_tpu.kernels.bsr_spmv import bsr_window_plan
+
+    cols = np.array([[30, 0]] * 16, np.int32)
+    real0 = np.ones((16, 2, 8, 16), np.float32)         # slot 1 NONZERO
+    padded = real0.copy(); padded[:, 1] = 0.0            # slot 1 = true pad
+    assert bsr_window_plan(cols, R=8, nbcol=64) is None  # no ground truth
+    assert bsr_window_plan(cols, R=8, nbcol=64, blocks=real0) is None
+    assert bsr_window_plan(cols, R=8, nbcol=64, blocks=padded) is not None
+    unsorted = np.array([[30, 5]] * 16, np.int32)        # plainly unsorted
+    assert bsr_window_plan(unsorted, R=8, nbcol=64,
+                           blocks=real0) is None

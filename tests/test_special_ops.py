@@ -259,3 +259,19 @@ def test_permutation_operator(rng):
     np.testing.assert_allclose(np.asarray(chain * x), ref, rtol=1e-10)
     with pytest.raises(lo.LinearOperatorException):
         lo.opPermutation(np.zeros(5, int))
+
+
+def test_permutation_conj_matmat_matches_vector_path(rng):
+    """Regression: mode 'C' (conjugate, NO transpose) of a real permutation
+    must act like 'N' on matrix RHS too."""
+    import numpy as np
+    n = 256
+    perm = rng.permutation(n)
+    P = lo.opPermutation(perm)
+    M = rng.standard_normal((n, 3))
+    got = np.asarray(P.matmat(M, mode="C"))
+    np.testing.assert_allclose(got, M[perm], atol=0)
+    # lazy inverse program: packs on first T dispatch
+    assert P.stages_inv is None
+    _ = P.T * rng.standard_normal(n)
+    assert P.stages_inv is not None
