@@ -130,6 +130,14 @@ class PermutationOperator(LinearOperator):
     def _name(self):
         return "Permutation operator (Clos-routed)"
 
+    @staticmethod
+    def _shard_child(op, arr, axis):
+        # routing stage arrays are interdependent index structures:
+        # replicate (parallel/sharded.py honors this rule per leaf)
+        from jax.sharding import PartitionSpec
+
+        return PartitionSpec()
+
 
 register_operator(PermutationOperator)
 

@@ -52,10 +52,20 @@ def _sparse_formats():
     return COO, CSR, BSR, ELL
 
 
+def _routing_programs():
+    from ..sparse.routed import ReducePass, RoutedSpMV
+
+    return (RoutedSpMV, ReducePass)
+
+
 def _place(value, mesh: Mesh, axis: str, spec_fn):
     """Recursively place arrays inside operators / states / containers."""
     if isinstance(value, LinearOperator):
         return shard_operator(value, mesh, axis)
+    if isinstance(value, _routing_programs()):
+        # Clos routing programs are interdependent index structures — a
+        # row split of their stage arrays is meaningless. Replicate whole.
+        return jax.device_put(value, NamedSharding(mesh, P()))
     if isinstance(value, _qn_states()):  # QN ring-buffer state
         placed = [
             _place_leaf(getattr(value, f), mesh, axis, spec_fn, qn=True)

@@ -266,3 +266,27 @@ def test_ici_projection_model():
     assert p["halo_weak_m1e6"] >= 0.75
     assert 0 < p["halo_weak_rows_per_dev_for_75pct"] < 1_000_000
     assert p["meets_baseline_75pct_at_production_sizes"]
+
+
+def test_shard_routed_and_permutation_operators(rng):
+    """Routing programs replicate under shard_operator (their stage arrays
+    are interdependent index structures — a row split is meaningless) and
+    applies stay correct on the virtual mesh."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    import linops_tpu as lo
+    from linops_tpu.parallel.mesh import make_mesh
+    from linops_tpu.parallel.sharded import shard_operator
+
+    A = scipy_sparse.random(512, 512, density=0.02, format="csr",
+                            random_state=3)
+    A.data[:] = rng.standard_normal(A.nnz)
+    op = lo.opSparse(A, format="routed")
+    op._ensure_transpose()
+    mesh = make_mesh(jax.device_count())
+    sop = shard_operator(op, mesh)
+    v = rng.standard_normal(512)
+    np.testing.assert_allclose(np.asarray(sop * v), A @ v, rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(sop.T * v), A.T @ v, rtol=1e-11)
+    P = shard_operator(lo.opPermutation(rng.permutation(512)), mesh)
+    got = np.asarray(P * v)
+    np.testing.assert_allclose(got, v[np.asarray(P.perm)], atol=0)
