@@ -28,8 +28,9 @@ __all__ = ["lane_gather", "lane_gather_mul", "lane_gather_sum",
 
 
 def _tile_rows(m: int) -> int:
-    """Largest power-of-two row-tile (≤ 2048) dividing m."""
-    for r in (2048, 1024, 512, 256, 128):
+    """Largest power-of-two row-tile (≤ 4096) dividing m — ~4.6 MB of
+    in+idx+out per program at 4096, double-buffered within VMEM."""
+    for r in (4096, 2048, 1024, 512, 256, 128):
         if m % r == 0:
             return r
     return 0
