@@ -590,10 +590,15 @@ def routed_matvec(p: RoutedSpMV, x, use_pallas=None):
     x2 = x.reshape(nb, RADIX)
 
     C = p.vals.shape[0]
-    if C == 1:
+    if C <= 8:
+        # static unroll: lax.map would DYNAMIC-SLICE every chunk's large
+        # arrays per step (full copies) and serialize the chunks; the
+        # unrolled form indexes statically (no copies) and lets XLA
+        # overlap chunk pipelines
         parts_list = [_chunk_partials(
-            p.vals[0], p.lane_idx[0], p.win_block[0],
-            tuple(s[0] for s in p.stages), x2, p.w, use_pallas)]
+            p.vals[c], p.lane_idx[c], p.win_block[c],
+            tuple(s[c] for s in p.stages), x2, p.w, use_pallas)
+            for c in range(C)]
     else:
         def one(args):
             c_vals, c_lane, c_winb = args[:3]

@@ -49,7 +49,9 @@ def test_routed_matvec_chunked(monkeypatch):
     assert p.vals.shape[0] > 1  # really chunked
     x = np.random.default_rng(2).standard_normal(2500)
     y = np.asarray(routed_matvec(p, x, use_pallas=False))
-    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+    # chunk contributions sum in unroll order; tolerance covers the
+    # summation-order ulps of the f64 oracle comparison
+    np.testing.assert_allclose(y, A @ x, rtol=1e-11)
 
 
 def test_routed_handles_empty_and_heavy_rows():
