@@ -290,11 +290,13 @@ def bsr_window_plan(block_cols, R: int, nbcol: int,
                 return None
             import jax.numpy as _jnp
 
-            susp = _jnp.asarray(~real)
-            masked_max = _jnp.max(
-                _jnp.where(susp[:, :, None, None],
-                           _jnp.abs(_jnp.asarray(blocks)), 0.0))
-            if float(masked_max) != 0.0:
+            # one construction-time device pass over the blocks (per-block
+            # any-nonzero, then masked any over the suspicious slots) plus
+            # one scalar fetch — pads are spread across all rows, so any
+            # exact validation must read them all once
+            blk_nonzero = _jnp.any(_jnp.asarray(blocks) != 0, axis=(2, 3))
+            bad = _jnp.any(blk_nonzero & _jnp.asarray(~real))
+            if bool(bad):
                 return None  # a "pad" slot holds a real block
     cg = cols.reshape(ngroups, -1)
     rg = real.reshape(ngroups, -1)

@@ -28,8 +28,10 @@ __all__ = ["lane_gather", "lane_gather_mul", "lane_gather_sum",
 
 
 def _tile_rows(m: int) -> int:
-    """Largest power-of-two row-tile (≤ 4096) dividing m — ~4.6 MB of
-    in+idx+out per program at 4096, double-buffered within VMEM."""
+    """Largest power-of-two row-tile (≤ 4096) dividing m. At r=4096 f32
+    the 3-input kernels carry in+idx(int8)+vals+out = 6.5 MB per program,
+    ~13 MB double-buffered — near the 16 MB v5e VMEM bound, so any new
+    kernel input must shrink r (measured faster than r=2048 on-chip)."""
     for r in (4096, 2048, 1024, 512, 256, 128):
         if m % r == 0:
             return r

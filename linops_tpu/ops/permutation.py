@@ -101,6 +101,9 @@ class PermutationOperator(LinearOperator):
         return a.reshape(-1)[: self._n]
 
     def bump(self, mode: str, n: int = 1):
+        # NOTE: matmat(T/H) also lands here and packs a program its row
+        # gather never uses — bump carries no vector/matrix arity, and one
+        # wasted pack beats a missing one on the hot vector path
         if (mode in ("T", "H") and self.stages_inv is None
                 and not isinstance(self.perm, jax.core.Tracer)):
             self.stages_inv = _build_stages(

@@ -114,7 +114,9 @@ def coo_matmat(vals, rows, cols, nrow, X, sorted_rows=False):
     # the gather/scatter transient is nnz * k ELEMENTS — chunk by that, not
     # by nnz alone (the >=16M-element TPU-worker crash bound is on elements)
     k = max(int(X.shape[1]), 1)
-    chunk = max(CSR_CHUNK_NNZ // k, 1 << 16)
+    # floor keeps scan lengths sane for narrow RHS while the product
+    # chunk*k stays within the crash bound for wide ones (2048*4096 ~ 8M)
+    chunk = max(CSR_CHUNK_NNZ // k, 1 << 11)
     if vals.shape[0] <= chunk:
         return jax.ops.segment_sum(
             vals[:, None] * X[cols], rows, num_segments=nrow,
@@ -425,11 +427,15 @@ class RoutedCSROperator(CSROperator):
         if self._use_routed() and _on_tpu():
             from .routed import routed_matvec
 
+            # symmetric/hermitian operators serve T/H with the FORWARD
+            # program (bump never packs routed_t for them)
             prog, conj_vals, conj_io = {
                 "N": (self.routed, False, False),
                 "C": (self.routed, False, True),
-                "T": (self.routed_t, False, False),
-                "H": (self.routed_t, True, False),
+                "T": ((self.routed, False, False) if self._symmetric
+                      else (self.routed_t, False, False)),
+                "H": ((self.routed, False, False) if self._hermitian
+                      else (self.routed_t, True, False)),
             }[mode]
             if prog is not None:
                 if conj_vals and jnp.iscomplexobj(prog.vals):

@@ -231,12 +231,10 @@ def _build_reduce_passes(seg0: np.ndarray, n_rows: int):
                         hi = mid - 1
                 r1 = lo
             in_hi = max(int(row_hi[r1 - 1]), in_lo)
-            if r1 == n_rows:
-                # absorb trailing trash (every position past the last real
-                # one is a zero) — but only up to one routing domain: the
-                # rest is safely DROPPED, never routed (fits() validated
-                # the span only through row_hi[r1-1])
-                in_hi = max(in_hi, min(L, in_lo + CLOS_MAX_SLOTS))
+            # positions past the last real one are all trash (zeros) and
+            # are DROPPED, never routed: the per-chunk in_spans simply do
+            # not cover them, which also keeps the shared domain N from
+            # inflating to route known-zero data
             chunks.append((r0, r1, in_lo, in_hi))
             r0, in_lo = r1, in_hi
 
@@ -578,6 +576,7 @@ def _reduce_pass(q, p: ReducePass, use_pallas):
 def routed_matvec(p: RoutedSpMV, x, use_pallas=None):
     """y = A @ x through the packed routing program ``p``."""
     n_r, n_c = p.shape
+    x = jnp.asarray(x)  # host numpy x must not fancy-index tracers below
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"

@@ -253,3 +253,23 @@ def test_routed_matmat_tpu_branch(monkeypatch):
                                A.T @ U, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(op.matmat(U, mode="H")),
                                A.conj().T @ U, rtol=1e-12)
+
+
+def test_routed_symmetric_matmat_uses_forward_program(monkeypatch):
+    """Regression: symmetric routed operators must serve T/H matrix RHS via
+    the FORWARD routing program (bump never packs routed_t for them)."""
+    import linops_tpu as lo
+    from linops_tpu.sparse import ops as sops
+
+    rng = np.random.default_rng(71)
+    B = _random_csr(300, 300, 0.03, seed=71)
+    S = (B + B.T).tocsr()
+    op = lo.opSparse(S, format="routed", symmetric=True, hermitian=True)
+    assert op.routed_t is None
+    M = rng.standard_normal((300, 3))
+    monkeypatch.setattr(sops, "_on_tpu", lambda: True)
+    np.testing.assert_allclose(np.asarray(op.matmat(M, mode="T")),
+                               S.T @ M, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.matmat(M, mode="H")),
+                               S.T @ M, rtol=1e-12)
+    assert op.routed_t is None  # still never packed
