@@ -273,3 +273,31 @@ def test_routed_symmetric_matmat_uses_forward_program(monkeypatch):
     np.testing.assert_allclose(np.asarray(op.matmat(M, mode="H")),
                                S.T @ M, rtol=1e-12)
     assert op.routed_t is None  # still never packed
+
+
+def test_routed_pathological_patterns():
+    """Degenerate shapes: one dense column (every nnz in one col block),
+    a single-row matrix, and a tall single-column matrix."""
+    rng = np.random.default_rng(81)
+    # all nnz in ONE column block
+    n = 700
+    A = scipy_sparse.lil_matrix((n, n))
+    A[:, 3] = rng.standard_normal(n)
+    A[:, 7] = rng.standard_normal(n)
+    A = A.tocsr()
+    p = pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=4)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(routed_matvec(p, x, use_pallas=False)),
+                               A @ x, rtol=1e-12)
+    # single dense row
+    B = scipy_sparse.csr_matrix(rng.standard_normal((1, 900)))
+    p = pack_routed_csr(B.data, B.indices, B.indptr, B.shape, w=8)
+    xb = rng.standard_normal(900)
+    np.testing.assert_allclose(np.asarray(routed_matvec(p, xb, use_pallas=False)),
+                               B @ xb, rtol=1e-12)
+    # tall single column
+    C = scipy_sparse.csr_matrix(rng.standard_normal((900, 1)))
+    p = pack_routed_csr(C.data, C.indices, C.indptr, C.shape, w=4)
+    xc = rng.standard_normal(1)
+    np.testing.assert_allclose(np.asarray(routed_matvec(p, xc, use_pallas=False)),
+                               (C @ xc), rtol=1e-12)
