@@ -415,6 +415,18 @@ def main():
         detail["routed_unstructured_T_gnnz_per_s"] = round(nnzu / tRT / 1e9, 3)
         detail["routed_unstructured_T_us_per_apply"] = round(tRT * 1e6, 1)
 
+    def sec_permutation():
+        # Clos-routed permutation operator vs the XLA fancy-index gather
+        # (ops/permutation.py) at n = 1M
+        np_perm = rng.permutation(1 << 20)
+        t0 = time.perf_counter()
+        Pop = lo.opPermutation(np_perm)
+        detail["perm_pack_s"] = round(time.perf_counter() - t0, 2)
+        vp = jnp.asarray(rng.standard_normal(1 << 20).astype(np.float32))
+        tP = _marginal_apply_time(Pop, vp, reps=2)
+        detail["perm_us_per_apply"] = round(tP * 1e6, 1)
+        detail["perm_gelems_per_s"] = round((1 << 20) / tP / 1e9, 2)
+
     def sec_csr_unstructured():
         # raw gather CSR on a truly unstructured matrix (16 nnz/row).
         # Runs LAST and capped at 4M nnz: the 16M-nnz case reproducibly
@@ -608,6 +620,7 @@ def main():
     section("scaling", sec_scaling)
     section("lobpcg", sec_lobpcg)
     section("routed_unstructured", sec_routed_unstructured)
+    section("permutation", sec_permutation)
     section("csr_unstructured", sec_csr_unstructured)
 
     print(
