@@ -13,6 +13,7 @@ fallbacks in sparse/formats.py if no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -24,11 +25,29 @@ __all__ = ["bsr_pack_csr", "rcm_permutation", "native_available",
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "bsr_pack.cpp")
-_SO = os.path.join(_HERE, "_libbsrpack.so")
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _so_path(src: str, stem: str) -> str:
+    """Library path keyed by a CONTENT hash of the source: git checkouts do
+    not preserve mtimes, so an mtime check could load a stale (or
+    foreign-arch) binary instead of rebuilding; a hash-keyed name can't."""
+    with open(src, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_HERE, f"_{stem}_{h}.so")
+
+
+def _build(src: str, stem: str) -> str:
+    so = _so_path(src, stem)
+    if not os.path.exists(so):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
+            check=True, capture_output=True,
+        )
+    return so
 
 
 def _load():
@@ -38,13 +57,7 @@ def _load():
             return _lib
         _tried = True
         try:
-            if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
-                    check=True,
-                    capture_output=True,
-                )
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(_build(_SRC, "libbsrpack"))
             i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
             f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
             f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
@@ -139,7 +152,6 @@ def rcm_permutation(cols, indptr, n) -> np.ndarray:
 # ----------------------------------------------------------------------------
 
 _CLOS_SRC = os.path.join(_HERE, "clos_route.cpp")
-_CLOS_SO = os.path.join(_HERE, "_libclosroute.so")
 _clos_lib = None
 _clos_tried = False
 
@@ -151,13 +163,7 @@ def _load_clos():
             return _clos_lib
         _clos_tried = True
         try:
-            if (not os.path.exists(_CLOS_SO)) or os.path.getmtime(
-                    _CLOS_SO) < os.path.getmtime(_CLOS_SRC):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _CLOS_SRC, "-o", _CLOS_SO],
-                    check=True, capture_output=True,
-                )
-            lib = ctypes.CDLL(_CLOS_SO)
+            lib = ctypes.CDLL(_build(_CLOS_SRC, "libclosroute"))
             i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
             i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
             lib.clos_route_c.restype = ctypes.c_int64

@@ -46,6 +46,13 @@ class PermutationOperator(LinearOperator):
     Pallas lane gathers; off-TPU (and for non-f32/bf16 dtypes) the same
     stage arrays execute as jnp gathers, and tiny instances fall back to
     the plain fancy-index gather.
+
+    dtype contract: a permutation carries NO values of its own — applies
+    preserve the input dtype exactly. The ``dtype`` property reports
+    float32 as a placeholder only (there is no value array to type);
+    composite dtype inference through ``jnp.result_type`` therefore treats
+    a permutation like an f32 leaf, which can over-promote a pure-bf16
+    chain's REPORTED dtype — the computed values are unaffected.
     """
 
     _fields_children = ("stages", "stages_inv", "perm", "perm_inv")
@@ -77,7 +84,9 @@ class PermutationOperator(LinearOperator):
 
     @property
     def dtype(self):
-        return jnp.dtype(jnp.float32)  # applies preserve the input dtype
+        # placeholder only — see the class docstring's dtype contract
+        # (applies preserve the input dtype; there is no value array)
+        return jnp.dtype(jnp.float32)
 
     @property
     def symmetric(self):

@@ -112,11 +112,13 @@ def coo_matvec(vals, rows, cols, nrow, x, sorted_rows=False):
 
 def coo_matmat(vals, rows, cols, nrow, X, sorted_rows=False):
     # the gather/scatter transient is nnz * k ELEMENTS — chunk by that, not
-    # by nnz alone (the >=16M-element TPU-worker crash bound is on elements)
+    # by nnz alone (the >=16M-element TPU-worker crash bound is on elements).
+    # The floor must NOT override the element cap: at k >= 8192 a 2048-row
+    # floor would put each segment_sum transient at chunk*k >= 16.8M
+    # elements, at the crash bound — so the floor is a small constant and
+    # chunk*k never exceeds CSR_CHUNK_NNZ for any k <= CSR_CHUNK_NNZ/256
     k = max(int(X.shape[1]), 1)
-    # floor keeps scan lengths sane for narrow RHS while the product
-    # chunk*k stays within the crash bound for wide ones (2048*4096 ~ 8M)
-    chunk = max(CSR_CHUNK_NNZ // k, 1 << 11)
+    chunk = max(CSR_CHUNK_NNZ // k, 256)
     if vals.shape[0] <= chunk:
         return jax.ops.segment_sum(
             vals[:, None] * X[cols], rows, num_segments=nrow,

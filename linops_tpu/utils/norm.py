@@ -215,9 +215,11 @@ def estimate_opnorm(
                 )
                 if converged(th, res):
                     return float(jnp.sqrt(max(float(th[0]), 0.0))), True
-        except (LinearOperatorException, ValueError, FloatingPointError) as e:
-            # expected numerical failures only — programming errors (shape
-            # bugs, lobpcg regressions) propagate instead of being
-            # downgraded to (NaN, False)
+        except (LinearOperatorException, ValueError, FloatingPointError,
+                jax.errors.JaxRuntimeError) as e:
+            # expected numerical failures AND device-side execution errors
+            # (XlaRuntimeError — e.g. the relay's UNAVAILABLE states) keep
+            # the best-effort (NaN, False) contract; programming errors
+            # (shape bugs, lobpcg regressions) propagate instead
             warnings.warn(f"estimate_opnorm: lobpcg fallback failed: {e}")
     return float("nan"), False
