@@ -44,7 +44,7 @@ def _build(src: str, stem: str) -> str:
     so = _so_path(src, stem)
     if not os.path.exists(so):
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", src, "-o", so],
             check=True, capture_output=True,
         )
     return so

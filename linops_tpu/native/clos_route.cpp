@@ -2,143 +2,217 @@
 //
 // The route computation (recursive Euler-split edge coloring of 128-regular
 // bipartite multigraphs) is pure pointer chasing: ~45 s in numpy at the
-// 2^21-element domain, <1 s here. The layout contract is IDENTICAL to the
-// Python router (routing.py::clos_apply is the oracle for both); tests
-// assert elementwise equality of the emitted stage arrays.
+// 2^21-element domain. The layout contract is IDENTICAL to the Python
+// router (routing.py::clos_apply is the oracle for both); tests assert
+// elementwise equality of the emitted stage arrays.
+//
+// v2 (round 4): the v1 port re-sorted edges by src/dst with counting sorts
+// at EVERY recursion level and chased int64 global arrays (measured 1.5-2.2 s
+// at the 2^21 domain — it had become the pack bottleneck). This version
+//   - keeps per-subproblem LOCAL int32 copies of (src, dst) so the Euler
+//     walk touches small contiguous memory,
+//   - maintains the by-src / by-dst edge orders across the recursion by
+//     STABLE PARTITION instead of re-sorting (a stable partition of a
+//     stably-sorted list is still sorted, so the walk visits edges in
+//     exactly the v1 order — outputs stay bit-identical),
+//   - forks the two Euler halves onto threads near the top of the
+//     recursion and spreads the 128 independent middle subnets over a
+//     small thread pool.
 //
 // Built with g++ by linops_tpu/native/__init__.py on first use.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
 
 constexpr int64_t RADIX = 128;
 
-// Split a deg-regular bipartite multigraph into two (deg/2)-regular halves
-// by alternately 2-coloring Euler circuits. Mirrors routing.py::_euler_split.
-struct EulerScratch {
-  std::vector<int64_t> order_s, order_d, ptr_s, ptr_d, cnt;
-  std::vector<uint8_t> visited;
+int hw_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  if (n == 0) n = 1;
+  if (n > 8) n = 8;
+  return (int)n;
+}
+
+// One subproblem: n edges of a deg-regular bipartite multigraph with dense
+// node ids [0, n/deg). All arrays are LOCAL (length n); ids maps local
+// edge index -> global edge id (for the final color writeback).
+struct Sub {
+  std::vector<int32_t> ids, src, dst, order_s, order_d;
 };
 
-void euler_split(const int64_t* src, const int64_t* dst,
-                 const int64_t* edge_ids, int64_t n_edges, int64_t deg,
-                 uint8_t* side, EulerScratch& S) {
-  if (n_edges == 0) return;
-  int64_t n_src = 0, n_dst = 0;
-  for (int64_t i = 0; i < n_edges; i++) {
-    int64_t e = edge_ids[i];
-    if (src[e] + 1 > n_src) n_src = src[e] + 1;
-    if (dst[e] + 1 > n_dst) n_dst = dst[e] + 1;
-  }
-  // counting sorts (stable) of local edge indices by src and by dst
-  S.order_s.resize(n_edges);
-  S.order_d.resize(n_edges);
-  S.cnt.assign(std::max(n_src, n_dst) + 1, 0);
-  for (int64_t i = 0; i < n_edges; i++) S.cnt[src[edge_ids[i]] + 1]++;
-  for (int64_t u = 0; u < n_src; u++) S.cnt[u + 1] += S.cnt[u];
-  for (int64_t i = 0; i < n_edges; i++) S.order_s[S.cnt[src[edge_ids[i]]]++] = i;
-  S.cnt.assign(std::max(n_src, n_dst) + 1, 0);
-  for (int64_t i = 0; i < n_edges; i++) S.cnt[dst[edge_ids[i]] + 1]++;
-  for (int64_t v = 0; v < n_dst; v++) S.cnt[v + 1] += S.cnt[v];
-  for (int64_t i = 0; i < n_edges; i++) S.order_d[S.cnt[dst[edge_ids[i]]]++] = i;
+// Split into two (deg/2)-regular halves by alternately 2-coloring Euler
+// circuits. Mirrors routing.py::_euler_split; `side[i]` = first half.
+// order_s / order_d are consumed as per-node slices (node u owns
+// order_s[u*deg .. u*deg+deg)) — valid because the graph is deg-regular
+// with dense node ids.
+void euler_split(const Sub& G, int64_t n, int64_t deg, uint8_t* side,
+                 std::vector<int32_t>& ptr_s, std::vector<int32_t>& ptr_d,
+                 std::vector<uint8_t>& visited) {
+  if (n == 0) return;
+  const int64_t n_src = n / deg;
+  const int64_t n_dst = n / deg;
+  ptr_s.assign(n_src, 0);
+  ptr_d.assign(n_dst, 0);
+  visited.assign(n, 0);
+  const int32_t* os = G.order_s.data();
+  const int32_t* od = G.order_d.data();
+  const int32_t* src = G.src.data();
+  const int32_t* dst = G.dst.data();
+  uint8_t* vis = visited.data();
 
-  S.ptr_s.assign(n_src, 0);
-  S.ptr_d.assign(n_dst, 0);
-  S.visited.assign(n_edges, 0);
-  // per-node slices: node u owns order_s[u*deg .. u*deg+deg) (deg-regular)
-  auto next_from_src = [&](int64_t u) -> int64_t {
-    int64_t& p = S.ptr_s[u];
+  auto next_from_src = [&](int32_t u) -> int64_t {
+    int32_t& p = ptr_s[u];
+    const int64_t base = (int64_t)u * deg;
     while (p < deg) {
-      int64_t i = S.order_s[u * deg + p];
+      int64_t i = os[base + p];
       p++;
-      if (!S.visited[i]) return i;
+      if (!vis[i]) return i;
     }
     return -1;
   };
-  auto next_from_dst = [&](int64_t v) -> int64_t {
-    int64_t& p = S.ptr_d[v];
+  auto next_from_dst = [&](int32_t v) -> int64_t {
+    int32_t& p = ptr_d[v];
+    const int64_t base = (int64_t)v * deg;
     while (p < deg) {
-      int64_t i = S.order_d[v * deg + p];
+      int64_t i = od[base + p];
       p++;
-      if (!S.visited[i]) return i;
+      if (!vis[i]) return i;
     }
     return -1;
   };
-  for (int64_t i0 = 0; i0 < n_edges; i0++) {
-    if (S.visited[i0]) continue;
+
+  for (int64_t i0 = 0; i0 < n; i0++) {
+    if (vis[i0]) continue;
     int64_t i = i0;
     const bool first = true;
     while (i >= 0) {
-      S.visited[i] = 1;
+      vis[i] = 1;
       side[i] = first;
-      int64_t v = dst[edge_ids[i]];
-      int64_t i2 = next_from_dst(v);
+      int64_t i2 = next_from_dst(dst[i]);
       if (i2 < 0) break;
-      S.visited[i2] = 1;
+      vis[i2] = 1;
       side[i2] = !first;
-      int64_t u = src[edge_ids[i2]];
-      i = next_from_src(u);
+      i = next_from_src(src[i2]);
     }
+  }
+}
+
+// Stable-partition G by `side` into A (side=1) and B (side=0), carrying the
+// maintained orders: new_order = old order filtered per half with local
+// indices renumbered by rank — equivalent to re-sorting, but O(n).
+void partition(const Sub& G, const uint8_t* side, int64_t n, Sub& A, Sub& B,
+               std::vector<int32_t>& newidx) {
+  newidx.resize(n);
+  int64_t na = 0;
+  for (int64_t i = 0; i < n; i++)
+    if (side[i]) newidx[i] = (int32_t)na++;
+  int64_t nb = 0;
+  for (int64_t i = 0; i < n; i++)
+    if (!side[i]) newidx[i] = (int32_t)nb++;
+  A.ids.resize(na); A.src.resize(na); A.dst.resize(na);
+  A.order_s.resize(na); A.order_d.resize(na);
+  B.ids.resize(nb); B.src.resize(nb); B.dst.resize(nb);
+  B.order_s.resize(nb); B.order_d.resize(nb);
+  int64_t a = 0, b = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (side[i]) {
+      A.ids[a] = G.ids[i]; A.src[a] = G.src[i]; A.dst[a] = G.dst[i]; a++;
+    } else {
+      B.ids[b] = G.ids[i]; B.src[b] = G.src[i]; B.dst[b] = G.dst[i]; b++;
+    }
+  }
+  a = b = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int32_t e = G.order_s[i];
+    if (side[e]) A.order_s[a++] = newidx[e];
+    else B.order_s[b++] = newidx[e];
+  }
+  a = b = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int32_t e = G.order_d[i];
+    if (side[e]) A.order_d[a++] = newidx[e];
+    else B.order_d[b++] = newidx[e];
   }
 }
 
 // Proper deg-edge-coloring by recursive Euler splitting (deg a power of 2).
-void edge_color(const int64_t* src, const int64_t* dst, int64_t* edge_ids,
-                int64_t n_edges, int64_t deg, int64_t base, int64_t* colors,
-                EulerScratch& S, std::vector<uint8_t>& side_buf,
-                std::vector<int64_t>& tmp) {
+// `par_depth` > 0 forks the second half onto a thread.
+void edge_color(Sub& G, int64_t deg, int64_t base, int64_t* colors,
+                int par_depth) {
+  const int64_t n = (int64_t)G.ids.size();
   if (deg == 1) {
-    for (int64_t i = 0; i < n_edges; i++) colors[edge_ids[i]] = base;
+    for (int64_t i = 0; i < n; i++) colors[G.ids[i]] = base;
     return;
   }
-  side_buf.resize(n_edges);
-  euler_split(src, dst, edge_ids, n_edges, deg, side_buf.data(), S);
-  // stable partition into [first half | second half]
-  tmp.resize(n_edges);
-  int64_t a = 0, b = 0;
-  for (int64_t i = 0; i < n_edges; i++)
-    if (side_buf[i]) edge_ids[a++] = edge_ids[i];
-    else tmp[b++] = edge_ids[i];
-  std::memcpy(edge_ids + a, tmp.data(), b * sizeof(int64_t));
-  // NOTE: side_buf is indexed per-local-edge; after partition the halves
-  // are contiguous: [0, a) colored from `base`, [a, a+b) from `base+deg/2`
-  edge_color(src, dst, edge_ids, a, deg / 2, base, colors, S, side_buf, tmp);
-  edge_color(src, dst, edge_ids + a, b, deg / 2, base + deg / 2, colors, S,
-             side_buf, tmp);
+  std::vector<uint8_t> side(n);
+  {
+    std::vector<int32_t> ptr_s, ptr_d;
+    std::vector<uint8_t> visited;
+    euler_split(G, n, deg, side.data(), ptr_s, ptr_d, visited);
+  }
+  Sub A, B;
+  {
+    std::vector<int32_t> newidx;
+    partition(G, side.data(), n, A, B, newidx);
+  }
+  // free this level's edge arrays before recursing
+  std::vector<int32_t>().swap(G.ids);
+  std::vector<int32_t>().swap(G.src); std::vector<int32_t>().swap(G.dst);
+  std::vector<int32_t>().swap(G.order_s); std::vector<int32_t>().swap(G.order_d);
+  if (par_depth > 0) {
+    std::thread t([&] { edge_color(A, deg / 2, base, colors, par_depth - 1); });
+    edge_color(B, deg / 2, base + deg / 2, colors, par_depth - 1);
+    t.join();
+  } else {
+    edge_color(A, deg / 2, base, colors, 0);
+    edge_color(B, deg / 2, base + deg / 2, colors, 0);
+  }
 }
 
-struct Ctx {
-  EulerScratch S;
-  std::vector<uint8_t> side_buf;
-  std::vector<int64_t> tmp;
-};
+// Color the full permutation graph: src = i/128 (identity-sorted), dst =
+// dest[i]/128; order_d built by one counting sort.
+void color_perm(const int64_t* dest, int64_t n, int64_t* colors,
+                int par_depth) {
+  const int64_t m = n / RADIX;
+  Sub G;
+  G.ids.resize(n); G.src.resize(n); G.dst.resize(n);
+  G.order_s.resize(n); G.order_d.resize(n);
+  for (int64_t i = 0; i < n; i++) {
+    G.ids[i] = (int32_t)i;
+    G.src[i] = (int32_t)(i / RADIX);
+    G.dst[i] = (int32_t)(dest[i] / RADIX);
+    G.order_s[i] = (int32_t)i;  // already sorted by src
+  }
+  std::vector<int64_t> cnt(m + 1, 0);
+  for (int64_t i = 0; i < n; i++) cnt[G.dst[i] + 1]++;
+  for (int64_t v = 0; v < m; v++) cnt[v + 1] += cnt[v];
+  for (int64_t i = 0; i < n; i++) G.order_d[cnt[G.dst[i]]++] = (int32_t)i;
+  edge_color(G, RADIX, 0, colors, par_depth);
+}
 
 // 3-stage (m <= 128) or single-crossbar route of a permutation of n = m*128.
 // Writes g1 (m,128), g3 (128,m), g5 (m,128). Returns stage count (1 or 3).
 int route3(const int64_t* dest, int64_t n, int32_t* g1, int32_t* g3,
-           int32_t* g5, Ctx& C) {
+           int32_t* g5, int par_depth) {
   int64_t m = n / RADIX;
   if (m == 1) {
     for (int64_t i = 0; i < n; i++) g1[dest[i]] = (int32_t)i;
     return 1;
   }
-  std::vector<int64_t> src(n), dst(n), ids(n), color(n);
-  for (int64_t i = 0; i < n; i++) {
-    src[i] = i / RADIX;
-    dst[i] = dest[i] / RADIX;
-    ids[i] = i;
-  }
-  edge_color(src.data(), dst.data(), ids.data(), n, RADIX, 0, color.data(),
-             C.S, C.side_buf, C.tmp);
+  std::vector<int64_t> color(n);
+  color_perm(dest, n, color.data(), par_depth);
   std::vector<int64_t> sub_dest(RADIX * m);
   for (int64_t i = 0; i < n; i++) {
     int64_t c = color[i];
-    g1[src[i] * RADIX + c] = (int32_t)(i % RADIX);
-    sub_dest[c * m + src[i]] = dst[i];
-    g5[dst[i] * RADIX + dest[i] % RADIX] = (int32_t)c;
+    int64_t s = i / RADIX, d = dest[i] / RADIX;
+    g1[s * RADIX + c] = (int32_t)(i % RADIX);
+    sub_dest[c * m + s] = d;
+    g5[d * RADIX + dest[i] % RADIX] = (int32_t)c;
   }
   for (int64_t c = 0; c < RADIX; c++)
     for (int64_t p = 0; p < m; p++) g3[c * m + sub_dest[c * m + p]] = (int32_t)p;
@@ -157,34 +231,42 @@ int64_t clos_route_c(const int64_t* dest, int64_t n, int32_t* g1, int32_t* g2,
                      int32_t* g3, int32_t* g4, int32_t* g5) {
   if (n % RADIX) return -1;
   int64_t m = n / RADIX;
-  Ctx C;
-  if (m <= RADIX) return route3(dest, n, g1, g3, g5, C);
+  const int nthreads = hw_threads();
+  // fork the Euler halves two levels deep when threads are available
+  const int par_depth = nthreads >= 4 ? 2 : (nthreads >= 2 ? 1 : 0);
+  if (m <= RADIX) return route3(dest, n, g1, g3, g5, par_depth);
   if (m % RADIX || m > RADIX * RADIX) return -1;
   int64_t B = m / RADIX;
 
-  std::vector<int64_t> src(n), dst(n), ids(n), color(n);
-  for (int64_t i = 0; i < n; i++) {
-    src[i] = i / RADIX;
-    dst[i] = dest[i] / RADIX;
-    ids[i] = i;
-  }
-  edge_color(src.data(), dst.data(), ids.data(), n, RADIX, 0, color.data(),
-             C.S, C.side_buf, C.tmp);
+  std::vector<int64_t> color(n);
+  color_perm(dest, n, color.data(), par_depth);
   std::vector<int64_t> sub_dest(RADIX * m);
   for (int64_t i = 0; i < n; i++) {
     int64_t c = color[i];
-    g1[src[i] * RADIX + c] = (int32_t)(i % RADIX);
-    sub_dest[c * m + src[i]] = dst[i];
-    g5[dst[i] * RADIX + dest[i] % RADIX] = (int32_t)c;
+    int64_t s = i / RADIX, d = dest[i] / RADIX;
+    g1[s * RADIX + c] = (int32_t)(i % RADIX);
+    sub_dest[c * m + s] = d;
+    g5[d * RADIX + dest[i] % RADIX] = (int32_t)c;
   }
-  std::vector<int32_t> s3(RADIX * B);
-  for (int64_t c = 0; c < RADIX; c++) {
-    // each middle subnet is itself a 3-stage Clos of size m = B*128
-    int stages = route3(sub_dest.data() + c * m, m, g2 + c * B * RADIX,
-                        s3.data(), g4 + c * B * RADIX, C);
-    if (stages != 3) return -2;
-    std::memcpy(g3 + c * RADIX * B, s3.data(), RADIX * B * sizeof(int32_t));
-  }
+  // the 128 middle subnets are independent 3-stage routes — thread pool
+  std::atomic<int64_t> next(0);
+  std::atomic<int> bad(0);
+  auto worker = [&]() {
+    std::vector<int32_t> s3(RADIX * B);
+    for (;;) {
+      int64_t c = next.fetch_add(1);
+      if (c >= RADIX) break;
+      int stages = route3(sub_dest.data() + c * m, m, g2 + c * B * RADIX,
+                          s3.data(), g4 + c * B * RADIX, 0);
+      if (stages != 3) { bad.store(1); break; }
+      std::memcpy(g3 + c * RADIX * B, s3.data(), RADIX * B * sizeof(int32_t));
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nthreads; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  if (bad.load()) return -2;
   return 5;
 }
 
