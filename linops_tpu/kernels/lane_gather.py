@@ -24,7 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["lane_gather", "lane_gather_mul", "lane_gather_sum",
-           "tiled_combine"]
+           "tiled_combine", "lane_segsum", "lane_gather_mul_segsum",
+           "lane_gather_mul_t_batched"]
 
 
 def _tile_rows(m: int) -> int:
@@ -156,6 +157,98 @@ def lane_gather_sum(a, idx, w: int, interpret: bool = False):
     )(a, idx)
 
 
+def _segsum_from_z(z, lo, hi, use_dot=True):
+    """Per-window segmented lane sums via the MXU-cumsum boundary trick.
+
+    z: (r, 128) addends whose equal-segment entries are CONTIGUOUS within
+    each 128-lane window. lo/hi: (r, 128) int8 per OUTPUT lane c — the
+    inclusive-prefix boundary lanes of segment c in that window:
+    ``S[i, c] = cs[i, hi] - cs[i, lo]`` with cs the inclusive lane prefix
+    sum; lo = (first lane of the run) - 1 or -1 when the run starts at
+    lane 0; hi = last lane of the run or -1 for an empty run (-1 terms
+    read as 0). Replaces a per-window one-hot selector (whose build cost
+    is 128× the data) with ONE exact 0/1 MXU contraction + two lane
+    gathers: the prefix matrix L[l, j] = [l <= j] is window-independent.
+
+    Summation order differs from a direct per-segment sum (prefix then
+    difference): the f32 error is bounded by the prefix magnitudes, i.e.
+    ~eps·Σ|window| instead of ~eps·Σ|segment| — acceptable for the f32
+    routed path (the bench matrices measure ~1e-7 rel err, same order as
+    the XLA path) and sidestepped entirely on the f64 CPU reference path
+    (which uses the XLA fallback in sparse/routed.py, not this kernel).
+    """
+    if use_dot:
+        L = (
+            jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        ).astype(z.dtype)
+        cs = jax.lax.dot_general(
+            z, L, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=z.dtype)  # inclusive prefix along lanes
+    else:  # XLA fallback (CPU f64 reference path)
+        cs = jnp.cumsum(z, axis=1)
+    lo_i = lo.astype(jnp.int32)
+    hi_i = hi.astype(jnp.int32)
+    hi_g = jnp.take_along_axis(cs, jnp.maximum(hi_i, 0), axis=1)
+    lo_g = jnp.take_along_axis(cs, jnp.maximum(lo_i, 0), axis=1)
+    zero = jnp.zeros((), z.dtype)
+    return jnp.where(hi_i >= 0, hi_g, zero) - jnp.where(lo_i >= 0, lo_g, zero)
+
+
+def _segsum_kernel(q_ref, lo_ref, hi_ref, o_ref):
+    o_ref[...] = _segsum_from_z(q_ref[...], lo_ref[...], hi_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lane_segsum(q, lo, hi, interpret: bool = False):
+    """S[i, c] = sum of the c-th contiguous lane segment of window i.
+
+    q: (m, 128) addends; lo/hi: (m, 128) int8 boundary arrays (see
+    ``_segsum_from_z``). Returns (m, 128)."""
+    m = q.shape[0]
+    r = min(_tile_rows(m), 2048)
+    if r == 0 or q.shape[1] != 128:
+        return _segsum_from_z(q, lo, hi, use_dot=False)
+    return pl.pallas_call(
+        _segsum_kernel,
+        grid=(m // r,),
+        in_specs=[_specs(r)] * 3,
+        out_specs=_specs(r),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, lo, hi)
+
+
+def _gather_mul_segsum_kernel(a_ref, idx_ref, v_ref, lo_ref, hi_ref, o_ref):
+    g = jnp.take_along_axis(a_ref[...], idx_ref[...].astype(jnp.int32), axis=1)
+    z = (v_ref[...] * g).astype(o_ref.dtype)
+    o_ref[...] = _segsum_from_z(z, lo_ref[...], hi_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lane_gather_mul_segsum(a, idx, vals, lo, hi, interpret: bool = False):
+    """Fused final stage of the DERIVED-TRANSPOSE routed pipeline:
+    z = a gathered by idx (the G1 inverse) times vals (pre-G1 values),
+    then per-window contiguous-segment sums (per local column).
+    Returns (m, 128). Five VMEM inputs → row tile capped at 1024 so the
+    double-buffered program stays within the pipeline budget."""
+    m = a.shape[0]
+    out_dtype = jnp.result_type(vals.dtype, a.dtype)
+    r = min(_tile_rows(m), 1024)
+    if r == 0 or a.shape[1] != 128:
+        g = jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
+        return _segsum_from_z((vals * g).astype(out_dtype), lo, hi, use_dot=False)
+    return pl.pallas_call(
+        _gather_mul_segsum_kernel,
+        grid=(m // r,),
+        in_specs=[_specs(r)] * 5,
+        out_specs=_specs(r),
+        out_shape=jax.ShapeDtypeStruct((m, 128), out_dtype),
+        interpret=interpret,
+    )(a, idx, vals.astype(out_dtype), lo, hi)
+
+
 def _gather_mul_t_kernel(x_ref, idx_ref, v_ref, o_ref):
     g = jnp.take_along_axis(x_ref[...], idx_ref[...].astype(jnp.int32), axis=1)
     o_ref[...] = (v_ref[...] * g).astype(o_ref.dtype).T
@@ -180,6 +273,41 @@ def lane_gather_mul_t(xw, idx, vals, interpret: bool = False):
         out_specs=pl.BlockSpec((128, r), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((128, m), out_dtype),
+        interpret=interpret,
+    )(xw, idx, vals)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "m", "interpret"))
+def lane_gather_mul_t_batched(xw, idx, vals, C: int, m: int,
+                              interpret: bool = False):
+    """Batched-over-chunks phase-1 with per-chunk TRANSPOSED output.
+
+    xw/idx/vals: (C·m, 128) flat stacked chunks; returns (C·128, m) where
+    rows [c·128, (c+1)·128) hold chunk c's (128, m) transposed products —
+    the W1 wiring of each chunk's 5-stage route is then a free reshape.
+    One kernel call covers ALL chunks (grid = (C, m//r)), so multi-chunk
+    applies keep single-chunk program-switch economics."""
+    out_dtype = jnp.result_type(vals.dtype, xw.dtype)
+    r = _tile_rows(m)
+    if r == 0 or xw.shape[1] != 128:
+        g = jnp.take_along_axis(xw, idx.astype(jnp.int32), axis=1)
+        z = (vals * g).astype(out_dtype)
+        return z.reshape(C, m, 128).transpose(0, 2, 1).reshape(C * 128, m)
+    blocks = m // r
+    return pl.pallas_call(
+        _gather_mul_t_kernel,
+        grid=(C, blocks),
+        in_specs=[
+            pl.BlockSpec((r, 128), lambda c, i: (c * blocks + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 128), lambda c, i: (c * blocks + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 128), lambda c, i: (c * blocks + i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, r), lambda c, i: (c, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C * 128, m), out_dtype),
         interpret=interpret,
     )(xw, idx, vals)
 

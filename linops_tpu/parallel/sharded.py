@@ -53,9 +53,9 @@ def _sparse_formats():
 
 
 def _routing_programs():
-    from ..sparse.routed import ReducePass, RoutedSpMV
+    from ..sparse.routed import ReducePass, RoutedSpMV, RoutedTranspose
 
-    return (RoutedSpMV, ReducePass)
+    return (RoutedSpMV, ReducePass, RoutedTranspose)
 
 
 def _place(value, mesh: Mesh, axis: str, spec_fn):

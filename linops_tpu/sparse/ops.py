@@ -327,43 +327,55 @@ class RoutedCSROperator(CSROperator):
     XLA gather path on v5e; see docs/performance.md).
 
     Storage: the plain CSR pytree (matrix RHS, densification and the f64
-    CPU reference path reuse it) plus the packed forward routing program;
-    the transpose program is packed lazily on the first T/C/H apply and
-    cached on the host wrapper. ``backend="xla"`` forces the inherited
-    gather+segment_sum applies (useful for A/B tests).
+    CPU reference path reuse it) plus the packed forward routing program.
+    The transpose program is DERIVED from the forward pack at construction
+    (sparse/routed.py::RoutedTranspose — the inverse network, no second
+    router run, ~0.1× the forward pack cost), so ``op.T`` works at full
+    speed immediately, including inside jit (reference contract:
+    src/adjtrans.jl:32-44 — wrappers always work). ``backend="xla"``
+    forces the inherited gather+segment_sum applies (A/B tests).
 
-    The lazy transpose pack happens at HOST dispatch (``bump``, called by
-    the engine entry points ``matvec``/``matmat``/``mul``). Code that
-    first reaches a T/H apply only INSIDE its own jit (a hand-rolled
-    ``lax`` loop — or ``matvec_chain(mode="T")`` — calling ``op.apply``
-    directly) sees the CSR fallback for that trace: correct but slow.
-    Call ``op._ensure_transpose()`` (or run one eager ``op.T @ u``)
-    before jitting such code.
+    When the derived program is unavailable (ReducePass-fallback combine
+    layouts, extreme column skew) or ``defer_transpose=True``, the
+    transpose falls back to a lazy full CSC re-pack at HOST dispatch
+    (``bump``); code that first reaches a T/H apply only INSIDE its own
+    jit then sees the slow CSR fallback for that trace and a one-time
+    warning naming the fix (``op._ensure_transpose()``).
     """
 
     _fields_children = ("data", "routed", "routed_t")
-    _fields_aux = ("_symmetric", "_hermitian", "_backend", "_w")
+    _fields_aux = ("_symmetric", "_hermitian", "_backend", "_w", "_defer_t")
 
     def __init__(self, data, symmetric=False, hermitian=False,
-                 routed=None, routed_t=None, w="auto", backend="auto"):
+                 routed=None, routed_t=None, w="auto", backend="auto",
+                 defer_transpose=False):
         super().__init__(data, symmetric, hermitian)
         if backend not in ("auto", "routed", "xla"):
             raise ValueError(f"unknown routed backend {backend!r}")
         self._backend = backend
         self._w = w
+        self._defer_t = bool(defer_transpose)
         self.routed = routed
         self.routed_t = routed_t
         if routed is None and backend != "xla":
-            self.routed = self._pack(transpose=False)
+            want_t = (routed_t is None and not defer_transpose
+                      and not (symmetric or hermitian))
+            packed = self._pack(transpose=False, with_transpose=want_t)
+            if want_t:
+                self.routed, derived = packed
+                if derived is not None:
+                    self.routed_t = derived
+            else:
+                self.routed = packed
 
-    def _pack(self, transpose: bool):
+    def _pack(self, transpose: bool, with_transpose: bool = False):
         from .routed import pack_routed_csr
 
         d = self.data
         if not transpose:
             return pack_routed_csr(
                 np.asarray(d.vals), np.asarray(d.cols), np.asarray(d.indptr),
-                d.shape, w=self._w)
+                d.shape, w=self._w, with_transpose=with_transpose)
         # transpose pack: re-sort by (col, row) — a stable CSC build
         rows = np.asarray(d.cols)
         cols = np.asarray(d.rows)
@@ -378,11 +390,21 @@ class RoutedCSROperator(CSROperator):
         return self._backend != "xla"
 
     def _ensure_transpose(self):
-        if (self.routed_t is None and self._use_routed()
-                and not isinstance(self.data.vals, jax.core.Tracer)):
-            # tracer guard: a traced reconstruction of this operator can
-            # reach bump/apply inside someone's jit — packing needs
-            # concrete arrays, so that trace keeps the CSR fallback
+        if self.routed_t is None and self._use_routed():
+            if isinstance(self.data.vals, jax.core.Tracer):
+                # tracer guard: a traced reconstruction of this operator can
+                # reach bump/apply inside someone's jit — packing needs
+                # concrete arrays, so that trace keeps the CSR fallback
+                import warnings
+
+                warnings.warn(
+                    "RoutedCSROperator transpose apply reached inside a jit "
+                    "trace before any transpose program existed — this "
+                    "trace uses the ~100× slower CSR fallback. Construct "
+                    "the operator with defer_transpose=False (default) or "
+                    "call op._ensure_transpose() before jitting.",
+                    stacklevel=3)
+                return
             self.routed_t = self._pack(transpose=True)
 
     def bump(self, mode: str, n: int = 1):
@@ -405,10 +427,27 @@ class RoutedCSROperator(CSROperator):
 
     def _tprod_routed(self, u, conj_vals):
         if not self._use_routed() or self.routed_t is None:
+            if (self._use_routed()
+                    and isinstance(self.data.vals, jax.core.Tracer)
+                    and not (self._symmetric or self._hermitian)):
+                # in-jit T/H apply with no transpose program: this trace
+                # gets the slow CSR fallback — tell the user how to fix it
+                import warnings
+
+                warnings.warn(
+                    "RoutedCSROperator transpose apply traced with no "
+                    "transpose program — this jit uses the ~100× slower "
+                    "CSR fallback. Construct with defer_transpose=False "
+                    "(default) or call op._ensure_transpose() before "
+                    "jitting.", stacklevel=3)
             return super()._ctprod(u) if conj_vals else super()._tprod(u)
-        from .routed import routed_matvec
+        from .routed import RoutedTranspose, routed_matvec, routed_rmatvec
 
         rt = self.routed_t
+        if isinstance(rt, RoutedTranspose):
+            if conj_vals and jnp.iscomplexobj(rt.vals_pre):
+                rt = rt._replace(vals_pre=jnp.conj(rt.vals_pre))
+            return routed_rmatvec(rt, u)
         if conj_vals and jnp.iscomplexobj(rt.vals):
             rt = rt._replace(vals=jnp.conj(rt.vals))
         return routed_matvec(rt, u)
@@ -427,7 +466,7 @@ class RoutedCSROperator(CSROperator):
         # (vectorized host gather beats a sequential column loop).
         self._check_mat(M, mode)
         if self._use_routed() and _on_tpu():
-            from .routed import routed_matvec
+            from .routed import RoutedTranspose, routed_matvec, routed_rmatvec
 
             # symmetric/hermitian operators serve T/H with the FORWARD
             # program (bump never packs routed_t for them)
@@ -440,14 +479,19 @@ class RoutedCSROperator(CSROperator):
                       else (self.routed_t, True, False)),
             }[mode]
             if prog is not None:
-                if conj_vals and jnp.iscomplexobj(prog.vals):
+                apply_fn = routed_matvec
+                if isinstance(prog, RoutedTranspose):
+                    apply_fn = routed_rmatvec
+                    if conj_vals and jnp.iscomplexobj(prog.vals_pre):
+                        prog = prog._replace(vals_pre=jnp.conj(prog.vals_pre))
+                elif conj_vals and jnp.iscomplexobj(prog.vals):
                     prog = prog._replace(vals=jnp.conj(prog.vals))
                 X = _conj(M) if conj_io else M
                 # use_pallas follows the REAL backend (the _on_tpu seam
                 # above exists so tests can exercise this branch on CPU)
                 up = None if jax.default_backend() == "tpu" else False
                 Y = jax.lax.map(
-                    lambda c: routed_matvec(prog, c, use_pallas=up), X.T).T
+                    lambda c: apply_fn(prog, c, use_pallas=up), X.T).T
                 return _conj(Y) if conj_io else Y
         return super().apply_matrix(M, mode)
 

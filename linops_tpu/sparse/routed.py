@@ -47,7 +47,8 @@ import numpy as np
 from .formats import _register, check_int32_range
 from .routing import RADIX, clos_route
 
-__all__ = ["RoutedSpMV", "pack_routed_csr", "routed_matvec", "CLOS_MAX_SLOTS"]
+__all__ = ["RoutedSpMV", "RoutedTranspose", "pack_routed_csr",
+           "routed_matvec", "routed_rmatvec", "CLOS_MAX_SLOTS"]
 
 CLOS_MID = RADIX * RADIX          # 16384: largest 3-stage domain
 CLOS_MAX_SLOTS = RADIX ** 3       # 2^21: largest single routing domain
@@ -87,6 +88,8 @@ class RoutedSpMV(NamedTuple):
     #                          (-1 = trash) for the tiled combine; None when
     #                          the fallback ReducePass chain is used
     passes: tuple            # ReducePass combine chain (fallback / empty)
+    comb_lo: jnp.ndarray     # (T·K/128, 128) int8 combine boundaries for the
+    comb_hi: jnp.ndarray     # segsum combine (None -> one-hot tiled_combine)
     shape: Tuple[int, int]   # static: (nrow, ncol)
     w: int                   # static: slots per sub-row (divides 128)
     chunk_keep: tuple        # static: per-chunk kept partial count (tiled)
@@ -97,6 +100,55 @@ class RoutedSpMV(NamedTuple):
 
 
 _register(RoutedSpMV, ("shape", "w", "chunk_keep"))
+
+
+class RoutedTranspose(NamedTuple):
+    """Transpose program DERIVED from the forward pack — no router run.
+
+    A Clos route is a sequence of per-window lane permutations (crossbars)
+    and fixed wirings (XLA transposes); its INVERSE is the reversed
+    sequence of per-window inverse permutations with the same wirings
+    (W1/W2 are self-inverse). ``Aᵀu`` therefore runs the forward network
+    backwards: expand u to the row slots (each slot takes u[its row] —
+    annihilation of pad/trash slots is guaranteed because the forward pack
+    maps pad positions onto exactly the non-real slots, and pad positions
+    carry vals 0), route back to the pre-G1 col-block-major positions,
+    multiply by the pre-G1 values and reduce per column. The per-column
+    reduction is the boundary-segsum kernel: the pack sorts each block
+    segment by column, so same-column entries are contiguous within each
+    128-lane window (kernels/lane_gather.py::lane_gather_mul_segsum), and
+    the per-window column sums are gathered per block and reshape-summed.
+
+    Derivation is O(N) numpy (stage-array inversion + index composition) —
+    measured ~0.1× the forward pack vs ~1.0× for the old CSC re-pack.
+    The reference gets transpose-at-forward-cost by construction
+    (reference: src/adjtrans.jl:158-205); this is the routed equivalent.
+    """
+
+    vals_pre: jnp.ndarray     # (C, m, 128) PRE-G1 values (0 at pads)
+    g1inv: jnp.ndarray        # (C, m, 128) int8: inverse input crossbar
+    expand_tile: jnp.ndarray  # (C, m) int32: u-tile id per slot window
+    expand_idx: jnp.ndarray   # (C, m, 128) int8: row-within-tile ∘ G5⁻¹
+    stages_t: tuple           # inverse middle crossbars, per-stage (C, ...)
+    bnd_lo: jnp.ndarray       # (C, m, 128) int8: column-run boundaries
+    bnd_hi: jnp.ndarray       # (C, m, 128) int8
+    win_rows: jnp.ndarray     # (nb, Wb) int32: S rows per col block (the
+    #                           index C·m points at an appended zero row)
+    n_tiles: int              # static: u is padded to n_tiles·128
+    shape: Tuple[int, int]    # static: FORWARD (nrow, ncol)
+
+
+_register(RoutedTranspose, ("n_tiles", "shape"))
+
+
+def _invert_rows(g):
+    """Per-row inverse of row-wise permutations: inv[r, g[r, c]] = c."""
+    g = np.asarray(g)
+    inv = np.empty(g.shape, np.int32)
+    np.put_along_axis(
+        inv, np.asarray(g, np.int64),
+        np.broadcast_to(np.arange(g.shape[1], dtype=np.int32), g.shape), axis=1)
+    return inv
 
 
 # ----------------------------------------------------------------------------
@@ -278,8 +330,39 @@ def _build_reduce_passes(seg0: np.ndarray, n_rows: int):
     return tuple(passes)
 
 
-def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
-    """Pack host CSR arrays into a RoutedSpMV routing program."""
+def _run_bounds(keys, lanes, n_windows):
+    """Per-window segment boundaries for the segsum kernels.
+
+    keys = window·128 + output-lane per entry (SORTED nondecreasing);
+    lanes = source lane of the entry within its window (sorted within each
+    key run). Returns (lo, hi) int8 (n_windows, 128): hi = last lane of
+    the run (-1 empty), lo = first lane - 1 (-1 when starting at lane 0).
+    """
+    first = np.full(n_windows * RADIX, -1, np.int16)
+    last = np.full(n_windows * RADIX, -1, np.int16)
+    if keys.size:
+        change = np.empty(keys.shape[0], bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], keys.shape[0]] - 1
+        first[keys[starts]] = lanes[starts]
+        last[keys[starts]] = lanes[ends]
+    hi = last.astype(np.int8).reshape(n_windows, RADIX)
+    lo = np.where(last >= 0, first - 1, -1).astype(np.int8).reshape(
+        n_windows, RADIX)
+    return lo, hi
+
+
+def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None,
+                    with_transpose=False):
+    """Pack host CSR arrays into a RoutedSpMV routing program.
+
+    ``with_transpose=True`` additionally returns the DERIVED transpose
+    program (RoutedTranspose) — or None when the layout cannot support it
+    (ReducePass-fallback combines, or column-count skew that would blow up
+    the per-block window gather) — as a second tuple element.
+    """
     n_r, n_c = int(shape[0]), int(shape[1])
     check_int32_range(shape, int(data.shape[0]))
     data = np.asarray(data)
@@ -369,12 +452,22 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
         lo, hi = nnz_range(u0, u1)
         return _col_padded_slots(indices[lo:hi]) <= cap
 
+    # derived-transpose eligibility: the trivial layout additionally needs
+    # chunk starts aligned so every slot window maps to ONE u-tile
+    align_ok = True
+    q_align = max(RADIX // w, 1) if (with_transpose and trivial) else 1
+
     bounds = [0]
     while bounds[-1] < n_units:
         u0 = bounds[-1]
         lo = u0 + 1
         hi = min(u0 + CLOS_MAX_SLOTS // unit_slots, n_units)
         if fits(u0, hi, CLOS_MAX_SLOTS):
+            if hi < n_units and hi % q_align:
+                hi -= hi % q_align  # keep the NEXT chunk's start aligned
+                if hi <= u0:
+                    align_ok = False
+                    hi = min(u0 + CLOS_MAX_SLOTS // unit_slots, n_units)
             bounds.append(hi)
             continue
         while lo < hi:  # largest u1 with fits(u0, u1)
@@ -387,8 +480,15 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
             raise ValueError(
                 "a single row tile exceeds the routing domain; use the "
                 "gather/segment-sum CSR path for this pattern")
+        if lo < n_units and lo % q_align:
+            lo_al = lo - lo % q_align
+            if lo_al > u0:
+                lo = lo_al
+            else:
+                align_ok = False
         bounds.append(lo)
     chunks = list(zip(bounds[:-1], bounds[1:]))
+    derive_t = with_transpose and (trivial or tiled) and align_ok
 
     # shared domain size N across chunks (stacking requires equal shapes)
     N = 0
@@ -397,17 +497,25 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
         need = max((u1 - u0) * unit_slots, _col_padded_slots(indices[lo:hi]))
         N = max(N, _clos_size(need))
 
+    m = N // RADIX
+    T8 = -(-T // 8) * 8 if tiled else T
     vals_l, lane_l, winb_l, stage_l = [], [], [], []
-    for u0, u1 in chunks:
+    t_valsp, t_g1inv, t_etile, t_eidx = [], [], [], []
+    t_stages, t_blo, t_bhi = [], [], []
+    blk_win_rows = [[] for _ in range(-(-n_c // RADIX))] if derive_t else None
+    for c, (u0, u1) in enumerate(chunks):
         lo, hi = nnz_range(u0, u1)
         cols_c = indices[lo:hi]
         vals_c = data[lo:hi]
         dest_c = dest_global[lo:hi] - u0 * unit_slots
         nnz_c = cols_c.shape[0]
 
-        # col-block-major layout with per-block ×128 padding
+        # col-block-major layout with per-block ×128 padding. Entries are
+        # sorted by COLUMN (not just block): forward applies don't care
+        # about within-block order, and same-column contiguity per window
+        # is what makes the derived transpose's segsum combine possible.
         blk = cols_c // RADIX
-        order = np.argsort(blk, kind="stable")
+        order = np.argsort(cols_c, kind="stable")
         ublk, counts = np.unique(blk, return_counts=True)
         padded = (-(-counts // RADIX)) * RADIX
         seg_off = np.zeros(ublk.shape[0] + 1, np.int64)
@@ -435,7 +543,6 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
 
         stages = _clos_route_fast(dest)
         g1 = stages[0]
-        m = N // RADIX
         vals_l.append(np.take_along_axis(val_in.reshape(m, RADIX), g1, axis=1))
         lane_l.append(
             np.take_along_axis((col_in % RADIX).reshape(m, RADIX), g1, axis=1
@@ -443,6 +550,67 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
         )
         winb_l.append((col_in.reshape(m, RADIX)[:, 0] // RADIX).astype(np.int32))
         stage_l.append([g.astype(np.int8) for g in _pad_middle_stage(stages)[1:]])
+
+        if not derive_t:
+            continue
+
+        # ---- derived transpose: invert the stage arrays (O(N)) ----
+        g1inv_store = _invert_rows(g1)
+        if len(stages) > 1:
+            inv_last = _invert_rows(stages[-1])
+        else:
+            inv_last = np.broadcast_to(
+                np.arange(RADIX, dtype=np.int32), (m, RADIX))
+        if len(stages) == 5:
+            ig3 = _invert_rows(stages[2])
+            if ig3.shape[1] < RADIX:  # mirror _pad_middle_stage
+                ig3 = np.pad(ig3, ((0, 0), (0, RADIX - ig3.shape[1])))
+            st_t = [_invert_rows(stages[3]).astype(np.int8),
+                    ig3.astype(np.int8),
+                    _invert_rows(stages[1]).astype(np.int8)]
+        elif len(stages) == 3:
+            st_t = [_invert_rows(stages[1]).astype(np.int8)]
+        else:
+            st_t = []
+
+        # expand: slot window i draws u[row] from tile expand_tile[i] with
+        # the per-slot row id composed through the final inverse crossbar.
+        # Values entering non-real slots are ANNIHILATED downstream (the
+        # forward pack maps pad positions onto exactly the non-real slots
+        # and pad positions carry vals_pre = 0), so clips are safe.
+        widx = np.arange(m, dtype=np.int64)[:, None] * RADIX + inv_last
+        if tiled:
+            lt = (np.arange(m, dtype=np.int64) * RADIX) // (K * w)
+            tg = np.minimum(u0 + lt, T8 - 1)
+            sub = (widx % (K * w)) // w
+            eidx = rowid[tg[:, None], sub]
+            etile = tg.astype(np.int32)
+        else:  # trivial: sub-row == row; chunk starts are q_align-aligned
+            rows_g = u0 + widx // w
+            etile = np.minimum(
+                (u0 + np.arange(m, dtype=np.int64) * (RADIX // w)) // RADIX,
+                T - 1).astype(np.int32)
+            eidx = (np.minimum(rows_g, n_r - 1) % RADIX).astype(np.int8)
+        t_eidx.append(np.maximum(eidx.astype(np.int16), 0).astype(np.int8))
+        t_etile.append(etile)
+        t_g1inv.append(g1inv_store.astype(np.int8))
+        t_stages.append(st_t)
+        t_valsp.append(val_in.reshape(m, RADIX))
+
+        # per-window column-run boundaries at the PRE-G1 layout (sorted by
+        # construction: pos is ascending and within-block order is by col)
+        lcol = (cols_c[order] % RADIX).astype(np.int64)
+        keys = (pos // RADIX) * RADIX + lcol
+        blo, bhi = _run_bounds(keys, pos % RADIX, m)
+        t_blo.append(blo)
+        t_bhi.append(bhi)
+
+        # the final per-block gather: S rows (global, chunk-major) holding
+        # each block's per-window column sums
+        for j in range(ublk.shape[0]):
+            w0, w1 = seg_off[j] // RADIX, seg_off[j + 1] // RADIX
+            blk_win_rows[int(ublk[j])].extend(range(c * m + int(w0),
+                                                    c * m + int(w1)))
 
     stages_stacked = tuple(
         jnp.asarray(np.stack([s[i] for s in stage_l]))
@@ -462,17 +630,60 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None):
             seg0[c * S_pad: c * S_pad + (s1 - s0)] = row_of_sub[s0:s1]
         passes = _build_reduce_passes(seg0, n_r)
 
-    return RoutedSpMV(
+    # segsum combine boundaries (tiled only): rowid runs are contiguous and
+    # nondecreasing within each 128-partial window, so the per-row combine
+    # is the boundary-segsum kernel instead of a 128×K one-hot selector
+    comb_lo = comb_hi = None
+    if tiled:
+        flat = rowid.reshape(-1).astype(np.int64)
+        idxr = np.flatnonzero(flat >= 0)
+        keys = (idxr // RADIX) * RADIX + flat[idxr]
+        comb_lo, comb_hi = _run_bounds(keys, idxr % RADIX,
+                                       rowid.size // RADIX)
+
+    fwd = RoutedSpMV(
         vals=jnp.asarray(np.stack(vals_l)),
         lane_idx=jnp.asarray(np.stack(lane_l)),
         win_block=jnp.asarray(np.stack(winb_l)),
         stages=stages_stacked,
         rowid=None if rowid is None else jnp.asarray(rowid),
         passes=passes,
+        comb_lo=None if comb_lo is None else jnp.asarray(comb_lo),
+        comb_hi=None if comb_hi is None else jnp.asarray(comb_hi),
         shape=(n_r, n_c),
         w=int(w),
         chunk_keep=keep,
     )
+    if not with_transpose:
+        return fwd
+
+    derived = None
+    if derive_t:
+        nb = -(-n_c // RADIX)
+        Wb = max((len(v) for v in blk_win_rows), default=1)
+        Wb = max(Wb, 1)
+        # skew guard: a block touched by vastly more windows than average
+        # (a near-dense column block) would blow up the padded gather
+        if nb * Wb <= 4 * len(chunks) * m + 1024:
+            wr = np.full((nb, Wb), len(chunks) * m, np.int32)
+            for b, v in enumerate(blk_win_rows):
+                wr[b, : len(v)] = v
+            derived = RoutedTranspose(
+                vals_pre=jnp.asarray(np.stack(t_valsp)),
+                g1inv=jnp.asarray(np.stack(t_g1inv)),
+                expand_tile=jnp.asarray(np.stack(t_etile)),
+                expand_idx=jnp.asarray(np.stack(t_eidx)),
+                stages_t=tuple(
+                    jnp.asarray(np.stack([s[i] for s in t_stages]))
+                    for i in range(len(t_stages[0]))
+                ),
+                bnd_lo=jnp.asarray(np.stack(t_blo)),
+                bnd_hi=jnp.asarray(np.stack(t_bhi)),
+                win_rows=jnp.asarray(wr),
+                n_tiles=int(T8),
+                shape=(n_r, n_c),
+            )
+    return fwd, derived
 
 
 # ----------------------------------------------------------------------------
@@ -537,6 +748,73 @@ def _route_and_sum(a, stages, use_pallas, g1_folded, w, pre_w1=False):
     return a.reshape(-1, w).sum(axis=1)
 
 
+def _route_and_sum_batched(a, stages, use_pallas, w, pre_w1):
+    """Batched-over-chunks crossbar chain + final width-w slot reduction.
+
+    a: (C, m, 128) post-phase-1 products — or (C·128, m) flat per-chunk
+    transposed when ``pre_w1`` (the W1 wiring is then a reshape). stages:
+    per-stage (C, ...) int8 arrays. Every crossbar level runs as ONE
+    kernel whose grid spans all chunks, and every wiring is one batched
+    XLA transpose — multi-chunk applies keep single-chunk economics
+    instead of C serialized pipelines (262144² measured 4.05 vs 7.4
+    single-chunk Gnnz/s with the unrolled form). Returns (C, m·128/w).
+    """
+    C = stages[0].shape[0] if stages else a.shape[0]
+    m = a.shape[1]  # (C, m, 128) or, when pre_w1, (C·128, m)
+    interp = use_pallas == "interpret"
+
+    def take_flat(arr2d, g):
+        return _take(arr2d, g.reshape(arr2d.shape[0], -1), use_pallas)
+
+    stages = list(stages)
+    if stages and m <= RADIX:  # 3-stage: G3 on (128, m) windows, then G5
+        assert not pre_w1
+        g3, g5 = stages
+        at = a.transpose(0, 2, 1).reshape(C * RADIX, m)
+        at = _take(at, g3.reshape(C * RADIX, m),
+                   use_pallas if m == RADIX else False)
+        a = at.reshape(C, RADIX, m).transpose(0, 2, 1).reshape(C * m, RADIX)
+        if use_pallas:
+            from ..kernels.lane_gather import lane_gather_sum
+
+            part = lane_gather_sum(a, g5.reshape(C * m, RADIX), w,
+                                   interpret=interp)
+            return part.reshape(C, m * RADIX // w)
+        a = _take(a, g5.reshape(C * m, RADIX), False)
+        return a.reshape(C, -1, w).sum(axis=2)
+    if not stages:
+        a = a.reshape(C, m, RADIX) if not pre_w1 else (
+            a.reshape(C, RADIX, m).transpose(0, 2, 1))
+        return a.reshape(C, -1, w).sum(axis=2)
+
+    b = m // RADIX
+    g2, g3, g4, g5 = stages
+    if pre_w1:
+        a = a.reshape(C * RADIX * b, RADIX)  # W1 already materialized
+    else:
+        a = a.transpose(0, 2, 1).reshape(C * RADIX * b, RADIX)  # W1
+    a = take_flat(a, g2)
+    a = a.reshape(C, RADIX, b, RADIX).transpose(0, 1, 3, 2).reshape(
+        C * RADIX * RADIX, b)  # W2
+    if b < RADIX:
+        a = take_flat(jnp.pad(a, ((0, 0), (0, RADIX - b))), g3)[:, :b]
+    else:
+        a = take_flat(a, g3)
+    a = a.reshape(C, RADIX, RADIX, b).transpose(0, 1, 3, 2).reshape(
+        C * RADIX * b, RADIX)  # W2ᵀ
+    a = take_flat(a, g4)
+    a = a.reshape(C, RADIX, b * RADIX).transpose(0, 2, 1).reshape(
+        C * m, RADIX)  # W1ᵀ
+    if use_pallas:
+        from ..kernels.lane_gather import lane_gather_sum
+
+        part = lane_gather_sum(a, g5.reshape(C * m, RADIX), w,
+                               interpret=interp)
+        return part.reshape(C, m * RADIX // w)
+    a = _take(a, g5.reshape(C * m, RADIX), False)
+    return a.reshape(C, -1, w).sum(axis=2)
+
+
 def _chunk_partials(vals, lane_idx, win_block, stages, x2, w, use_pallas):
     """One chunk: phase-1 gather·mul, crossbars, reshape-sum by w."""
     five_stage = vals.shape[0] > RADIX and len(stages) == 4
@@ -588,26 +866,36 @@ def routed_matvec(p: RoutedSpMV, x, use_pallas=None):
         x = jnp.pad(x, (0, nb * RADIX - x.shape[0]))
     x2 = x.reshape(nb, RADIX)
 
-    C = p.vals.shape[0]
-    if C <= 8:
-        # static unroll: lax.map would DYNAMIC-SLICE every chunk's large
-        # arrays per step (full copies) and serialize the chunks; the
-        # unrolled form indexes statically (no copies) and lets XLA
-        # overlap chunk pipelines
-        parts_list = [_chunk_partials(
-            p.vals[c], p.lane_idx[c], p.win_block[c],
-            tuple(s[c] for s in p.stages), x2, p.w, use_pallas)
-            for c in range(C)]
-    else:
-        def one(args):
-            c_vals, c_lane, c_winb = args[:3]
-            c_stages = args[3:]
-            return _chunk_partials(c_vals, c_lane, c_winb, c_stages, x2,
-                                   p.w, use_pallas)
+    # batched pipeline: ALL chunks go through single kernel calls (grid
+    # spans chunks) and batched XLA wirings — multi-chunk applies keep
+    # single-chunk economics (the old per-chunk unroll measured 4.05 vs
+    # 7.4 Gnnz/s single-chunk at 262144²)
+    C, m = p.vals.shape[0], p.vals.shape[1]
+    five_stage = m > RADIX and len(p.stages) == 4
+    xw = x2[p.win_block.reshape(-1)]  # (C·m, 128) x-block fetch, batched
+    lane_flat = p.lane_idx.reshape(C * m, RADIX)
+    vals_flat = p.vals.reshape(C * m, RADIX)
+    if use_pallas and five_stage:
+        # transposed phase-1 output folds each chunk's W1 into a reshape
+        from ..kernels.lane_gather import lane_gather_mul_t_batched
 
-        parts = jax.lax.map(
-            one, (p.vals, p.lane_idx, p.win_block) + tuple(p.stages))
-        parts_list = [parts[c] for c in range(C)]
+        at = lane_gather_mul_t_batched(
+            xw, lane_flat, vals_flat, C, m,
+            interpret=use_pallas == "interpret")
+        P = _route_and_sum_batched(at, p.stages, use_pallas, p.w, pre_w1=True)
+    else:
+        if use_pallas:
+            from ..kernels.lane_gather import lane_gather_mul
+
+            a = lane_gather_mul(xw, lane_flat, vals_flat,
+                                interpret=use_pallas == "interpret")
+        else:
+            g = jnp.take_along_axis(xw, lane_flat.astype(jnp.int32), axis=1)
+            a = (vals_flat * g).astype(jnp.result_type(vals_flat.dtype,
+                                                       x2.dtype))
+        P = _route_and_sum_batched(a.reshape(C, m, RADIX), p.stages,
+                                   use_pallas, p.w, pre_w1=False)
+    parts_list = [P[c] for c in range(C)]
 
     if p.passes:  # fallback routed combine (pathological tiles)
         q = parts_list[0] if C == 1 else jnp.concatenate(parts_list)
@@ -619,7 +907,20 @@ def routed_matvec(p: RoutedSpMV, x, use_pallas=None):
     q = kept[0] if len(kept) == 1 else jnp.concatenate(kept)
     if p.rowid is None:
         return q[:n_r]  # trivial: every row is exactly one sub-row
-    if use_pallas:
+    if use_pallas and p.comb_lo is not None:
+        # boundary-segsum combine: rowid runs are contiguous per window, so
+        # the per-row reduction is one MXU prefix + two lane gathers per
+        # window instead of a 128×K one-hot selector build (which measured
+        # ~25% of the whole apply at the bench shape)
+        from ..kernels.lane_gather import lane_segsum
+
+        T8, K = p.rowid.shape
+        if q.shape[0] < T8 * K:
+            q = jnp.pad(q, (0, T8 * K - q.shape[0]))
+        S = lane_segsum(q.reshape(-1, RADIX), p.comb_lo, p.comb_hi,
+                        interpret=use_pallas == "interpret")
+        y = S.reshape(T8, K // RADIX, RADIX).sum(axis=1).reshape(-1)
+    elif use_pallas:
         from ..kernels.lane_gather import tiled_combine
 
         T8, K = p.rowid.shape
@@ -636,3 +937,78 @@ def routed_matvec(p: RoutedSpMV, x, use_pallas=None):
                         T8 * RADIX)
         y = jax.ops.segment_sum(q, seg.reshape(-1), num_segments=T8 * RADIX)
     return y[:n_r]
+
+
+def routed_rmatvec(pt: RoutedTranspose, u, use_pallas=None):
+    """y = Aᵀ @ u through the DERIVED transpose program ``pt``.
+
+    Runs the forward Clos network BACKWARDS (see RoutedTranspose): expand
+    u into the row-slot domain, apply the inverse crossbars with the same
+    W1/W2 wirings, multiply by the pre-G1 values and reduce per column
+    with the boundary-segsum kernel, then gather each column block's
+    per-window sums and reshape-sum. Cost ≈ one forward apply."""
+    n_r, n_c = pt.shape
+    u = jnp.asarray(u)
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and jnp.result_type(pt.vals_pre.dtype, u.dtype)
+            in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        )
+    interp = use_pallas == "interpret"
+    if u.shape[0] < pt.n_tiles * RADIX:
+        u = jnp.pad(u, (0, pt.n_tiles * RADIX - u.shape[0]))
+    u2 = u.reshape(pt.n_tiles, RADIX)
+
+    C, m, _ = pt.vals_pre.shape
+
+    # batched inverse pipeline (chunks share every kernel call, like the
+    # forward _route_and_sum_batched)
+    uw = u2[pt.expand_tile.reshape(-1)]  # (C·m, 128)
+    a = _take(uw, pt.expand_idx.reshape(C * m, RADIX), use_pallas)
+    st = list(pt.stages_t)
+    if st and m <= RADIX:  # 3-stage inverse: W1, G3⁻¹, W1ᵀ
+        at = a.reshape(C, m, RADIX).transpose(0, 2, 1).reshape(C * RADIX, m)
+        at = _take(at, st[0].reshape(C * RADIX, m),
+                   use_pallas if m == RADIX else False)
+        a = at.reshape(C, RADIX, m).transpose(0, 2, 1).reshape(C * m, RADIX)
+    elif st:  # 5-stage inverse middle chain (same wirings as forward)
+        b = m // RADIX
+        ig4, ig3, ig2 = st
+        a = a.reshape(C, m, RADIX).transpose(0, 2, 1).reshape(
+            C * RADIX * b, RADIX)                                   # W1
+        a = _take(a, ig4.reshape(C * RADIX * b, RADIX), use_pallas)
+        a = a.reshape(C, RADIX, b, RADIX).transpose(0, 1, 3, 2).reshape(
+            C * RADIX * RADIX, b)                                   # W2
+        if b < RADIX:
+            a = _take(jnp.pad(a, ((0, 0), (0, RADIX - b))),
+                      ig3.reshape(C * RADIX * RADIX, RADIX),
+                      use_pallas)[:, :b]
+        else:
+            a = _take(a, ig3.reshape(C * RADIX * RADIX, RADIX), use_pallas)
+        a = a.reshape(C, RADIX, RADIX, b).transpose(0, 1, 3, 2).reshape(
+            C * RADIX * b, RADIX)                                   # W2ᵀ
+        a = _take(a, ig2.reshape(C * RADIX * b, RADIX), use_pallas)
+        a = a.reshape(C, RADIX, b * RADIX).transpose(0, 2, 1).reshape(
+            C * m, RADIX)                                           # W1ᵀ
+    # final: G1⁻¹ ∘ multiply(vals_pre) ∘ per-column segment sums
+    g1inv_flat = pt.g1inv.reshape(C * m, RADIX)
+    valsp_flat = pt.vals_pre.reshape(C * m, RADIX)
+    lo_flat = pt.bnd_lo.reshape(C * m, RADIX)
+    hi_flat = pt.bnd_hi.reshape(C * m, RADIX)
+    if use_pallas:
+        from ..kernels.lane_gather import lane_gather_mul_segsum
+
+        S = lane_gather_mul_segsum(a, g1inv_flat, valsp_flat, lo_flat,
+                                   hi_flat, interpret=interp)
+    else:
+        from ..kernels.lane_gather import _segsum_from_z
+
+        g = jnp.take_along_axis(a, g1inv_flat.astype(jnp.int32), axis=1)
+        z = (valsp_flat * g).astype(jnp.result_type(valsp_flat.dtype, a.dtype))
+        S = _segsum_from_z(z, lo_flat, hi_flat, use_dot=False)
+
+    S = jnp.concatenate([S, jnp.zeros((1, RADIX), S.dtype)])
+    nb, Wb = pt.win_rows.shape
+    y = S[pt.win_rows.reshape(-1)].reshape(nb, Wb, RADIX).sum(axis=1)
+    return y.reshape(-1)[:n_c]

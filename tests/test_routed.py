@@ -157,10 +157,12 @@ def test_routed_pallas_interpret_matches_jnp():
     x = np.random.default_rng(3).standard_normal(2800).astype(np.float32)
     y_jnp = np.asarray(routed_matvec(p, x, use_pallas=False))
     y_pal = np.asarray(routed_matvec(p, x, use_pallas="interpret"))
-    # routing/transposes are exact (one-hot dots); only the final w-group
-    # summation ORDER differs (one-hot MXU dot vs reshape-sum), so the two
-    # paths agree to f32 rounding, not bitwise
-    np.testing.assert_allclose(y_pal, y_jnp, rtol=1e-5, atol=1e-6)
+    # routing/transposes are exact (one-hot dots); the final w-group
+    # summation ORDER differs (one-hot MXU dot vs reshape-sum) and the
+    # combine is the boundary-segsum kernel whose prefix-difference error
+    # is bounded by the per-window partial magnitudes (not per-row), so
+    # agreement is f32-rounding-at-window-scale, not bitwise
+    np.testing.assert_allclose(y_pal, y_jnp, rtol=5e-4, atol=1e-5)
     np.testing.assert_allclose(y_jnp, A @ x, rtol=2e-5, atol=1e-5)
 
 
@@ -224,11 +226,18 @@ def test_routed_w_is_forwarded():
     directions), not just sit in aux."""
     import linops_tpu as lo
 
+    from linops_tpu.sparse.ops import RoutedCSROperator
+    from linops_tpu.sparse.routed import RoutedTranspose
+
     A = _random_csr(400, 400, 0.02, seed=51)
     op = lo.opSparse(A, format="routed", w=32)
     assert op.routed.w == 32
-    op._ensure_transpose()
-    assert op.routed_t.w == 32
+    # the DERIVED transpose shares the forward layout (w lives there)
+    assert isinstance(op.routed_t, RoutedTranspose)
+    # a deferred operator's lazy FULL transpose pack forwards w too
+    op_d = RoutedCSROperator(op.data, w=32, defer_transpose=True)
+    op_d._ensure_transpose()
+    assert op_d.routed_t.w == 32
 
 
 def test_routed_matmat_tpu_branch(monkeypatch):

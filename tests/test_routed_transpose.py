@@ -1,0 +1,205 @@
+"""Derived-transpose routed programs (sparse/routed.py::RoutedTranspose)
+and the boundary-segsum combine, vs scipy/dense oracles.
+
+The derived transpose runs the forward Clos network BACKWARDS (inverse
+per-window crossbars, same wirings) — no second router run. These tests
+cover every layout regime: 1/3/5-stage domains, trivial and tiled combine
+layouts, multi-chunk packs, complex T/H, rectangular shapes, and the
+interpret-mode Pallas kernels (bit-contract of the TPU path).
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+scipy_sparse = pytest.importorskip("scipy.sparse")
+
+import jax.numpy as jnp
+
+import linops_tpu as lo
+from linops_tpu.sparse import ops as sops
+from linops_tpu.sparse import routed as R
+from linops_tpu.sparse.routed import (RoutedTranspose, pack_routed_csr,
+                                      routed_matvec, routed_rmatvec)
+
+
+def _random_csr(n_r, n_c, density, seed, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    A = scipy_sparse.random(n_r, n_c, density=density, format="csr",
+                            random_state=seed, dtype=dtype)
+    A.data[:] = rng.standard_normal(A.nnz)
+    return A
+
+
+@pytest.mark.parametrize(
+    "n_r,n_c,density,w",
+    [
+        (300, 500, 0.02, "auto"),     # 3-stage
+        (40, 60, 0.05, "auto"),       # single-crossbar domain
+        (5000, 4000, 0.005, "auto"),  # 5-stage (B > 1)
+        (700, 900, 0.05, 4),          # tiled, several sub-rows per row
+        (128, 64, 0.2, 16),           # wide rows, tiny cols
+        (1000, 150, 0.03, "auto"),    # tall
+    ],
+)
+def test_derived_transpose_oracle(n_r, n_c, density, w):
+    A = _random_csr(n_r, n_c, density, seed=n_r + n_c)
+    fwd, der = pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=w,
+                               with_transpose=True)
+    assert isinstance(der, RoutedTranspose)
+    u = np.random.default_rng(2).standard_normal(n_r)
+    yt = np.asarray(routed_rmatvec(der, u, use_pallas=False))
+    ref = A.T @ u
+    np.testing.assert_allclose(yt, ref, rtol=1e-12,
+                               atol=1e-12 * np.abs(ref).max())
+    # interpret mode exercises the exact TPU kernel bodies
+    yt32 = np.asarray(routed_rmatvec(
+        der._replace(vals_pre=der.vals_pre.astype(jnp.float32)),
+        u.astype(np.float32), use_pallas="interpret"))
+    np.testing.assert_allclose(yt32, ref, rtol=2e-4,
+                               atol=2e-4 * np.abs(ref).max())
+
+
+def test_derived_transpose_trivial_layout():
+    # every row 1..w nnz -> trivial combine (partials ARE rows)
+    rng = np.random.default_rng(5)
+    n = 600
+    ks = rng.integers(1, 4, size=n)
+    cols = np.concatenate(
+        [np.sort(rng.choice(n, k, replace=False)) for k in ks])
+    indptr = np.concatenate([[0], np.cumsum(ks)])
+    vals = rng.standard_normal(indptr[-1])
+    fwd, der = pack_routed_csr(vals, cols, indptr, (n, n), w=4,
+                               with_transpose=True)
+    assert fwd.rowid is None  # really trivial
+    A = scipy_sparse.csr_matrix((vals, cols, indptr), shape=(n, n))
+    u = rng.standard_normal(n)
+    yt = np.asarray(routed_rmatvec(der, u, use_pallas=False))
+    np.testing.assert_allclose(yt, A.T @ u, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("trivial", [False, True])
+def test_derived_transpose_multichunk(monkeypatch, trivial):
+    monkeypatch.setattr(R, "CLOS_MAX_SLOTS", 16384)
+    rng = np.random.default_rng(7)
+    n = 9000 if trivial else 6000
+    ks = rng.integers(1, 4, size=n) if trivial else rng.integers(0, 12, size=n)
+    cols = np.concatenate(
+        [np.sort(rng.choice(n, k, replace=False)) for k in ks])
+    indptr = np.concatenate([[0], np.cumsum(ks)])
+    vals = rng.standard_normal(indptr[-1])
+    fwd, der = pack_routed_csr(vals, cols, indptr, (n, n),
+                               w=4 if trivial else "auto",
+                               with_transpose=True)
+    assert fwd.vals.shape[0] > 1  # really chunked
+    assert (fwd.rowid is None) == trivial
+    assert der is not None
+    A = scipy_sparse.csr_matrix((vals, cols, indptr), shape=(n, n))
+    u = rng.standard_normal(n)
+    yt = np.asarray(routed_rmatvec(der, u, use_pallas=False))
+    np.testing.assert_allclose(yt, A.T @ u, rtol=1e-11, atol=1e-11)
+
+
+def test_derived_transpose_complex_modes():
+    rng = np.random.default_rng(9)
+    A = _random_csr(400, 300, 0.02, seed=11).astype(np.complex128)
+    A.data[:] = rng.standard_normal(A.nnz) + 1j * rng.standard_normal(A.nnz)
+    fwd, der = pack_routed_csr(A.data, A.indices, A.indptr, A.shape,
+                               with_transpose=True)
+    u = rng.standard_normal(400) + 1j * rng.standard_normal(400)
+    yt = np.asarray(routed_rmatvec(der, u, use_pallas=False))
+    np.testing.assert_allclose(yt, A.T @ u, rtol=1e-12, atol=1e-12)
+    yh = np.asarray(routed_rmatvec(
+        der._replace(vals_pre=jnp.conj(der.vals_pre)), u, use_pallas=False))
+    np.testing.assert_allclose(yh, A.conj().T @ u, rtol=1e-12, atol=1e-12)
+
+
+def test_segsum_combine_bounds_match_onehot():
+    """Forward combine via boundary segsum == one-hot tiled combine (the
+    rowid runs are contiguous per window by construction)."""
+    A = _random_csr(700, 900, 0.05, seed=3)
+    p = pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=4)
+    assert p.rowid is not None and p.comb_lo is not None
+    x = np.random.default_rng(4).standard_normal(900)
+    # interpret mode drives BOTH kernels (segsum picked when comb_lo set)
+    y_seg = np.asarray(routed_matvec(
+        p._replace(vals=p.vals.astype(jnp.float32)),
+        x.astype(np.float32), use_pallas="interpret"))
+    y_hot = np.asarray(routed_matvec(
+        p._replace(vals=p.vals.astype(jnp.float32), comb_lo=None,
+                   comb_hi=None),
+        x.astype(np.float32), use_pallas="interpret"))
+    ref = A @ x
+    np.testing.assert_allclose(y_seg, ref, rtol=2e-4, atol=2e-4 * np.abs(ref).max())
+    np.testing.assert_allclose(y_seg, y_hot, rtol=2e-5, atol=2e-5 * np.abs(ref).max())
+
+
+def test_routed_operator_transpose_eager_and_in_jit():
+    """op.T works at full routed speed immediately, including when the
+    first T apply happens INSIDE a jit (VERDICT r3 item 5)."""
+    import jax
+
+    A = _random_csr(500, 400, 0.03, seed=21)
+    op = lo.opSparse(scipy_sparse.csr_matrix(A), format="routed")
+    assert isinstance(op.routed_t, RoutedTranspose)  # eager derived program
+
+    u = np.random.default_rng(1).standard_normal(500)
+
+    @jax.jit
+    def tapply(o, v):
+        return o.apply(v, mode="T")
+
+    yt = np.asarray(tapply(op, jnp.asarray(u)))
+    np.testing.assert_allclose(yt, A.T @ u, rtol=1e-11, atol=1e-11)
+
+
+def test_routed_operator_defer_and_footgun_warning():
+    import jax
+
+    A = _random_csr(300, 300, 0.03, seed=23)
+    op = lo.opSparse(scipy_sparse.csr_matrix(A), format="routed")
+    # defer_transpose opt-out keeps the old lazy behavior
+    op_d = sops.RoutedCSROperator(op.data, defer_transpose=True)
+    assert op_d.routed_t is None
+
+    @jax.jit
+    def tapply(o, v):
+        return o.apply(v, mode="T")
+
+    u = np.random.default_rng(2).standard_normal(300)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        yt = np.asarray(tapply(op_d, jnp.asarray(u)))
+    assert any("CSR fallback" in str(w_.message) for w_ in rec)
+    np.testing.assert_allclose(yt, A.T @ u, rtol=1e-11, atol=1e-11)
+
+    # eager host dispatch packs the full transpose for deferred operators
+    yt2 = np.asarray(op_d.T @ u)
+    assert op_d.routed_t is not None
+    np.testing.assert_allclose(yt2, A.T @ u, rtol=1e-11, atol=1e-11)
+
+
+def test_derived_transpose_skew_guard():
+    """A near-dense column block must NOT get a derived program (window
+    gather blowup) — it falls back to the lazy full pack."""
+    rng = np.random.default_rng(31)
+    n = 4000
+    # every row hits column 0 (one dense column) + a random tail
+    cols_l, indptr = [], [0]
+    for i in range(n):
+        c = np.unique(np.concatenate([[0], rng.choice(n, 2)]))
+        cols_l.append(c)
+        indptr.append(indptr[-1] + len(c))
+    cols = np.concatenate(cols_l)
+    vals = rng.standard_normal(indptr[-1])
+    fwd, der = pack_routed_csr(vals, cols, np.asarray(indptr), (n, n),
+                               with_transpose=True)
+    A = scipy_sparse.csr_matrix((vals, cols, indptr), shape=(n, n))
+    u = rng.standard_normal(n)
+    if der is not None:  # if derivable anyway, it must be correct
+        yt = np.asarray(routed_rmatvec(der, u, use_pallas=False))
+        np.testing.assert_allclose(yt, A.T @ u, rtol=1e-11, atol=1e-11)
+    y = np.asarray(routed_matvec(fwd, rng.standard_normal(n),
+                                 use_pallas=False))
+    assert np.isfinite(y).all()
