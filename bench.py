@@ -397,23 +397,70 @@ def main():
         vals_u = rng.standard_normal(nnzu).astype(np.float32)
         from linops_tpu.sparse.formats import csr_from_parts
 
+        data_u = csr_from_parts(vals_u, cols_u.astype(np.int32),
+                                indptr_u.astype(np.int32), (nu, nu))
         t0 = time.perf_counter()
-        opR = lo.RoutedCSROperator(
-            csr_from_parts(vals_u, cols_u.astype(np.int32), indptr_u.astype(np.int32),
-                           (nu, nu)))
-        detail["routed_pack_s"] = round(time.perf_counter() - t0, 2)
+        lo.RoutedCSROperator(data_u, defer_transpose=True)
+        t_pack_f = time.perf_counter() - t0
+        detail["routed_pack_s"] = round(t_pack_f, 2)  # forward only
+        t0 = time.perf_counter()
+        opR = lo.RoutedCSROperator(data_u)  # + DERIVED transpose (eager)
+        t_pack_ft = time.perf_counter() - t0
+        detail["routed_pack_t_s"] = round(max(t_pack_ft - t_pack_f, 0.0), 2)
+        detail["routed_pack_t_x_fwd"] = round(
+            max(t_pack_ft - t_pack_f, 0.0) / max(t_pack_f, 1e-9), 2)
         vu = jnp.ones((nu,), dtype)
         tR = _marginal_apply_time(opR, vu, reps=3)
         detail["routed_unstructured_n"] = nu
         detail["routed_unstructured_nnz"] = nnzu
         detail["routed_unstructured_gnnz_per_s"] = round(nnzu / tR / 1e9, 3)
         detail["routed_unstructured_us_per_apply"] = round(tR * 1e6, 1)
-        # matvec_chain applies inside jit (no host bump), so pack the
-        # transpose routing program explicitly before the T-mode timing
-        opR._ensure_transpose()
         tRT = _marginal_apply_time(opR, vu, reps=2, mode="T")
         detail["routed_unstructured_T_gnnz_per_s"] = round(nnzu / tRT / 1e9, 3)
         detail["routed_unstructured_T_us_per_apply"] = round(tRT * 1e6, 1)
+
+        # multi-RHS through ONE shared routing program (rep-grid kernels)
+        k_rhs = 8
+        Xm = jnp.ones((nu, k_rhs), dtype)
+
+        def spmm_chain(o, Xc, iters):
+            def body(_, M):
+                return o.apply_matrix(M, mode="N") * (1.0 / k_rhs)
+
+            return jax.lax.fori_loop(0, iters, body, Xc)
+
+        t_k = marginal_chain_time(spmm_chain, opR, Xm, iters_short=20,
+                                  iters_long=170, reps=2)
+        detail["routed_spmm_k8_us"] = round(t_k * 1e6, 1)
+        detail["routed_spmm_k8_x_matvec"] = round(t_k / tR, 2)
+        detail["routed_spmm_k8_gnnz_per_s"] = round(
+            k_rhs * nnzu / t_k / 1e9, 2)
+
+    def sec_routed_multichunk():
+        # 262144² (16 nnz/row, ~4.2M nnz, 3 chunks): the batched-chunk
+        # pipeline must keep near-single-chunk economics (VERDICT r3
+        # item 1b; the old per-chunk unroll measured 4.05 Gnnz/s)
+        nm = 1 << 18
+        counts = rng.poisson(16, nm)
+        nnzm = int(counts.sum())
+        indptr_m = np.zeros(nm + 1, np.int64)
+        np.cumsum(counts, out=indptr_m[1:])
+        cols_m = rng.integers(0, nm, nnzm)
+        order_m = np.lexsort((cols_m, np.repeat(np.arange(nm), counts)))
+        from linops_tpu.sparse.formats import csr_from_parts
+
+        t0 = time.perf_counter()
+        opM = lo.RoutedCSROperator(csr_from_parts(
+            rng.standard_normal(nnzm).astype(np.float32),
+            cols_m[order_m].astype(np.int32), indptr_m.astype(np.int32),
+            (nm, nm)))
+        detail["routed_multichunk_pack_s"] = round(time.perf_counter() - t0, 2)
+        detail["routed_multichunk_chunks"] = int(opM.routed.vals.shape[0])
+        vm = jnp.ones((nm,), dtype)
+        tM = _marginal_apply_time(opM, vm, reps=2)
+        detail["routed_multichunk_gnnz_per_s"] = round(nnzm / tM / 1e9, 3)
+        tMT = _marginal_apply_time(opM, vm, reps=2, mode="T")
+        detail["routed_multichunk_T_gnnz_per_s"] = round(nnzm / tMT / 1e9, 3)
 
     def sec_permutation():
         # Clos-routed permutation operator vs the XLA fancy-index gather
@@ -620,6 +667,7 @@ def main():
     section("scaling", sec_scaling)
     section("lobpcg", sec_lobpcg)
     section("routed_unstructured", sec_routed_unstructured)
+    section("routed_multichunk", sec_routed_multichunk)
     section("permutation", sec_permutation)
     section("csr_unstructured", sec_csr_unstructured)
 

@@ -52,18 +52,36 @@ def _specs(r):
     return pl.BlockSpec((r, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def lane_gather(a, idx, interpret: bool = False):
-    """out[i, l] = a[i, idx[i, l]] for (m, 128) tiles, idx in [0, 128)."""
-    m = a.shape[0]
+def _rep_specs(r, blocks):
+    """(shared_spec, repeated_spec) for rep-grid kernels: the grid is
+    (rep, blocks); shared operands (indices, values, boundaries) are
+    addressed by the block coordinate alone — ONE HBM copy serves every
+    repeat (RHS column) — while repeated operands stack rep-outer."""
+    shared = pl.BlockSpec((r, 128), lambda j, i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    repeated = pl.BlockSpec((r, 128), lambda j, i: (j * blocks + i, 0),
+                            memory_space=pltpu.VMEM)
+    return shared, repeated
+
+
+@functools.partial(jax.jit, static_argnames=("rep", "interpret"))
+def lane_gather(a, idx, rep: int = 1, interpret: bool = False):
+    """out[i, l] = a[i, idx[i % R0, l]] for (rep·R0, 128) tiles over a
+    shared (R0, 128) idx (rep-outer layout), idx in [0, 128)."""
+    m = idx.shape[0]
     r = _tile_rows(m)
     if r == 0 or a.shape[1] != 128:
-        return jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
+        if rep == 1:
+            return jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
+        return jnp.take_along_axis(
+            a.reshape(rep, m, 128), idx.astype(jnp.int32)[None], axis=2
+        ).reshape(rep * m, 128)
+    shared, repeated = _rep_specs(r, m // r)
     return pl.pallas_call(
         _gather_kernel,
-        grid=(m // r,),
-        in_specs=[_specs(r), _specs(r)],
-        out_specs=_specs(r),
+        grid=(rep, m // r),
+        in_specs=[repeated, shared],
+        out_specs=repeated,
         out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
         interpret=interpret,
     )(a, idx)
@@ -136,23 +154,29 @@ def _gather_sum_kernel(w, x_ref, idx_ref, o_ref):
         preferred_element_type=a.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "interpret"))
-def lane_gather_sum(a, idx, w: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("w", "rep", "interpret"))
+def lane_gather_sum(a, idx, w: int, rep: int = 1, interpret: bool = False):
     """Fused final crossbar + width-w slot reduction: gathers lanes by idx
     then sums consecutive lane groups of w — writes 1/w of the bytes.
-    Returns (m, 128 // w)."""
-    m = a.shape[0]
+    a: (rep·R0, 128) rep-outer over a shared (R0, 128) idx.
+    Returns (rep·R0, 128 // w)."""
+    m = idx.shape[0]
     r = _tile_rows(m)
     if r == 0 or a.shape[1] != 128 or 128 % w:
-        g = jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
-        return g.reshape(m, 128 // w, w).sum(axis=2)
+        g = (jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1) if rep == 1
+             else jnp.take_along_axis(a.reshape(rep, m, 128),
+                                      idx.astype(jnp.int32)[None],
+                                      axis=2).reshape(rep * m, 128))
+        return g.reshape(rep * m, 128 // w, w).sum(axis=2)
+    blocks = m // r
+    shared, repeated = _rep_specs(r, blocks)
     return pl.pallas_call(
         functools.partial(_gather_sum_kernel, w),
-        grid=(m // r,),
-        in_specs=[_specs(r), _specs(r)],
-        out_specs=pl.BlockSpec((r, 128 // w), lambda i: (i, 0),
+        grid=(rep, blocks),
+        in_specs=[repeated, shared],
+        out_specs=pl.BlockSpec((r, 128 // w), lambda j, i: (j * blocks + i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, 128 // w), a.dtype),
+        out_shape=jax.ShapeDtypeStruct((rep * m, 128 // w), a.dtype),
         interpret=interpret,
     )(a, idx)
 
@@ -186,12 +210,16 @@ def _segsum_from_z(z, lo, hi, use_dot=True):
             z, L, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=z.dtype)  # inclusive prefix along lanes
-    else:  # XLA fallback (CPU f64 reference path)
-        cs = jnp.cumsum(z, axis=1)
+    else:  # XLA fallback (CPU f64 reference path); supports leading dims
+        cs = jnp.cumsum(z, axis=-1)
     lo_i = lo.astype(jnp.int32)
     hi_i = hi.astype(jnp.int32)
-    hi_g = jnp.take_along_axis(cs, jnp.maximum(hi_i, 0), axis=1)
-    lo_g = jnp.take_along_axis(cs, jnp.maximum(lo_i, 0), axis=1)
+    bcast = jnp.broadcast_shapes(cs.shape, lo_i.shape)
+    cs = jnp.broadcast_to(cs, bcast)
+    hi_g = jnp.take_along_axis(cs, jnp.broadcast_to(jnp.maximum(hi_i, 0),
+                                                    bcast), axis=-1)
+    lo_g = jnp.take_along_axis(cs, jnp.broadcast_to(jnp.maximum(lo_i, 0),
+                                                    bcast), axis=-1)
     zero = jnp.zeros((), z.dtype)
     return jnp.where(hi_i >= 0, hi_g, zero) - jnp.where(lo_i >= 0, lo_g, zero)
 
@@ -200,21 +228,26 @@ def _segsum_kernel(q_ref, lo_ref, hi_ref, o_ref):
     o_ref[...] = _segsum_from_z(q_ref[...], lo_ref[...], hi_ref[...])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def lane_segsum(q, lo, hi, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("rep", "interpret"))
+def lane_segsum(q, lo, hi, rep: int = 1, interpret: bool = False):
     """S[i, c] = sum of the c-th contiguous lane segment of window i.
 
-    q: (m, 128) addends; lo/hi: (m, 128) int8 boundary arrays (see
-    ``_segsum_from_z``). Returns (m, 128)."""
-    m = q.shape[0]
+    q: (rep·R0, 128) addends, rep-outer over shared (R0, 128) int8
+    boundary arrays (see ``_segsum_from_z``). Returns (rep·R0, 128)."""
+    m = lo.shape[0]
     r = min(_tile_rows(m), 2048)
     if r == 0 or q.shape[1] != 128:
-        return _segsum_from_z(q, lo, hi, use_dot=False)
+        if rep == 1:
+            return _segsum_from_z(q, lo, hi, use_dot=False)
+        S = _segsum_from_z(q.reshape(rep, m, 128), lo[None], hi[None],
+                           use_dot=False)
+        return S.reshape(rep * m, 128)
+    shared, repeated = _rep_specs(r, m // r)
     return pl.pallas_call(
         _segsum_kernel,
-        grid=(m // r,),
-        in_specs=[_specs(r)] * 3,
-        out_specs=_specs(r),
+        grid=(rep, m // r),
+        in_specs=[repeated, shared, shared],
+        out_specs=repeated,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
     )(q, lo, hi)
@@ -226,25 +259,35 @@ def _gather_mul_segsum_kernel(a_ref, idx_ref, v_ref, lo_ref, hi_ref, o_ref):
     o_ref[...] = _segsum_from_z(z, lo_ref[...], hi_ref[...])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def lane_gather_mul_segsum(a, idx, vals, lo, hi, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("rep", "interpret"))
+def lane_gather_mul_segsum(a, idx, vals, lo, hi, rep: int = 1,
+                           interpret: bool = False):
     """Fused final stage of the DERIVED-TRANSPOSE routed pipeline:
     z = a gathered by idx (the G1 inverse) times vals (pre-G1 values),
-    then per-window contiguous-segment sums (per local column).
-    Returns (m, 128). Five VMEM inputs → row tile capped at 1024 so the
-    double-buffered program stays within the pipeline budget."""
-    m = a.shape[0]
+    then per-window contiguous-segment sums (per local column). a is
+    rep-outer over the shared idx/vals/lo/hi. Returns (rep·R0, 128).
+    Five VMEM inputs → row tile capped at 1024 so the double-buffered
+    program stays within the pipeline budget."""
+    m = idx.shape[0]
     out_dtype = jnp.result_type(vals.dtype, a.dtype)
     r = min(_tile_rows(m), 1024)
     if r == 0 or a.shape[1] != 128:
-        g = jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
-        return _segsum_from_z((vals * g).astype(out_dtype), lo, hi, use_dot=False)
+        if rep == 1:
+            g = jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
+            return _segsum_from_z((vals * g).astype(out_dtype), lo, hi,
+                                  use_dot=False)
+        g = jnp.take_along_axis(a.reshape(rep, m, 128),
+                                idx.astype(jnp.int32)[None], axis=2)
+        S = _segsum_from_z((vals[None] * g).astype(out_dtype), lo[None],
+                           hi[None], use_dot=False)
+        return S.reshape(rep * m, 128)
+    shared, repeated = _rep_specs(r, m // r)
     return pl.pallas_call(
         _gather_mul_segsum_kernel,
-        grid=(m // r,),
-        in_specs=[_specs(r)] * 5,
-        out_specs=_specs(r),
-        out_shape=jax.ShapeDtypeStruct((m, 128), out_dtype),
+        grid=(rep, m // r),
+        in_specs=[repeated, shared, shared, shared, shared],
+        out_specs=repeated,
+        out_shape=jax.ShapeDtypeStruct((rep * m, 128), out_dtype),
         interpret=interpret,
     )(a, idx, vals.astype(out_dtype), lo, hi)
 
@@ -277,56 +320,71 @@ def lane_gather_mul_t(xw, idx, vals, interpret: bool = False):
     )(xw, idx, vals)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "m", "interpret"))
-def lane_gather_mul_t_batched(xw, idx, vals, C: int, m: int,
+@functools.partial(jax.jit, static_argnames=("C", "m", "rep", "interpret"))
+def lane_gather_mul_t_batched(xw, idx, vals, C: int, m: int, rep: int = 1,
                               interpret: bool = False):
     """Batched-over-chunks phase-1 with per-chunk TRANSPOSED output.
 
-    xw/idx/vals: (C·m, 128) flat stacked chunks; returns (C·128, m) where
-    rows [c·128, (c+1)·128) hold chunk c's (128, m) transposed products —
-    the W1 wiring of each chunk's 5-stage route is then a free reshape.
-    One kernel call covers ALL chunks (grid = (C, m//r)), so multi-chunk
-    applies keep single-chunk program-switch economics."""
+    idx/vals: (C·m, 128) flat stacked chunks (shared); xw: (rep·C·m, 128)
+    rep-outer (one repeat per RHS column). Returns (rep·C·128, m) where
+    rows [(j·C + c)·128, ...) hold repeat j / chunk c's (128, m)
+    transposed products — the W1 wiring of each chunk's 5-stage route is
+    then a free reshape. One kernel call covers ALL chunks and repeats
+    (grid = (rep, C, m//r)), so multi-chunk/multi-RHS applies keep
+    single-chunk program-switch economics."""
     out_dtype = jnp.result_type(vals.dtype, xw.dtype)
     r = _tile_rows(m)
     if r == 0 or xw.shape[1] != 128:
-        g = jnp.take_along_axis(xw, idx.astype(jnp.int32), axis=1)
-        z = (vals * g).astype(out_dtype)
-        return z.reshape(C, m, 128).transpose(0, 2, 1).reshape(C * 128, m)
+        if rep == 1:
+            g = jnp.take_along_axis(xw, idx.astype(jnp.int32), axis=1)
+            z = (vals * g).astype(out_dtype)
+        else:
+            g = jnp.take_along_axis(xw.reshape(rep, C * m, 128),
+                                    idx.astype(jnp.int32)[None], axis=2)
+            z = (vals[None] * g).astype(out_dtype)
+        return z.reshape(rep * C, m, 128).transpose(0, 2, 1).reshape(
+            rep * C * 128, m)
     blocks = m // r
     return pl.pallas_call(
         _gather_mul_t_kernel,
-        grid=(C, blocks),
+        grid=(rep, C, blocks),
         in_specs=[
-            pl.BlockSpec((r, 128), lambda c, i: (c * blocks + i, 0),
+            pl.BlockSpec((r, 128),
+                         lambda j, c, i: ((j * C + c) * blocks + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, 128), lambda c, i: (c * blocks + i, 0),
+            pl.BlockSpec((r, 128), lambda j, c, i: (c * blocks + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, 128), lambda c, i: (c * blocks + i, 0),
+            pl.BlockSpec((r, 128), lambda j, c, i: (c * blocks + i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((128, r), lambda c, i: (c, i),
+        out_specs=pl.BlockSpec((128, r), lambda j, c, i: (j * C + c, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C * 128, m), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((rep * C * 128, m), out_dtype),
         interpret=interpret,
     )(xw, idx, vals)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def lane_gather_mul(xw, idx, vals, interpret: bool = False):
-    """out[i, l] = vals[i, l] * xw[i, idx[i, l]] — the phase-1 fused
-    gather+multiply (xw = per-window x blocks, idx = col % 128)."""
-    m = xw.shape[0]
+@functools.partial(jax.jit, static_argnames=("rep", "interpret"))
+def lane_gather_mul(xw, idx, vals, rep: int = 1, interpret: bool = False):
+    """out[i, l] = vals[i % R0, l] * xw[i, idx[i % R0, l]] — the phase-1
+    fused gather+multiply (xw = per-window x blocks, rep-outer over the
+    shared idx/vals; idx = col % 128)."""
+    m = idx.shape[0]
     out_dtype = jnp.result_type(vals.dtype, xw.dtype)
     r = _tile_rows(m)
     if r == 0 or xw.shape[1] != 128:
-        g = jnp.take_along_axis(xw, idx.astype(jnp.int32), axis=1)
-        return (vals * g).astype(out_dtype)
+        if rep == 1:
+            g = jnp.take_along_axis(xw, idx.astype(jnp.int32), axis=1)
+            return (vals * g).astype(out_dtype)
+        g = jnp.take_along_axis(xw.reshape(rep, m, 128),
+                                idx.astype(jnp.int32)[None], axis=2)
+        return (vals[None] * g).astype(out_dtype).reshape(rep * m, 128)
+    shared, repeated = _rep_specs(r, m // r)
     return pl.pallas_call(
         _gather_mul_kernel,
-        grid=(m // r,),
-        in_specs=[_specs(r), _specs(r), _specs(r)],
-        out_specs=_specs(r),
+        grid=(rep, m // r),
+        in_specs=[repeated, shared, shared],
+        out_specs=repeated,
         out_shape=jax.ShapeDtypeStruct(xw.shape, out_dtype),
         interpret=interpret,
     )(xw, idx, vals)

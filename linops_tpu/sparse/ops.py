@@ -479,19 +479,22 @@ class RoutedCSROperator(CSROperator):
                       else (self.routed_t, True, False)),
             }[mode]
             if prog is not None:
-                apply_fn = routed_matvec
+                from .routed import routed_matmat, routed_rmatmat
+
+                apply_fn = routed_matmat
                 if isinstance(prog, RoutedTranspose):
-                    apply_fn = routed_rmatvec
+                    apply_fn = routed_rmatmat
                     if conj_vals and jnp.iscomplexobj(prog.vals_pre):
                         prog = prog._replace(vals_pre=jnp.conj(prog.vals_pre))
                 elif conj_vals and jnp.iscomplexobj(prog.vals):
                     prog = prog._replace(vals=jnp.conj(prog.vals))
                 X = _conj(M) if conj_io else M
                 # use_pallas follows the REAL backend (the _on_tpu seam
-                # above exists so tests can exercise this branch on CPU)
+                # above exists so tests can exercise this branch on CPU).
+                # All k columns share ONE routing program (rep-grid
+                # kernels) instead of a sequential per-column lax.map.
                 up = None if jax.default_backend() == "tpu" else False
-                Y = jax.lax.map(
-                    lambda c: apply_fn(prog, c, use_pallas=up), X.T).T
+                Y = apply_fn(prog, X, use_pallas=up)
                 return _conj(Y) if conj_io else Y
         return super().apply_matrix(M, mode)
 
@@ -681,6 +684,17 @@ class BSROperator(_SparseBase):
             x = bsr_rmatvec_pallas(
                 blocks, d.block_cols, ub, nbcol, interpret=self._interpret()
             ).reshape(nbcol * bn)
+        elif self._windowed_eligible(ub.dtype):
+            # output beyond VMEM residency on a banded pattern: scatter
+            # into two sliding output windows (the same plan the forward
+            # windowed kernel fetches x through) instead of the
+            # ~0.45-of-ceiling XLA scatter path
+            from ..kernels.bsr_spmv import bsr_rmatvec_pallas_windowed
+
+            x = bsr_rmatvec_pallas_windowed(
+                blocks, self.cols_local, self.win_q, ub,
+                wb=self._wb, x_pad_blocks=self._x_pad_blocks, nbcol=nbcol,
+                interpret=self._interpret()).reshape(-1)[: nbcol * bn]
         else:
             x = bsr_rmatvec(blocks, d.block_cols, ub, nbcol).reshape(nbcol * bn)
         return x[: d.shape[1]]

@@ -48,7 +48,8 @@ from .formats import _register, check_int32_range
 from .routing import RADIX, clos_route
 
 __all__ = ["RoutedSpMV", "RoutedTranspose", "pack_routed_csr",
-           "routed_matvec", "routed_rmatvec", "CLOS_MAX_SLOTS"]
+           "routed_matvec", "routed_rmatvec", "routed_matmat",
+           "routed_rmatmat", "CLOS_MAX_SLOTS"]
 
 CLOS_MID = RADIX * RADIX          # 16384: largest 3-stage domain
 CLOS_MAX_SLOTS = RADIX ** 3       # 2^21: largest single routing domain
@@ -699,6 +700,21 @@ def _take(a, idx, use_pallas):
     return jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
 
 
+def _take_rep(a, idx, rep, use_pallas):
+    """Gather a (rep·R0, L) rep-outer array by a SHARED (R0, L) idx."""
+    if rep == 1:
+        return _take(a, idx, use_pallas)
+    if use_pallas and a.shape[1] == RADIX:
+        from ..kernels.lane_gather import lane_gather
+
+        return lane_gather(a, idx, rep=rep,
+                           interpret=use_pallas == "interpret")
+    m, L = idx.shape
+    return jnp.take_along_axis(
+        a.reshape(rep, m, L), idx.astype(jnp.int32)[None], axis=2
+    ).reshape(rep * m, L)
+
+
 def _route_and_sum(a, stages, use_pallas, g1_folded, w, pre_w1=False):
     """Crossbar chain on (m, 128) tiles — mirroring
     routing.py::clos_apply exactly (minus G1 when folded) — fused with the
@@ -748,71 +764,75 @@ def _route_and_sum(a, stages, use_pallas, g1_folded, w, pre_w1=False):
     return a.reshape(-1, w).sum(axis=1)
 
 
-def _route_and_sum_batched(a, stages, use_pallas, w, pre_w1):
+def _route_and_sum_batched(a, stages, use_pallas, w, pre_w1, rep=1):
     """Batched-over-chunks crossbar chain + final width-w slot reduction.
 
-    a: (C, m, 128) post-phase-1 products — or (C·128, m) flat per-chunk
-    transposed when ``pre_w1`` (the W1 wiring is then a reshape). stages:
-    per-stage (C, ...) int8 arrays. Every crossbar level runs as ONE
-    kernel whose grid spans all chunks, and every wiring is one batched
-    XLA transpose — multi-chunk applies keep single-chunk economics
-    instead of C serialized pipelines (262144² measured 4.05 vs 7.4
-    single-chunk Gnnz/s with the unrolled form). Returns (C, m·128/w).
+    a: (rep·C, m, 128) post-phase-1 products — or (rep·C·128, m) flat
+    per-chunk transposed when ``pre_w1`` (the W1 wiring is then a
+    reshape). stages: per-stage (C, ...) int8 arrays, SHARED across the
+    ``rep`` repeats (RHS columns — the routing program is column-
+    independent). Every crossbar level runs as ONE kernel whose grid
+    spans all chunks and repeats, and every wiring is one batched XLA
+    transpose — multi-chunk applies keep single-chunk economics instead
+    of C serialized pipelines (262144² measured 4.05 vs 7.4 single-chunk
+    Gnnz/s with the unrolled form). Returns (rep·C, m·128/w).
     """
-    C = stages[0].shape[0] if stages else a.shape[0]
-    m = a.shape[1]  # (C, m, 128) or, when pre_w1, (C·128, m)
+    C = stages[0].shape[0] if stages else a.shape[0] // rep
+    m = a.shape[1]  # (rep·C, m, 128) or, when pre_w1, (rep·C·128, m)
+    BT = rep * C
     interp = use_pallas == "interpret"
 
     def take_flat(arr2d, g):
-        return _take(arr2d, g.reshape(arr2d.shape[0], -1), use_pallas)
+        return _take_rep(arr2d, g.reshape(arr2d.shape[0] // rep, -1), rep,
+                         use_pallas)
 
     stages = list(stages)
     if stages and m <= RADIX:  # 3-stage: G3 on (128, m) windows, then G5
         assert not pre_w1
         g3, g5 = stages
-        at = a.transpose(0, 2, 1).reshape(C * RADIX, m)
-        at = _take(at, g3.reshape(C * RADIX, m),
-                   use_pallas if m == RADIX else False)
-        a = at.reshape(C, RADIX, m).transpose(0, 2, 1).reshape(C * m, RADIX)
+        at = a.transpose(0, 2, 1).reshape(BT * RADIX, m)
+        at = _take_rep(at, g3.reshape(C * RADIX, m), rep,
+                       use_pallas if m == RADIX else False)
+        a = at.reshape(BT, RADIX, m).transpose(0, 2, 1).reshape(BT * m, RADIX)
         if use_pallas:
             from ..kernels.lane_gather import lane_gather_sum
 
-            part = lane_gather_sum(a, g5.reshape(C * m, RADIX), w,
+            part = lane_gather_sum(a, g5.reshape(C * m, RADIX), w, rep=rep,
                                    interpret=interp)
-            return part.reshape(C, m * RADIX // w)
-        a = _take(a, g5.reshape(C * m, RADIX), False)
-        return a.reshape(C, -1, w).sum(axis=2)
+            return part.reshape(BT, m * RADIX // w)
+        a = _take_rep(a, g5.reshape(C * m, RADIX), rep, False)
+        return a.reshape(BT, -1, w).sum(axis=2)
     if not stages:
-        a = a.reshape(C, m, RADIX) if not pre_w1 else (
-            a.reshape(C, RADIX, m).transpose(0, 2, 1))
-        return a.reshape(C, -1, w).sum(axis=2)
+        a = a.reshape(BT, m, RADIX) if not pre_w1 else (
+            a.reshape(BT, RADIX, m).transpose(0, 2, 1))
+        return a.reshape(BT, -1, w).sum(axis=2)
 
     b = m // RADIX
     g2, g3, g4, g5 = stages
     if pre_w1:
-        a = a.reshape(C * RADIX * b, RADIX)  # W1 already materialized
+        a = a.reshape(BT * RADIX * b, RADIX)  # W1 already materialized
     else:
-        a = a.transpose(0, 2, 1).reshape(C * RADIX * b, RADIX)  # W1
+        a = a.transpose(0, 2, 1).reshape(BT * RADIX * b, RADIX)  # W1
     a = take_flat(a, g2)
-    a = a.reshape(C, RADIX, b, RADIX).transpose(0, 1, 3, 2).reshape(
-        C * RADIX * RADIX, b)  # W2
+    a = a.reshape(BT, RADIX, b, RADIX).transpose(0, 1, 3, 2).reshape(
+        BT * RADIX * RADIX, b)  # W2
     if b < RADIX:
         a = take_flat(jnp.pad(a, ((0, 0), (0, RADIX - b))), g3)[:, :b]
     else:
         a = take_flat(a, g3)
-    a = a.reshape(C, RADIX, RADIX, b).transpose(0, 1, 3, 2).reshape(
-        C * RADIX * b, RADIX)  # W2ᵀ
+    a = a.reshape(BT, RADIX, RADIX, b).transpose(0, 1, 3, 2).reshape(
+        BT * RADIX * b, RADIX)  # W2ᵀ
     a = take_flat(a, g4)
-    a = a.reshape(C, RADIX, b * RADIX).transpose(0, 2, 1).reshape(
-        C * m, RADIX)  # W1ᵀ
+    a = a.reshape(BT, RADIX, b * RADIX).transpose(0, 2, 1).reshape(
+        BT * m, RADIX)  # W1ᵀ
     if use_pallas:
         from ..kernels.lane_gather import lane_gather_sum
 
-        part = lane_gather_sum(a, g5.reshape(C * m, RADIX), w,
+        part = lane_gather_sum(a, g5.reshape(C * m, RADIX), w, rep=rep,
                                interpret=interp)
-        return part.reshape(C, m * RADIX // w)
-    a = _take(a, g5.reshape(C * m, RADIX), False)
-    return a.reshape(C, -1, w).sum(axis=2)
+        return part.reshape(BT, m * RADIX // w)
+    a = _take_rep(a, g5.reshape(C * m, RADIX), rep, False)
+    return a.reshape(BT, -1, w).sum(axis=2)
 
 
 def _chunk_partials(vals, lane_idx, win_block, stages, x2, w, use_pallas):
@@ -1012,3 +1032,165 @@ def routed_rmatvec(pt: RoutedTranspose, u, use_pallas=None):
     nb, Wb = pt.win_rows.shape
     y = S[pt.win_rows.reshape(-1)].reshape(nb, Wb, RADIX).sum(axis=1)
     return y.reshape(-1)[:n_c]
+
+
+def routed_matmat(p: RoutedSpMV, X, use_pallas=None):
+    """Y = A @ X (k RHS columns) through ONE shared routing program.
+
+    The crossbar index arrays, values, and combine boundaries are column-
+    independent, so the k columns ride the same program: every kernel
+    runs with a ``rep=k`` grid whose repeated operands stack column-outer
+    while the shared ones are fetched from a single HBM copy
+    (kernels/lane_gather.py::_rep_specs). Replaces the sequential
+    per-column ``lax.map`` (k × full matvec cost, VERDICT r3 item 6).
+    """
+    n_r, n_c = p.shape
+    X = jnp.asarray(X)
+    k = X.shape[1]
+    if k == 1:
+        return routed_matvec(p, X[:, 0], use_pallas=use_pallas)[:, None]
+    if p.passes:  # ReducePass fallback layouts: per-column loop (rare)
+        return jax.lax.map(
+            lambda c: routed_matvec(p, c, use_pallas=use_pallas), X.T).T
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and jnp.result_type(p.vals.dtype, X.dtype)
+            in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        )
+    interp = use_pallas == "interpret"
+    nb = -(-n_c // RADIX)
+    if X.shape[0] < nb * RADIX:
+        X = jnp.pad(X, ((0, nb * RADIX - X.shape[0]), (0, 0)))
+    X3 = X.reshape(nb, RADIX, k)
+
+    C, m = p.vals.shape[0], p.vals.shape[1]
+    five_stage = m > RADIX and len(p.stages) == 4
+    xw3 = X3[p.win_block.reshape(-1)]              # (C·m, 128, k)
+    xw = xw3.transpose(2, 0, 1).reshape(k * C * m, RADIX)  # column-outer
+    lane_flat = p.lane_idx.reshape(C * m, RADIX)
+    vals_flat = p.vals.reshape(C * m, RADIX)
+    if use_pallas and five_stage:
+        from ..kernels.lane_gather import lane_gather_mul_t_batched
+
+        at = lane_gather_mul_t_batched(xw, lane_flat, vals_flat, C, m,
+                                       rep=k, interpret=interp)
+        P = _route_and_sum_batched(at, p.stages, use_pallas, p.w,
+                                   pre_w1=True, rep=k)
+    else:
+        if use_pallas:
+            from ..kernels.lane_gather import lane_gather_mul
+
+            a = lane_gather_mul(xw, lane_flat, vals_flat, rep=k,
+                                interpret=interp)
+        else:
+            g = jnp.take_along_axis(xw.reshape(k, C * m, RADIX),
+                                    lane_flat.astype(jnp.int32)[None],
+                                    axis=2)
+            a = (vals_flat[None] * g).astype(
+                jnp.result_type(vals_flat.dtype, X.dtype)
+            ).reshape(k * C * m, RADIX)
+        P = _route_and_sum_batched(a.reshape(k * C, m, RADIX), p.stages,
+                                   use_pallas, p.w, pre_w1=False, rep=k)
+
+    S_pad = m * RADIX // p.w
+    P = P.reshape(k, C, S_pad)
+    kept = [P[:, c, :kc] for c, kc in enumerate(p.chunk_keep)]
+    q = kept[0] if len(kept) == 1 else jnp.concatenate(kept, axis=1)
+    if p.rowid is None:  # trivial: partials ARE rows
+        return q[:, :n_r].T
+    T8, K = p.rowid.shape
+    if q.shape[1] < T8 * K:
+        q = jnp.pad(q, ((0, 0), (0, T8 * K - q.shape[1])))
+    W = T8 * K // RADIX
+    if use_pallas and p.comb_lo is not None:
+        from ..kernels.lane_gather import lane_segsum
+
+        S = lane_segsum(q.reshape(k * W, RADIX), p.comb_lo, p.comb_hi,
+                        rep=k, interpret=interp)
+        y = S.reshape(k, T8, K // RADIX, RADIX).sum(axis=2).reshape(k, -1)
+    else:
+        rid = p.rowid.astype(jnp.int32)
+        seg = jnp.where(
+            rid >= 0,
+            jnp.arange(T8, dtype=jnp.int32)[:, None] * RADIX + rid,
+            T8 * RADIX)
+        y = jax.vmap(lambda qq: jax.ops.segment_sum(
+            qq, seg.reshape(-1), num_segments=T8 * RADIX))(q)
+    return y[:, :n_r].T
+
+
+def routed_rmatmat(pt: RoutedTranspose, U, use_pallas=None):
+    """Y = Aᵀ @ U (k RHS columns) through the shared derived-transpose
+    program — the rep-grid analogue of ``routed_rmatvec``."""
+    n_r, n_c = pt.shape
+    U = jnp.asarray(U)
+    k = U.shape[1]
+    if k == 1:
+        return routed_rmatvec(pt, U[:, 0], use_pallas=use_pallas)[:, None]
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and jnp.result_type(pt.vals_pre.dtype, U.dtype)
+            in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        )
+    interp = use_pallas == "interpret"
+    if U.shape[0] < pt.n_tiles * RADIX:
+        U = jnp.pad(U, ((0, pt.n_tiles * RADIX - U.shape[0]), (0, 0)))
+    U3 = U.reshape(pt.n_tiles, RADIX, k)
+
+    C, m, _ = pt.vals_pre.shape
+    uw3 = U3[pt.expand_tile.reshape(-1)]           # (C·m, 128, k)
+    uw = uw3.transpose(2, 0, 1).reshape(k * C * m, RADIX)
+    a = _take_rep(uw, pt.expand_idx.reshape(C * m, RADIX), k, use_pallas)
+    st = list(pt.stages_t)
+    BT = k * C
+    if st and m <= RADIX:
+        at = a.reshape(BT, m, RADIX).transpose(0, 2, 1).reshape(BT * RADIX, m)
+        at = _take_rep(at, st[0].reshape(C * RADIX, m), k,
+                       use_pallas if m == RADIX else False)
+        a = at.reshape(BT, RADIX, m).transpose(0, 2, 1).reshape(BT * m, RADIX)
+    elif st:
+        b = m // RADIX
+        ig4, ig3, ig2 = st
+        a = a.reshape(BT, m, RADIX).transpose(0, 2, 1).reshape(
+            BT * RADIX * b, RADIX)                                  # W1
+        a = _take_rep(a, ig4.reshape(C * RADIX * b, RADIX), k, use_pallas)
+        a = a.reshape(BT, RADIX, b, RADIX).transpose(0, 1, 3, 2).reshape(
+            BT * RADIX * RADIX, b)                                  # W2
+        if b < RADIX:
+            a = _take_rep(jnp.pad(a, ((0, 0), (0, RADIX - b))),
+                          ig3.reshape(C * RADIX * RADIX, RADIX), k,
+                          use_pallas)[:, :b]
+        else:
+            a = _take_rep(a, ig3.reshape(C * RADIX * RADIX, b), k,
+                          use_pallas)
+        a = a.reshape(BT, RADIX, RADIX, b).transpose(0, 1, 3, 2).reshape(
+            BT * RADIX * b, RADIX)                                  # W2ᵀ
+        a = _take_rep(a, ig2.reshape(C * RADIX * b, RADIX), k, use_pallas)
+        a = a.reshape(BT, RADIX, b * RADIX).transpose(0, 2, 1).reshape(
+            BT * m, RADIX)                                          # W1ᵀ
+    g1inv_flat = pt.g1inv.reshape(C * m, RADIX)
+    valsp_flat = pt.vals_pre.reshape(C * m, RADIX)
+    lo_flat = pt.bnd_lo.reshape(C * m, RADIX)
+    hi_flat = pt.bnd_hi.reshape(C * m, RADIX)
+    if use_pallas:
+        from ..kernels.lane_gather import lane_gather_mul_segsum
+
+        S = lane_gather_mul_segsum(a, g1inv_flat, valsp_flat, lo_flat,
+                                   hi_flat, rep=k, interpret=interp)
+    else:
+        from ..kernels.lane_gather import _segsum_from_z
+
+        g = jnp.take_along_axis(a.reshape(k, C * m, RADIX),
+                                g1inv_flat.astype(jnp.int32)[None], axis=2)
+        z = (valsp_flat[None] * g).astype(
+            jnp.result_type(valsp_flat.dtype, a.dtype))
+        S = _segsum_from_z(z, lo_flat[None], hi_flat[None],
+                           use_dot=False).reshape(k * C * m, RADIX)
+
+    S4 = S.reshape(k, C * m, RADIX)
+    Sz = jnp.concatenate([S4, jnp.zeros((k, 1, RADIX), S.dtype)], axis=1)
+    nb, Wb = pt.win_rows.shape
+    y = Sz[:, pt.win_rows.reshape(-1)].reshape(k, nb, Wb, RADIX).sum(axis=2)
+    return y.reshape(k, -1)[:, :n_c].T

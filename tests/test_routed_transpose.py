@@ -203,3 +203,77 @@ def test_derived_transpose_skew_guard():
     y = np.asarray(routed_matvec(fwd, rng.standard_normal(n),
                                  use_pallas=False))
     assert np.isfinite(y).all()
+
+
+@pytest.mark.parametrize("regime", ["3stage", "5stage", "trivial", "chunked"])
+def test_routed_spmm_shared_program(monkeypatch, regime):
+    """routed_matmat/rmatmat: k RHS columns share ONE routing program via
+    the rep-grid kernels (VERDICT r3 item 6) — vs dense oracle, XLA and
+    interpret-mode Pallas paths, all layout regimes."""
+    from linops_tpu.sparse.routed import routed_matmat, routed_rmatmat
+
+    rng = np.random.default_rng(hash(regime) % 2**31)
+    if regime == "chunked":
+        monkeypatch.setattr(R, "CLOS_MAX_SLOTS", 16384)
+        n_r = n_c = 6000
+        ks = rng.integers(0, 12, size=n_r)
+        w = "auto"
+    elif regime == "trivial":
+        n_r = n_c = 600
+        ks = rng.integers(1, 4, size=n_r)
+        w = 4
+    elif regime == "5stage":
+        n_r, n_c = 5000, 4000
+        ks = rng.integers(0, 10, size=n_r)
+        w = "auto"
+    else:
+        n_r, n_c = 700, 900
+        ks = rng.integers(0, 9, size=n_r)
+        w = "auto"
+    cols = np.concatenate(
+        [np.sort(rng.choice(n_c, k, replace=False)) for k in ks])
+    indptr = np.concatenate([[0], np.cumsum(ks)])
+    vals = rng.standard_normal(indptr[-1])
+    A = scipy_sparse.csr_matrix((vals, cols, indptr), shape=(n_r, n_c))
+    fwd, der = pack_routed_csr(vals, cols, indptr, (n_r, n_c), w=w,
+                               with_transpose=True)
+    if regime == "chunked":
+        assert fwd.vals.shape[0] > 1
+    k = 5
+    X = rng.standard_normal((n_c, k))
+    U = rng.standard_normal((n_r, k))
+    Y = np.asarray(routed_matmat(fwd, X, use_pallas=False))
+    np.testing.assert_allclose(Y, A @ X, rtol=1e-11, atol=1e-11)
+    Yt = np.asarray(routed_rmatmat(der, U, use_pallas=False))
+    np.testing.assert_allclose(Yt, A.T @ U, rtol=1e-11, atol=1e-11)
+    # interpret mode drives the rep-grid Pallas kernels themselves
+    f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+    Yi = np.asarray(routed_matmat(fwd._replace(vals=f32(fwd.vals)),
+                                  f32(X), use_pallas="interpret"))
+    ref = A @ X
+    np.testing.assert_allclose(Yi, ref, rtol=5e-4,
+                               atol=2e-4 * np.abs(ref).max())
+    Yti = np.asarray(routed_rmatmat(
+        der._replace(vals_pre=f32(der.vals_pre)), f32(U),
+        use_pallas="interpret"))
+    reft = A.T @ U
+    np.testing.assert_allclose(Yti, reft, rtol=5e-4,
+                               atol=2e-4 * np.abs(reft).max())
+
+
+def test_routed_operator_matmat_all_modes(monkeypatch):
+    """apply_matrix on the routed operator uses the shared-program SpMM
+    for every mode (N/T/C/H), complex included."""
+    rng = np.random.default_rng(17)
+    A = _random_csr(400, 300, 0.03, seed=13).astype(np.complex128)
+    A.data[:] = rng.standard_normal(A.nnz) + 1j * rng.standard_normal(A.nnz)
+    monkeypatch.setattr(sops, "_on_tpu", lambda: True)
+    op = sops.RoutedCSROperator(lo.opSparse(A, format="routed").data)
+    Ad = A.toarray()
+    X = rng.standard_normal((300, 4)) + 1j * rng.standard_normal((300, 4))
+    U = rng.standard_normal((400, 4)) + 1j * rng.standard_normal((400, 4))
+    for mode, ref in (("N", Ad @ X), ("C", Ad.conj() @ X),
+                      ("T", Ad.T @ U), ("H", Ad.conj().T @ U)):
+        M = X if mode in ("N", "C") else U
+        got = np.asarray(op.apply_matrix(jnp.asarray(M), mode=mode))
+        np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-11)

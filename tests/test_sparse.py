@@ -483,3 +483,43 @@ def test_bsr_window_plan_refuses_real_col0_in_pad_slot():
     unsorted = np.array([[30, 5]] * 16, np.int32)        # plainly unsorted
     assert bsr_window_plan(unsorted, R=8, nbcol=64,
                            blocks=real0) is None
+
+
+def test_bsr_windowed_transpose(monkeypatch, rng):
+    """Transpose with output beyond the VMEM residency bound on a banded
+    pattern routes to the sliding-window scatter kernel (interpret mode on
+    CPU); unvisited window blocks must come out exactly zero (where-mask,
+    not multiply) and visited ones must match the XLA path."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    import linops_tpu.kernels.bsr_spmv as BK
+
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_X_ELEMS", 2048)
+    n = 40 * 128
+    A = np.zeros((n, n), np.float32)
+    for bi in range(n // 8):
+        j0 = int(bi * 37 / (n // 8))
+        for k in range(3):
+            A[bi * 8:(bi + 1) * 8, (j0 + k) * 128:(j0 + k + 1) * 128] = (
+                rng.standard_normal((8, 128)).astype(np.float32))
+    op = lo.opSparse(scipy_sparse.csr_matrix(A), format="bsr",
+                     block_shape=(8, 128), backend="pallas")
+    assert op.win_q is not None and op._wb > 0
+    u = rng.standard_normal(n).astype(np.float32)
+    yt = np.asarray(op.T @ u)
+    ref = A.T @ u
+    np.testing.assert_allclose(yt, ref, rtol=3e-6, atol=3e-5)
+
+    # a matrix whose band skips some windows: unvisited blocks stay zero
+    B = np.zeros((n, n), np.float32)
+    for bi in range(n // 8):
+        j0 = (0 if bi < n // 16 else 30)  # jump in q
+        B[bi * 8:(bi + 1) * 8, j0 * 128:(j0 + 2) * 128] = (
+            rng.standard_normal((8, 256)).astype(np.float32))
+    opB = lo.opSparse(scipy_sparse.csr_matrix(B), format="bsr",
+                      block_shape=(8, 128), backend="pallas")
+    if opB.win_q is not None:
+        ytB = np.asarray(opB.T @ u)
+        refB = B.T @ u
+        np.testing.assert_allclose(ytB, refB, rtol=3e-6, atol=3e-5)
+        dead = np.abs(refB) == 0
+        assert np.abs(ytB[dead]).max(initial=0.0) == 0.0
