@@ -59,7 +59,9 @@ __all__ = [
     "bsr_matvec_pallas_windowed",
     "bsr_rmatvec_pallas",
     "bsr_rmatvec_pallas_windowed",
+    "bsr_matvec_pallas_multiwin",
     "bsr_window_plan",
+    "bsr_window_plan_multi",
     "bsr_pallas_rows_per_program",
     "BSR_PALLAS_MAX_X_ELEMS",
     "BSR_PALLAS_MAX_WINDOW_BLOCKS",
@@ -253,6 +255,35 @@ def bsr_windowed_rows_per_program(bm: int, kmax: int, bn: int, itemsize: int,
     return r
 
 
+def _validated_real_slots(cols, blocks):
+    """Real-slot mask shared by the window planners.
+
+    k-slot padding carries block-col 0 after the sorted real cols
+    (native/bsr_pack.cpp) and its all-zero blocks nullify any gather, so
+    only slot 0 is unconditionally treated as real. A hand-built BSR could
+    carry a REAL block at block-col 0 in a later slot, which the mask would
+    treat as padding (and a plan built on it would drop its contribution).
+    The ambiguity is resolved by the ground truth: padding blocks are
+    all-zero. Returns the mask, or None unless every nonzero-valued slot is
+    marked real (one device reduction over the suspicious slots only)."""
+    kmax = cols.shape[1]
+    real = np.ones_like(cols, dtype=bool)
+    real[:, 1:] = cols[:, 1:] != 0
+    if kmax > 1 and (~real).any():
+        if blocks is None:
+            return None
+        import jax.numpy as _jnp
+
+        # one construction-time device pass over the blocks (per-block
+        # any-nonzero, then masked any over the suspicious slots) plus one
+        # scalar fetch — pads are spread across all rows, so any exact
+        # validation must read them all once
+        blk_nonzero = _jnp.any(_jnp.asarray(blocks) != 0, axis=(2, 3))
+        if bool(_jnp.any(blk_nonzero & _jnp.asarray(~real))):
+            return None  # a "pad" slot holds a real block
+    return real
+
+
 def bsr_window_plan(block_cols, R: int, nbcol: int,
                     wb_max: int = BSR_PALLAS_MAX_WINDOW_BLOCKS,
                     blocks=None):
@@ -273,32 +304,15 @@ def bsr_window_plan(block_cols, R: int, nbcol: int,
     if nbrow % R:
         return None
     ngroups = nbrow // R
-    real = np.ones_like(cols, dtype=bool)
-    real[:, 1:] = cols[:, 1:] != 0
-    # the pad convention (zeros AFTER sorted real cols) only holds for
-    # packer-built operators; a hand-built BSR could carry a REAL block at
-    # block-col 0 in a later slot, which the mask would treat as padding
-    # and gather from the wrong window. The ambiguity is resolved by the
-    # ground truth: padding blocks are all-zero. Refuse the plan unless
-    # every nonzero-valued slot is marked real (one device reduction over
-    # the suspicious slots only) and the real cols are nondecreasing.
+    real = _validated_real_slots(cols, blocks)
+    if real is None:
+        return None
+    # banded plan additionally needs real cols nondecreasing (local
+    # offsets below assume sorted-within-row storage)
     if kmax > 1:
         d_ok = (cols[:, 1:] >= cols[:, :-1]) | ~real[:, 1:]
         if not bool(d_ok.all()):
             return None
-        if (~real).any():
-            if blocks is None:
-                return None
-            import jax.numpy as _jnp
-
-            # one construction-time device pass over the blocks (per-block
-            # any-nonzero, then masked any over the suspicious slots) plus
-            # one scalar fetch — pads are spread across all rows, so any
-            # exact validation must read them all once
-            blk_nonzero = _jnp.any(_jnp.asarray(blocks) != 0, axis=(2, 3))
-            bad = _jnp.any(blk_nonzero & _jnp.asarray(~real))
-            if bool(bad):
-                return None  # a "pad" slot holds a real block
     cg = cols.reshape(ngroups, -1)
     rg = real.reshape(ngroups, -1)
     mn = np.where(rg, cg, np.iinfo(np.int32).max).min(axis=1)
@@ -325,6 +339,75 @@ def bsr_window_plan(block_cols, R: int, nbcol: int,
                            -(-nbcol // wb) * wb))
     return (q.astype(np.int32), cols_local.astype(np.int32), int(wb),
             x_pad_blocks)
+
+
+# A mostly-banded pattern (e.g. RCM-reordered SuiteSparse) may need more
+# than one contiguous window per row group; up to 4 independently
+# addressed windows keep the Pallas path (VERDICT r3 item 4).
+BSR_PALLAS_MAX_WINDOWS = 4
+
+
+def bsr_window_plan_multi(block_cols, R: int, nbcol: int,
+                          wb_max: int = BSR_PALLAS_MAX_WINDOW_BLOCKS,
+                          blocks=None,
+                          max_windows: int = BSR_PALLAS_MAX_WINDOWS):
+    """Generalized window plan: up to ``max_windows`` INDEPENDENTLY
+    addressed (wb, bn) x-windows per R-row group (the banded plan's two
+    windows are forced adjacent). Covers "mostly banded after RCM"
+    patterns — a band plus a few far-off column clusters per group.
+
+    Picks the (wb, W) pair minimizing per-step window traffic W·wb over
+    power-of-two widths whose per-group distinct-window count fits
+    ``max_windows``. Groups touching fewer than W windows point their
+    spare lanes at a DUMP window past every real column (its selector
+    matches nothing, so duplicates cannot double-count).
+
+    Returns (win_q int32 (W, ngroups), wb, x_pad_blocks) or None. The
+    apply kernel (``bsr_matvec_pallas_multiwin``) matches GLOBAL block
+    cols against q·wb offsets, so no local-column array is needed.
+    """
+    cols = np.asarray(block_cols)
+    nbrow, kmax = cols.shape
+    if nbrow % R:
+        return None
+    ngroups = nbrow // R
+    real = _validated_real_slots(cols, blocks)
+    if real is None:
+        return None
+    # sort cols once: x // wb is monotone in x, so every per-wb window
+    # array below is already sorted (the -1 pad sentinel sorts first and
+    # floor-divides to itself)
+    base = np.sort(np.where(real, cols, -1).reshape(ngroups, -1)
+                   .astype(np.int64), axis=1)
+    best = None
+    wb = 8
+    while wb <= wb_max:
+        ws = base // wb
+        distinct = ((ws[:, 1:] != ws[:, :-1]) & (ws[:, 1:] >= 0)).sum(axis=1)
+        distinct += ws[:, 0] >= 0  # first element counts unless sentinel
+        W = int(distinct.max(initial=1))
+        if 1 <= W <= max_windows and W * wb <= 2 * BSR_PALLAS_MAX_WINDOW_BLOCKS:
+            cost = W * wb
+            if best is None or cost < best[0]:
+                best = (cost, wb, W)
+        wb *= 2
+    if best is None:
+        return None
+    _, wb, W = best
+    W = max(W, 1)
+    ws = base // wb
+    # dump window: one past every real column (and past nbcol, so padded-x
+    # content is irrelevant — its selector can never match a real col)
+    pad_win = max(int(ws.max(initial=-1)), (nbcol - 1) // wb) + 1
+    win_q = np.full((W, ngroups), pad_win, np.int64)
+    is_new = np.ones_like(ws, bool)
+    is_new[:, 1:] = ws[:, 1:] != ws[:, :-1]
+    is_new &= ws >= 0
+    pos = np.cumsum(is_new, axis=1) - 1
+    gi, si = np.nonzero(is_new)
+    win_q[pos[gi, si], gi] = ws[gi, si]
+    x_pad_blocks = (pad_win + 1) * wb
+    return win_q.astype(np.int32), int(wb), int(x_pad_blocks)
 
 
 def _fwd_kernel_onehot_win(kmax: int, fast: bool, q_ref, cols_ref, xlo_ref,
@@ -373,6 +456,65 @@ def bsr_matvec_pallas_windowed(blocks, cols_local, win_q, x_blocks, *,
         out_shape=jax.ShapeDtypeStruct((nbrow, bm), dtype),
         interpret=interpret,
     )(win_q, cols_flat, xb, xb, blocks_flat)
+
+
+def _fwd_kernel_onehot_multiwin(kmax: int, fast: bool, wb: int, nwin: int,
+                                q_ref, cols_ref, *refs):
+    """Forward gather against ``nwin`` independently addressed x windows:
+    window w covers global block-cols [q[w,i]·wb, (q[w,i]+1)·wb), so the
+    selector compares GLOBAL cols against a traced offset. Dump-window
+    lanes (plan) match nothing — summing the window gathers reconstructs
+    the full-x gather exactly."""
+    xs, blocks_ref, y_ref = refs[:nwin], refs[-2], refs[-1]
+    i = pl.program_id(0)
+    xg = None
+    for w, xr in enumerate(xs):
+        g = _onehot_gather_offset(cols_ref, xr, y_ref.dtype, fast,
+                                  q_ref[w, i] * wb)
+        xg = g if xg is None else xg + g
+    z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm)
+    y_ref[...] = _group_ksum(z, kmax, y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("wb", "x_pad_blocks",
+                                             "interpret", "fast"))
+def bsr_matvec_pallas_multiwin(blocks, block_cols, win_q, x_blocks, *,
+                               wb: int, x_pad_blocks: int,
+                               interpret=False, fast=False):
+    """Forward BSR SpMV with x streamed as W scalar-prefetch-selected
+    (wb, bn) windows per R-row group — the mostly-banded generalization of
+    ``bsr_matvec_pallas_windowed``; plan: ``bsr_window_plan_multi``."""
+    nbrow, kmax, bm, bn = blocks.shape
+    W = win_q.shape[0]
+    R = bsr_windowed_rows_per_program(bm, kmax, bn, blocks.dtype.itemsize,
+                                      nbrow)
+    dtype = jnp.result_type(blocks.dtype, x_blocks.dtype)
+    if x_blocks.shape[0] < x_pad_blocks:
+        x_blocks = jnp.pad(
+            x_blocks, ((0, x_pad_blocks - x_blocks.shape[0]), (0, 0)))
+    blocks_flat = blocks.reshape(nbrow * kmax, bm, bn)
+    cols_flat = block_cols.reshape(nbrow * kmax, 1)
+    xb = x_blocks.astype(dtype)
+
+    def win_spec(w):
+        return pl.BlockSpec((wb, bn), lambda i, q, w=w: (q[w, i], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbrow // R,),
+        in_specs=[
+            pl.BlockSpec((R * kmax, 1), lambda i, q: (i, 0)),
+            *[win_spec(w) for w in range(W)],
+            pl.BlockSpec((R * kmax, bm, bn), lambda i, q: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, bm), lambda i, q: (i, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_onehot_multiwin, kmax, fast, wb, W),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbrow, bm), dtype),
+        interpret=interpret,
+    )(win_q, cols_flat, *([xb] * W), blocks_flat)
 
 
 def _t_kernel_onehot(kmax: int, cols_t_ref, u_ref, blocks_ref, out_ref):

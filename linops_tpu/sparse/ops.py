@@ -561,26 +561,42 @@ class BSROperator(_SparseBase):
             # patterns, e.g. after RCM) so the forward apply stays on the
             # Pallas path instead of the 0.70-roofline XLA gather
             if win_q is None and not isinstance(cols, jax.core.Tracer):
-                from ..kernels.bsr_spmv import (BSR_PALLAS_MAX_X_ELEMS,
-                                                bsr_window_plan)
+                from ..kernels import bsr_spmv as _bk
 
                 bm, bn = self.data.block_shape
                 nbcol = -(-data.shape[1] // bn)
-                if nbcol * bn > BSR_PALLAS_MAX_X_ELEMS:
-                    from ..kernels.bsr_spmv import bsr_windowed_rows_per_program
-
-                    Rw = bsr_windowed_rows_per_program(
+                if nbcol * bn > _bk.BSR_PALLAS_MAX_X_ELEMS:
+                    Rw = _bk.bsr_windowed_rows_per_program(
                         bm, self.data.blocks.shape[1], bn,
                         jnp.dtype(self.data.blocks.dtype).itemsize,
                         self.data.blocks.shape[0])
-                    plan = bsr_window_plan(self.data.block_cols, Rw, nbcol,
-                                           blocks=self.data.blocks)
+                    # wb_max passed explicitly so the LIVE module constant
+                    # governs (a def-time default would pin the value and
+                    # make it untestable/untunable)
+                    plan = _bk.bsr_window_plan(
+                        self.data.block_cols, Rw, nbcol,
+                        wb_max=_bk.BSR_PALLAS_MAX_WINDOW_BLOCKS,
+                        blocks=self.data.blocks)
                     if plan is not None:
                         q, cl, wb, xpb = plan
                         self.win_q = jnp.asarray(q)
                         self.cols_local = jnp.asarray(cl)
                         self._wb = wb
                         self._x_pad_blocks = xpb
+                    else:
+                        # mostly-banded (band + outlier column clusters):
+                        # up to 4 independently addressed windows keep the
+                        # forward on the Pallas path (transpose falls back
+                        # to XLA — cols_local None marks the multi plan)
+                        planm = _bk.bsr_window_plan_multi(
+                            self.data.block_cols, Rw, nbcol,
+                            wb_max=_bk.BSR_PALLAS_MAX_WINDOW_BLOCKS,
+                            blocks=self.data.blocks)
+                        if planm is not None:
+                            qm, wb, xpb = planm
+                            self.win_q = jnp.asarray(qm)
+                            self._wb = wb
+                            self._x_pad_blocks = xpb
 
     # --- kernel eligibility (host-side; aux + shapes only, so the decision
     # is baked into the jit cache key via the operator's structure) ---
@@ -635,9 +651,11 @@ class BSROperator(_SparseBase):
             v = jnp.pad(v, (0, need - v.shape[0]))
         return v
 
-    def _windowed_eligible(self, x_dtype) -> bool:
+    def _windowed_eligible(self, x_dtype, transpose: bool = False) -> bool:
         if self.win_q is None or self._backend == "xla":
             return False
+        if transpose and self.cols_local is None:
+            return False  # multi-window plan is forward-only
         res = jnp.dtype(jnp.result_type(self.data.blocks.dtype, x_dtype))
         if res not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
             return False
@@ -660,14 +678,24 @@ class BSROperator(_SparseBase):
         elif self._windowed_eligible(xb.dtype):
             # x beyond VMEM residency on a banded pattern: sliding-window
             # Pallas kernel (kernels/bsr_spmv.py::bsr_matvec_pallas_windowed)
-            from ..kernels.bsr_spmv import bsr_matvec_pallas_windowed
+            if self.cols_local is None:  # mostly-banded multi-window plan
+                from ..kernels.bsr_spmv import bsr_matvec_pallas_multiwin
 
-            y = bsr_matvec_pallas_windowed(
-                d.blocks, self.cols_local, self.win_q, xb,
-                wb=self._wb, x_pad_blocks=self._x_pad_blocks,
-                interpret=self._interpret(),
-                fast=self._backend == "pallas_fast",
-            ).reshape(nbrow * bm)
+                y = bsr_matvec_pallas_multiwin(
+                    d.blocks, d.block_cols, self.win_q, xb,
+                    wb=self._wb, x_pad_blocks=self._x_pad_blocks,
+                    interpret=self._interpret(),
+                    fast=self._backend == "pallas_fast",
+                ).reshape(nbrow * bm)
+            else:
+                from ..kernels.bsr_spmv import bsr_matvec_pallas_windowed
+
+                y = bsr_matvec_pallas_windowed(
+                    d.blocks, self.cols_local, self.win_q, xb,
+                    wb=self._wb, x_pad_blocks=self._x_pad_blocks,
+                    interpret=self._interpret(),
+                    fast=self._backend == "pallas_fast",
+                ).reshape(nbrow * bm)
         else:
             y = bsr_matvec(d.blocks, d.block_cols, xb).reshape(nbrow * bm)
         return y[: d.shape[0]]
@@ -684,7 +712,7 @@ class BSROperator(_SparseBase):
             x = bsr_rmatvec_pallas(
                 blocks, d.block_cols, ub, nbcol, interpret=self._interpret()
             ).reshape(nbcol * bn)
-        elif self._windowed_eligible(ub.dtype):
+        elif self._windowed_eligible(ub.dtype, transpose=True):
             # output beyond VMEM residency on a banded pattern: scatter
             # into two sliding output windows (the same plan the forward
             # windowed kernel fetches x through) instead of the

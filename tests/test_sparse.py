@@ -467,6 +467,73 @@ def test_bsr_windowed_forward(monkeypatch, rng):
     np.testing.assert_allclose(np.asarray(op2 * v2), S @ v2, rtol=3e-6, atol=3e-5)
 
 
+def test_bsr_multiwindow_forward(monkeypatch, rng):
+    """Mostly-banded pattern (band + a far-off column cluster per stripe,
+    e.g. RCM leftovers): the banded plan refuses (span exceeds its single
+    window cap) but the multi-window plan keeps the forward on the Pallas
+    path with independently addressed windows; transpose stays correct via
+    the XLA fallback (multi plan is forward-only)."""
+    import linops_tpu.kernels.bsr_spmv as BK
+    from linops_tpu.sparse.formats import BSR
+    from linops_tpu.sparse.ops import BSROperator
+
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_X_ELEMS", 2048)
+    nbrow, kmax, bm, bn = 256, 3, 8, 128
+    nbcol = 4608  # span to the far cluster > banded wb_max (4096)
+    cols = np.zeros((nbrow, kmax), np.int32)
+    for bi in range(nbrow):
+        j0 = bi // 8                      # slow band
+        jc = 4400 + (bi % 16) * 8         # far-off outlier cluster
+        cols[bi] = sorted([j0, j0 + 1, jc])
+    blocks = rng.standard_normal((nbrow, kmax, bm, bn)).astype(np.float32)
+    data = BSR(blocks=jnp.asarray(blocks), block_cols=jnp.asarray(cols),
+               shape=(nbrow * bm, nbcol * bn))
+    op = BSROperator(data, backend="pallas")
+    assert op.win_q is not None and op.cols_local is None
+    assert op.win_q.ndim == 2 and op._wb > 0
+    x = rng.standard_normal(nbcol * bn).astype(np.float32)
+    ref = np.zeros(nbrow * bm, np.float32)
+    for bi in range(nbrow):
+        for k in range(kmax):
+            c = cols[bi, k]
+            ref[bi * bm:(bi + 1) * bm] += (
+                blocks[bi, k] @ x[c * bn:(c + 1) * bn])
+    np.testing.assert_allclose(np.asarray(op * x), ref,
+                               rtol=3e-6, atol=3e-5)
+    u = rng.standard_normal(nbrow * bm).astype(np.float32)
+    reft = np.zeros(nbcol * bn, np.float32)
+    for bi in range(nbrow):
+        for k in range(kmax):
+            c = cols[bi, k]
+            reft[c * bn:(c + 1) * bn] += (
+                blocks[bi, k].T @ u[bi * bm:(bi + 1) * bm])
+    np.testing.assert_allclose(np.asarray(op.T @ u), reft,
+                               rtol=3e-6, atol=3e-5)
+
+
+def test_bsr_window_plan_multi_units():
+    """Planner unit cases: dump-window lanes must be collision-free, W
+    must fit, scattered patterns must refuse under a tight window cap."""
+    from linops_tpu.kernels.bsr_spmv import bsr_window_plan_multi
+
+    # two clusters far apart -> W=2 at small wb
+    cols = np.stack([np.full(16, 3), np.full(16, 900)], axis=1).astype(
+        np.int32)
+    plan = bsr_window_plan_multi(cols, R=8, nbcol=1024, wb_max=64)
+    assert plan is not None
+    q, wb, xpb = plan
+    assert q.shape[0] <= 4 and xpb % wb == 0
+    # every real col is covered by some lane's window
+    for g in range(q.shape[1]):
+        for c in (3, 900):
+            assert any(q[w, g] * wb <= c < (q[w, g] + 1) * wb
+                       for w in range(q.shape[0]))
+    # scattered: >4 clusters per group under a tight cap -> refuse
+    cols_s = (np.arange(16)[:, None] * 977 % 8000).astype(np.int32)
+    assert bsr_window_plan_multi(cols_s, R=16, nbcol=8192, wb_max=8,
+                                 max_windows=4) is None
+
+
 def test_bsr_window_plan_refuses_real_col0_in_pad_slot():
     """Regression: a hand-built BSR can carry a REAL block at block-col 0
     in a non-first slot, which looks identical to padding from the cols
