@@ -155,6 +155,15 @@ void edge_color(Sub& G, int64_t deg, int64_t base, int64_t* colors,
     std::vector<uint8_t> visited;
     euler_split(G, n, deg, side.data(), ptr_s, ptr_d, visited);
   }
+  if (deg == 2) {
+    // deepest level (most total edges): the split IS the 2-coloring —
+    // each half is 1-regular, so its recursion would only assign a
+    // constant. Writing colors here skips the level's partition (7
+    // linear passes) and two deg-1 recursions; outputs are identical.
+    for (int64_t i = 0; i < n; i++)
+      colors[G.ids[i]] = side[i] ? base : base + 1;
+    return;
+  }
   Sub A, B;
   {
     std::vector<int32_t> newidx;
