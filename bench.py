@@ -462,6 +462,43 @@ def main():
         tMT = _marginal_apply_time(opM, vm, reps=2, mode="T")
         detail["routed_multichunk_T_gnnz_per_s"] = round(nnzm / tMT / 1e9, 3)
 
+    def sec_spmv_windowed():
+        # large-n banded BSR (x beyond VMEM residency): the sliding-window
+        # Pallas kernels, forward + transpose (VERDICT r3 items 3/4).
+        # Blocks are generated ON DEVICE (4.3 GB; host uploads through the
+        # relay are far too slow) and freed at section exit.
+        nw = 1 << 22
+        bm, bn, kmax = 8, 128, 2
+        nbrow, nbcol = nw // bm, nw // bn
+        bi = np.arange(nbrow, dtype=np.int64)
+        q0 = (bi * (nbcol - kmax)) // max(nbrow - 1, 1)
+        bc = np.minimum((q0[:, None] + np.arange(kmax)[None, :]), nbcol - 1)
+        blocks_w = jax.random.normal(
+            jax.random.PRNGKey(11), (nbrow, kmax, bm, bn), jnp.float32)
+        _sync(blocks_w)
+        opW = lo.BSROperator(BSR(blocks=blocks_w,
+                                 block_cols=jnp.asarray(bc.astype(np.int32)),
+                                 shape=(nw, nw)))
+        if opW.win_q is None:
+            detail["spmv_windowed_skipped"] = "no window plan"
+            return
+        detail["spmv_windowed_n"] = nw
+        byts = float(blocks_w.size * 4)
+        vw = jnp.ones((nw,), jnp.float32)
+
+        def ch(o, v, iters, mode):
+            return lo.matvec_chain(o, v, iters, mode=mode)
+
+        tWf = marginal_chain_time(
+            lambda o, v, iters: ch(o, v, iters, "N"), opW, vw,
+            iters_short=5, iters_long=35, reps=2)
+        detail["spmv_windowed_gbs"] = round(byts / tWf / 1e9, 1)
+        if _budget_left():
+            tWt = marginal_chain_time(
+                lambda o, v, iters: ch(o, v, iters, "T"), opW, vw,
+                iters_short=5, iters_long=35, reps=2)
+            detail["spmv_windowed_T_gbs"] = round(byts / tWt / 1e9, 1)
+
     def sec_permutation():
         # Clos-routed permutation operator vs the XLA fancy-index gather
         # (ops/permutation.py) at n = 1M
@@ -668,6 +705,7 @@ def main():
     section("lobpcg", sec_lobpcg)
     section("routed_unstructured", sec_routed_unstructured)
     section("routed_multichunk", sec_routed_multichunk)
+    section("spmv_windowed", sec_spmv_windowed)
     section("permutation", sec_permutation)
     section("csr_unstructured", sec_csr_unstructured)
 
