@@ -409,6 +409,15 @@ def main():
         detail["routed_pack_t_s"] = round(max(t_pack_ft - t_pack_f, 0.0), 2)
         detail["routed_pack_t_x_fwd"] = round(
             max(t_pack_ft - t_pack_f, 0.0) / max(t_pack_f, 1e-9), 2)
+        # disambiguate layout cost from host->device transfer: upload an
+        # equivalent byte volume (the relay moves ~5-10 MB/s, dwarfing the
+        # CPU pack on this rig; production PCIe is ~3 orders faster)
+        prog_bytes = sum(
+            leaf.nbytes for leaf in jax.tree_util.tree_leaves(opR.routed))
+        t0 = time.perf_counter()
+        _sync(jax.device_put(np.zeros(prog_bytes, np.uint8)))
+        detail["routed_upload_equiv_s"] = round(time.perf_counter() - t0, 2)
+        detail["routed_prog_mb"] = round(prog_bytes / 1e6, 1)
         vu = jnp.ones((nu,), dtype)
         tR = _marginal_apply_time(opR, vu, reps=3)
         detail["routed_unstructured_n"] = nu

@@ -766,9 +766,11 @@ for _cls in (COOOperator, CSROperator, ELLOperator, BSROperator,
 _BSR_AUTO_CANDIDATES = ((128, 128), (32, 128), (16, 128), (8, 128))
 
 # format="auto" only picks the Clos-routed layout below this nnz count:
-# packing costs ~3 s per 1M nnz with the native (C++) router — acceptable
-# for an explicit format="routed", surprising for silent auto-routing
-ROUTED_AUTO_MAX_NNZ = 2_000_000
+# packing costs ~0.9 s per 1M nnz (native router + derived transpose) —
+# acceptable for an explicit format="routed", surprising beyond a few
+# seconds for silent auto-routing. Multi-chunk applies are validated to
+# ~4.2M nnz at ~9 Gnnz/s (262144², tools/tpu_r4_batch2.py).
+ROUTED_AUTO_MAX_NNZ = 4_000_000
 
 
 def _auto_block_shape(sp, return_stored: bool = False, dtype=None):
