@@ -397,14 +397,14 @@ def main():
         vals_u = rng.standard_normal(nnzu).astype(np.float32)
         from linops_tpu.sparse.formats import csr_from_parts
 
-        data_u = csr_from_parts(vals_u, cols_u.astype(np.int32),
-                                indptr_u.astype(np.int32), (nu, nu))
+        hp = (vals_u, cols_u.astype(np.int32), indptr_u.astype(np.int32))
+        data_u = csr_from_parts(*hp, (nu, nu))
         t0 = time.perf_counter()
-        lo.RoutedCSROperator(data_u, defer_transpose=True)
+        lo.RoutedCSROperator(data_u, defer_transpose=True, host_parts=hp)
         t_pack_f = time.perf_counter() - t0
         detail["routed_pack_s"] = round(t_pack_f, 2)  # forward only
         t0 = time.perf_counter()
-        opR = lo.RoutedCSROperator(data_u)  # + DERIVED transpose (eager)
+        opR = lo.RoutedCSROperator(data_u, host_parts=hp)  # + DERIVED transpose (eager)
         t_pack_ft = time.perf_counter() - t0
         detail["routed_pack_t_s"] = round(max(t_pack_ft - t_pack_f, 0.0), 2)
         detail["routed_pack_t_x_fwd"] = round(
@@ -458,11 +458,11 @@ def main():
         order_m = np.lexsort((cols_m, np.repeat(np.arange(nm), counts)))
         from linops_tpu.sparse.formats import csr_from_parts
 
+        hpm = (rng.standard_normal(nnzm).astype(np.float32),
+               cols_m[order_m].astype(np.int32), indptr_m.astype(np.int32))
         t0 = time.perf_counter()
-        opM = lo.RoutedCSROperator(csr_from_parts(
-            rng.standard_normal(nnzm).astype(np.float32),
-            cols_m[order_m].astype(np.int32), indptr_m.astype(np.int32),
-            (nm, nm)))
+        opM = lo.RoutedCSROperator(csr_from_parts(*hpm, (nm, nm)),
+                                   host_parts=hpm)
         detail["routed_multichunk_pack_s"] = round(time.perf_counter() - t0, 2)
         detail["routed_multichunk_chunks"] = int(opM.routed.vals.shape[0])
         vm = jnp.ones((nm,), dtype)

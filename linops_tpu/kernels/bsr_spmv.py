@@ -100,11 +100,21 @@ def _onehot_gather_offset(cols_ref, x_ref, out_dtype, fast: bool,
     """One-hot gather against a WINDOW of x: matches block-cols in
     [col_offset, col_offset + window); out-of-window cols contribute
     nothing (their selector rows are all-zero), so summing the gathers of
-    adjacent windows reconstructs the full-x gather exactly."""
-    RK = cols_ref.shape[0]
+    adjacent windows reconstructs the full-x gather exactly.
+
+    ``cols_ref`` may be (RK, 1) or LANE-MAJOR (1, RK): a (RK, 1) int32
+    array is 128×-lane-padded in HBM (TPU tiled layout pads the minor
+    dim), streaming ~0.5 MB of padding per grid step at the windowed
+    bench shape; lane-major storage pads only 8× in sublanes and the
+    in-kernel transpose is a ~4 KB relayout (bit-identical, measured
+    tools/tpu_r4_batch4.py)."""
+    c = cols_ref[...]
+    if c.shape[0] == 1:
+        c = c.T
+    RK = c.shape[0]
     wb = x_ref.shape[0]
     ids = jax.lax.broadcasted_iota(jnp.int32, (RK, wb), 1) + col_offset
-    sel = (ids == cols_ref[...]).astype(x_ref.dtype)
+    sel = (ids == c).astype(x_ref.dtype)
 
     def dot(m):
         return jax.lax.dot_general(
@@ -155,11 +165,13 @@ def _group_ksum(z, kmax, out_dtype):
     )  # (R, bm)
 
 
-def _fwd_kernel_onehot(kmax: int, fast: bool, cols_ref, x_ref, blocks_ref, y_ref):
+def _fwd_kernel_onehot(kmax: int, fast: bool, t_out: bool, cols_ref, x_ref,
+                       blocks_ref, y_ref):
     RK, bm, bn = blocks_ref.shape  # RK = R*kmax, flattened host-side
     xg = _onehot_gather(cols_ref, x_ref, y_ref.dtype, fast)  # (RK, bn)
     z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm), VPU
-    y_ref[...] = _group_ksum(z, kmax, y_ref.dtype)
+    y = _group_ksum(z, kmax, y_ref.dtype)
+    y_ref[...] = y.T if t_out else y
 
 
 def _fwd_kernel_loop(kmax: int, cols_ref, x_ref, blocks_ref, y_ref):
@@ -176,14 +188,24 @@ def _fwd_kernel_loop(kmax: int, cols_ref, x_ref, blocks_ref, y_ref):
     jax.lax.fori_loop(0, R, row, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "variant"))
-def bsr_matvec_pallas(blocks, block_cols, x_blocks, *, interpret=False, variant="auto"):
+@functools.partial(jax.jit, static_argnames=("interpret", "variant", "t_out"))
+def bsr_matvec_pallas(blocks, block_cols, x_blocks, *, interpret=False,
+                      variant="auto", t_out=False):
     """y_blocks (nbrow, bm) = BSR @ x_blocks (nbcol, bn).
 
     ``blocks``: (nbrow, kmax, bm, bn) in natural storage layout; nbrow must
     be a multiple of ``bsr_pallas_rows_per_program(bm)`` (callers pad).
     ``x_blocks`` must fit VMEM (≤ ``BSR_PALLAS_MAX_X_ELEMS`` entries) —
     callers fall back to the XLA path beyond that.
+
+    ``t_out=True`` returns y TRANSPOSED as (bm, nbrow): a (nbrow, bm<16)
+    f32 out array is 128/bm-lane-padded in HBM, so the padded write plus
+    the host relayout to a flat vector cost more than the whole kernel
+    saves at small kmax (measured 443 vs 626 GB/s at the windowed bench
+    shape); the transposed form is fully packed and the host-side
+    ``out.T.reshape(-1)`` is one packed XLA transpose. In-kernel
+    cross-lane ``reshape`` does NOT compile in Mosaic — ``.T`` does
+    (tools/tpu_r4_batch6/7.py).
     """
     nbrow, kmax, bm, bn = blocks.shape
     nbcol = x_blocks.shape[0]
@@ -194,29 +216,47 @@ def bsr_matvec_pallas(blocks, block_cols, x_blocks, *, interpret=False, variant=
     if variant == "auto":
         variant = "onehot" if nbcol <= BSR_PALLAS_ONEHOT_MAX_NBCOL else "loop"
     if variant in ("onehot", "onehot_fast"):
-        kernel = functools.partial(_fwd_kernel_onehot, kmax, variant == "onehot_fast")
+        kernel = functools.partial(_fwd_kernel_onehot, kmax,
+                                   variant == "onehot_fast", t_out)
     else:
+        if t_out:
+            raise ValueError("t_out is not supported by the loop variant")
         kernel = functools.partial(_fwd_kernel_loop, kmax)
 
     # flatten HOST-side (free, contiguous) so the kernel needs no reshapes;
     # blocks keep their storage dtype (upcasting bf16 would double the
-    # streamed bytes — the VPU multiply promotes per element instead)
+    # streamed bytes — the VPU multiply promotes per element instead).
+    # cols are LANE-MAJOR (1, RK) for the one-hot variants (see
+    # _onehot_gather_offset); the scalar loop keeps (RK, 1) — its per-row
+    # read is a sublane index.
     blocks_flat = blocks.reshape(nbrow * kmax, bm, bn)
-    cols_flat = block_cols.reshape(nbrow * kmax, 1)
+    lane_major = variant in ("onehot", "onehot_fast")
+    cols_flat = (block_cols.reshape(1, nbrow * kmax) if lane_major
+                 else block_cols.reshape(nbrow * kmax, 1))
+    cols_spec = (pl.BlockSpec((1, R * kmax), lambda i: (0, i),
+                              memory_space=pltpu.VMEM) if lane_major else
+                 pl.BlockSpec((R * kmax, 1), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM))
 
+    out_specs = (pl.BlockSpec((bm, R), lambda i: (0, i),
+                              memory_space=pltpu.VMEM) if t_out else
+                 # (R, bm) is legal: bm equals the full trailing array dim
+                 pl.BlockSpec((R, bm), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM))
+    out_shape = jax.ShapeDtypeStruct(
+        (bm, nbrow) if t_out else (nbrow, bm), dtype)
     out = pl.pallas_call(
         kernel,
         grid=(nbrow // R,),
         in_specs=[
-            pl.BlockSpec((R * kmax, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            cols_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident in VMEM
             pl.BlockSpec(
                 (R * kmax, bm, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        # (R, bm) is legal: bm equals the full trailing array dim
-        out_specs=pl.BlockSpec((R, bm), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbrow, bm), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * blocks.size,
@@ -410,24 +450,28 @@ def bsr_window_plan_multi(block_cols, R: int, nbcol: int,
     return win_q.astype(np.int32), int(wb), int(x_pad_blocks)
 
 
-def _fwd_kernel_onehot_win(kmax: int, fast: bool, q_ref, cols_ref, xlo_ref,
-                           xhi_ref, blocks_ref, y_ref):
+def _fwd_kernel_onehot_win(kmax: int, fast: bool, t_out: bool, q_ref,
+                           cols_ref, xlo_ref, xhi_ref, blocks_ref, y_ref):
     RK, bm, bn = blocks_ref.shape
     wb = xlo_ref.shape[0]
     xg = _onehot_gather_offset(cols_ref, xlo_ref, y_ref.dtype, fast, 0)
     xg = xg + _onehot_gather_offset(cols_ref, xhi_ref, y_ref.dtype, fast, wb)
     z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm)
-    y_ref[...] = _group_ksum(z, kmax, y_ref.dtype)
+    y = _group_ksum(z, kmax, y_ref.dtype)
+    y_ref[...] = y.T if t_out else y
 
 
 @functools.partial(jax.jit, static_argnames=("wb", "x_pad_blocks",
-                                             "interpret", "fast"))
+                                             "interpret", "fast", "t_out"))
 def bsr_matvec_pallas_windowed(blocks, cols_local, win_q, x_blocks, *,
                                wb: int, x_pad_blocks: int,
-                               interpret=False, fast=False):
+                               interpret=False, fast=False, t_out=False):
     """Forward BSR SpMV with x streamed as two scalar-prefetch-selected
     (wb, bn) windows per R-row group — lifts the VMEM x-residency bound
-    for banded (e.g. RCM-reordered) patterns; plan: ``bsr_window_plan``."""
+    for banded (e.g. RCM-reordered) patterns; plan: ``bsr_window_plan``.
+
+    ``t_out=True`` returns (bm, nbrow) — packed HBM layout, see
+    ``bsr_matvec_pallas``."""
     nbrow, kmax, bm, bn = blocks.shape
     R = bsr_windowed_rows_per_program(bm, kmax, bn, blocks.dtype.itemsize,
                                       nbrow)
@@ -436,30 +480,32 @@ def bsr_matvec_pallas_windowed(blocks, cols_local, win_q, x_blocks, *,
         x_blocks = jnp.pad(
             x_blocks, ((0, x_pad_blocks - x_blocks.shape[0]), (0, 0)))
     blocks_flat = blocks.reshape(nbrow * kmax, bm, bn)
-    cols_flat = cols_local.reshape(nbrow * kmax, 1)
+    cols_flat = cols_local.reshape(1, nbrow * kmax)  # lane-major, see above
     xb = x_blocks.astype(dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nbrow // R,),
         in_specs=[
-            pl.BlockSpec((R * kmax, 1), lambda i, q: (i, 0)),
+            pl.BlockSpec((1, R * kmax), lambda i, q: (0, i)),
             pl.BlockSpec((wb, bn), lambda i, q: (q[i], 0)),
             pl.BlockSpec((wb, bn), lambda i, q: (q[i] + 1, 0)),
             pl.BlockSpec((R * kmax, bm, bn), lambda i, q: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((R, bm), lambda i, q: (i, 0)),
+        out_specs=(pl.BlockSpec((bm, R), lambda i, q: (0, i)) if t_out else
+                   pl.BlockSpec((R, bm), lambda i, q: (i, 0))),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_onehot_win, kmax, fast),
+        functools.partial(_fwd_kernel_onehot_win, kmax, fast, t_out),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbrow, bm), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (bm, nbrow) if t_out else (nbrow, bm), dtype),
         interpret=interpret,
     )(win_q, cols_flat, xb, xb, blocks_flat)
 
 
-def _fwd_kernel_onehot_multiwin(kmax: int, fast: bool, wb: int, nwin: int,
-                                q_ref, cols_ref, *refs):
+def _fwd_kernel_onehot_multiwin(kmax: int, fast: bool, t_out: bool, wb: int,
+                                nwin: int, q_ref, cols_ref, *refs):
     """Forward gather against ``nwin`` independently addressed x windows:
     window w covers global block-cols [q[w,i]·wb, (q[w,i]+1)·wb), so the
     selector compares GLOBAL cols against a traced offset. Dump-window
@@ -473,17 +519,21 @@ def _fwd_kernel_onehot_multiwin(kmax: int, fast: bool, wb: int, nwin: int,
                                   q_ref[w, i] * wb)
         xg = g if xg is None else xg + g
     z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm)
-    y_ref[...] = _group_ksum(z, kmax, y_ref.dtype)
+    y = _group_ksum(z, kmax, y_ref.dtype)
+    y_ref[...] = y.T if t_out else y
 
 
 @functools.partial(jax.jit, static_argnames=("wb", "x_pad_blocks",
-                                             "interpret", "fast"))
+                                             "interpret", "fast", "t_out"))
 def bsr_matvec_pallas_multiwin(blocks, block_cols, win_q, x_blocks, *,
                                wb: int, x_pad_blocks: int,
-                               interpret=False, fast=False):
+                               interpret=False, fast=False, t_out=False):
     """Forward BSR SpMV with x streamed as W scalar-prefetch-selected
     (wb, bn) windows per R-row group — the mostly-banded generalization of
-    ``bsr_matvec_pallas_windowed``; plan: ``bsr_window_plan_multi``."""
+    ``bsr_matvec_pallas_windowed``; plan: ``bsr_window_plan_multi``.
+
+    ``t_out=True`` returns (bm, nbrow) — packed HBM layout, see
+    ``bsr_matvec_pallas``."""
     nbrow, kmax, bm, bn = blocks.shape
     W = win_q.shape[0]
     R = bsr_windowed_rows_per_program(bm, kmax, bn, blocks.dtype.itemsize,
@@ -493,7 +543,7 @@ def bsr_matvec_pallas_multiwin(blocks, block_cols, win_q, x_blocks, *,
         x_blocks = jnp.pad(
             x_blocks, ((0, x_pad_blocks - x_blocks.shape[0]), (0, 0)))
     blocks_flat = blocks.reshape(nbrow * kmax, bm, bn)
-    cols_flat = block_cols.reshape(nbrow * kmax, 1)
+    cols_flat = block_cols.reshape(1, nbrow * kmax)  # lane-major
     xb = x_blocks.astype(dtype)
 
     def win_spec(w):
@@ -503,32 +553,39 @@ def bsr_matvec_pallas_multiwin(blocks, block_cols, win_q, x_blocks, *,
         num_scalar_prefetch=1,
         grid=(nbrow // R,),
         in_specs=[
-            pl.BlockSpec((R * kmax, 1), lambda i, q: (i, 0)),
+            pl.BlockSpec((1, R * kmax), lambda i, q: (0, i)),
             *[win_spec(w) for w in range(W)],
             pl.BlockSpec((R * kmax, bm, bn), lambda i, q: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((R, bm), lambda i, q: (i, 0)),
+        out_specs=(pl.BlockSpec((bm, R), lambda i, q: (0, i)) if t_out else
+                   pl.BlockSpec((R, bm), lambda i, q: (i, 0))),
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_onehot_multiwin, kmax, fast, wb, W),
+        functools.partial(_fwd_kernel_onehot_multiwin, kmax, fast, t_out,
+                          wb, W),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbrow, bm), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (bm, nbrow) if t_out else (nbrow, bm), dtype),
         interpret=interpret,
     )(win_q, cols_flat, *([xb] * W), blocks_flat)
 
 
-def _t_kernel_onehot(kmax: int, cols_t_ref, u_ref, blocks_ref, out_ref):
+def _t_kernel_onehot(kmax: int, t_in: bool, cols_t_ref, u_ref, blocks_ref,
+                     out_ref):
     RK, bm, bn = blocks_ref.shape
     R = RK // kmax
     nbcol = out_ref.shape[0]
-    # expand u (R, bm) to per-block rows via the exact group selector
+    # expand u (R, bm) to per-block rows via the exact group selector.
+    # t_in: u arrives TRANSPOSED (bm, R) — packed HBM layout, see
+    # bsr_matvec_pallas t_out — and is flipped back by a tiny relayout.
+    u = u_ref[...].T if t_in else u_ref[...]
     row_of = jax.lax.broadcasted_iota(jnp.int32, (RK, R), 0) // kmax
     expand = (row_of == jax.lax.broadcasted_iota(jnp.int32, (RK, R), 1)).astype(
-        u_ref.dtype
+        u.dtype
     )
     u_rk = jax.lax.dot_general(
         expand,
-        u_ref[...],
+        u,
         (((1,), (0,)), ((), ())),
         precision=_GATHER_PRECISION,
         preferred_element_type=out_ref.dtype,
@@ -564,12 +621,17 @@ def _t_kernel_onehot(kmax: int, cols_t_ref, u_ref, blocks_ref, out_ref):
     out_ref[...] = out_ref[...] + upd
 
 
-@functools.partial(jax.jit, static_argnames=("nbcol", "interpret"))
-def bsr_rmatvec_pallas(blocks, block_cols, u_blocks, nbcol: int, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("nbcol", "interpret", "t_in"))
+def bsr_rmatvec_pallas(blocks, block_cols, u_blocks, nbcol: int, *,
+                       interpret=False, t_in=False):
     """Transpose-mode apply: out (nbcol, bn) = Σ_{r,k} blocksᵀ[r,k] · u[r]
     scattered to block-column ``block_cols[r,k]``. The (nbcol, bn) output
     accumulates in VMEM across sequential grid steps (same VMEM bound as
     forward x).
+
+    ``t_in=True``: u_blocks arrives TRANSPOSED (bm, nbrow) — the packed
+    HBM layout (a (nbrow, bm<16) array is 128/bm-lane-padded; see
+    ``bsr_matvec_pallas`` t_out).
 
     Note: padding blocks are all-zero, so their scatter to column 0
     contributes exactly nothing.
@@ -579,7 +641,7 @@ def bsr_rmatvec_pallas(blocks, block_cols, u_blocks, nbcol: int, *, interpret=Fa
     if nbrow % R != 0:
         raise ValueError(f"nbrow={nbrow} must be a multiple of {R} (pad the BSR)")
     dtype = jnp.result_type(blocks.dtype, u_blocks.dtype)
-    kernel = functools.partial(_t_kernel_onehot, kmax)
+    kernel = functools.partial(_t_kernel_onehot, kmax, t_in)
 
     blocks_flat = blocks.reshape(nbrow * kmax, bm, bn)
     # (1, RK) layout so the kernel can build the selector pre-oriented as
@@ -591,8 +653,11 @@ def bsr_rmatvec_pallas(blocks, block_cols, u_blocks, nbcol: int, *, interpret=Fa
         grid=(nbrow // R,),
         in_specs=[
             pl.BlockSpec((1, R * kmax), lambda i: (0, i), memory_space=pltpu.VMEM),
-            # u in the natural (nbrow, bm) layout, like the forward output
-            pl.BlockSpec((R, bm), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            (pl.BlockSpec((bm, R), lambda i: (0, i),
+                          memory_space=pltpu.VMEM) if t_in else
+             # u in the natural (nbrow, bm) layout, like the forward output
+             pl.BlockSpec((R, bm), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec(
                 (R * kmax, bm, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -620,8 +685,8 @@ def bsr_rmatvec_pallas(blocks, block_cols, u_blocks, nbcol: int, *, interpret=Fa
 _T_WIN_SEG = 512  # selector rows per in-kernel segment (bounds VMEM + MXU)
 
 
-def _t_kernel_onehot_win(kmax: int, q_ref, cols_ref, u_ref, blocks_ref,
-                         olo_ref, ohi_ref):
+def _t_kernel_onehot_win(kmax: int, t_in: bool, q_ref, cols_ref, u_ref,
+                         blocks_ref, olo_ref, ohi_ref):
     """Transpose scatter into TWO sliding output windows.
 
     The window plan (``bsr_window_plan``) is symmetric information: group
@@ -635,12 +700,14 @@ def _t_kernel_onehot_win(kmax: int, q_ref, cols_ref, u_ref, blocks_ref,
     RK, bm, bn = blocks_ref.shape
     wb = olo_ref.shape[0]
     R = RK // kmax
-    # expand u (R, bm) to per-block rows via the exact group selector
+    # expand u (R, bm) to per-block rows via the exact group selector;
+    # t_in: u arrives TRANSPOSED (bm, R) — packed HBM layout
+    u = u_ref[...].T if t_in else u_ref[...]
     row_of = jax.lax.broadcasted_iota(jnp.int32, (RK, R), 0) // kmax
     expand = (row_of == jax.lax.broadcasted_iota(jnp.int32, (RK, R), 1)
-              ).astype(u_ref.dtype)
+              ).astype(u.dtype)
     u_rk = jax.lax.dot_general(
-        expand, u_ref[...], (((1,), (0,)), ((), ())),
+        expand, u, (((1,), (0,)), ((), ())),
         precision=_GATHER_PRECISION,
         preferred_element_type=olo_ref.dtype)  # (RK, bm)
     contrib = jnp.sum(blocks_ref[...] * u_rk[:, :, None], axis=1)  # (RK, bn)
@@ -672,10 +739,10 @@ def _t_kernel_onehot_win(kmax: int, q_ref, cols_ref, u_ref, blocks_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("wb", "x_pad_blocks", "nbcol",
-                                             "interpret"))
+                                             "interpret", "t_in"))
 def bsr_rmatvec_pallas_windowed(blocks, cols_local, win_q, u_blocks, *,
                                 wb: int, x_pad_blocks: int, nbcol: int,
-                                interpret=False):
+                                interpret=False, t_in=False):
     """Transpose BSR SpMV with the OUTPUT streamed as two sliding
     (wb, bn) windows — lifts the VMEM output-residency bound for banded
     patterns (the large-n adjoint previously fell to the ~0.45-of-ceiling
@@ -692,7 +759,8 @@ def bsr_rmatvec_pallas_windowed(blocks, cols_local, win_q, u_blocks, *,
         grid=(nbrow // R,),
         in_specs=[
             pl.BlockSpec((1, R * kmax), lambda i, q: (0, i)),
-            pl.BlockSpec((R, bm), lambda i, q: (i, 0)),
+            (pl.BlockSpec((bm, R), lambda i, q: (0, i)) if t_in else
+             pl.BlockSpec((R, bm), lambda i, q: (i, 0))),
             pl.BlockSpec((R * kmax, bm, bn), lambda i, q: (i, 0, 0)),
         ],
         out_specs=[
@@ -701,7 +769,7 @@ def bsr_rmatvec_pallas_windowed(blocks, cols_local, win_q, u_blocks, *,
         ],
     )
     olo, ohi = pl.pallas_call(
-        functools.partial(_t_kernel_onehot_win, kmax),
+        functools.partial(_t_kernel_onehot_win, kmax, t_in),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((x_pad_blocks, bn), dtype)] * 2,
         interpret=interpret,

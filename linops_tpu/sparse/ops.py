@@ -348,7 +348,7 @@ class RoutedCSROperator(CSROperator):
 
     def __init__(self, data, symmetric=False, hermitian=False,
                  routed=None, routed_t=None, w="auto", backend="auto",
-                 defer_transpose=False):
+                 defer_transpose=False, host_parts=None):
         super().__init__(data, symmetric, hermitian)
         if backend not in ("auto", "routed", "xla"):
             raise ValueError(f"unknown routed backend {backend!r}")
@@ -357,29 +357,50 @@ class RoutedCSROperator(CSROperator):
         self._defer_t = bool(defer_transpose)
         self.routed = routed
         self.routed_t = routed_t
-        if routed is None and backend != "xla":
-            want_t = (routed_t is None and not defer_transpose
-                      and not (symmetric or hermitian))
-            packed = self._pack(transpose=False, with_transpose=want_t)
-            if want_t:
-                self.routed, derived = packed
-                if derived is not None:
-                    self.routed_t = derived
-            else:
-                self.routed = packed
+        # ``host_parts`` = (vals, cols, indptr) as HOST arrays: packing
+        # needs host data, and fetching the just-uploaded device copies
+        # back is a pure round trip (through the relay it has measured
+        # anywhere from 5 to 500+ s at 1M nnz — the link's device->host
+        # path is erratic; opSparse passes the scipy arrays through).
+        # Transient: dropped after construction, not part of the pytree.
+        self._host_parts = host_parts
+        try:
+            if routed is None and backend != "xla":
+                want_t = (routed_t is None and not defer_transpose
+                          and not (symmetric or hermitian))
+                packed = self._pack(transpose=False, with_transpose=want_t)
+                if want_t:
+                    self.routed, derived = packed
+                    if derived is not None:
+                        self.routed_t = derived
+                else:
+                    self.routed = packed
+        finally:
+            self._host_parts = None
+
+    def _host_csr(self):
+        hp = getattr(self, "_host_parts", None)
+        if hp is not None:
+            v, c, i = hp
+            return np.asarray(v), np.asarray(c), np.asarray(i)
+        d = self.data
+        # one batched fetch (single transfer) instead of three np.asarray
+        return jax.device_get((d.vals, d.cols, d.indptr))
 
     def _pack(self, transpose: bool, with_transpose: bool = False):
         from .routed import pack_routed_csr
 
         d = self.data
+        vals, cols, indptr = self._host_csr()
         if not transpose:
             return pack_routed_csr(
-                np.asarray(d.vals), np.asarray(d.cols), np.asarray(d.indptr),
-                d.shape, w=self._w, with_transpose=with_transpose)
+                vals, cols, indptr, d.shape, w=self._w,
+                with_transpose=with_transpose)
         # transpose pack: re-sort by (col, row) — a stable CSC build
-        rows = np.asarray(d.cols)
-        cols = np.asarray(d.rows)
-        vals = np.asarray(d.vals)
+        # (row ids derived from indptr host-side; d.rows stays on device)
+        rows = cols
+        cols = np.repeat(np.arange(d.shape[0], dtype=np.int64),
+                         np.diff(indptr))
         shp = (d.shape[1], d.shape[0])
         order = np.argsort(rows, kind="stable")
         indptr = np.zeros(shp[0] + 1, np.int64)
@@ -678,6 +699,11 @@ class BSROperator(_SparseBase):
         elif self._windowed_eligible(xb.dtype):
             # x beyond VMEM residency on a banded pattern: sliding-window
             # Pallas kernel (kernels/bsr_spmv.py::bsr_matvec_pallas_windowed)
+            # t_out: the kernel writes y TRANSPOSED (bm, nbrow) — packed
+            # HBM layout; the (nbrow, bm<16) form is 128/bm-lane-padded
+            # and its host flatten is a slow relayout (measured 443 vs
+            # 626 GB/s at n=4.2M, tools/tpu_r4_batch5/6.py). One packed
+            # XLA transpose restores the flat vector.
             if self.cols_local is None:  # mostly-banded multi-window plan
                 from ..kernels.bsr_spmv import bsr_matvec_pallas_multiwin
 
@@ -686,7 +712,7 @@ class BSROperator(_SparseBase):
                     wb=self._wb, x_pad_blocks=self._x_pad_blocks,
                     interpret=self._interpret(),
                     fast=self._backend == "pallas_fast",
-                ).reshape(nbrow * bm)
+                    t_out=True).T.reshape(nbrow * bm)
             else:
                 from ..kernels.bsr_spmv import bsr_matvec_pallas_windowed
 
@@ -695,7 +721,7 @@ class BSROperator(_SparseBase):
                     wb=self._wb, x_pad_blocks=self._x_pad_blocks,
                     interpret=self._interpret(),
                     fast=self._backend == "pallas_fast",
-                ).reshape(nbrow * bm)
+                    t_out=True).T.reshape(nbrow * bm)
         else:
             y = bsr_matvec(d.blocks, d.block_cols, xb).reshape(nbrow * bm)
         return y[: d.shape[0]]
@@ -719,10 +745,14 @@ class BSROperator(_SparseBase):
             # ~0.45-of-ceiling XLA scatter path
             from ..kernels.bsr_spmv import bsr_rmatvec_pallas_windowed
 
+            # t_in: hand the kernel u TRANSPOSED (bm, nbrow) — one packed
+            # XLA transpose on the host replaces a 128/bm-lane-padded
+            # HBM read (same layout economics as the forward t_out)
             x = bsr_rmatvec_pallas_windowed(
-                blocks, self.cols_local, self.win_q, ub,
+                blocks, self.cols_local, self.win_q, ub.T,
                 wb=self._wb, x_pad_blocks=self._x_pad_blocks, nbcol=nbcol,
-                interpret=self._interpret()).reshape(-1)[: nbcol * bn]
+                interpret=self._interpret(),
+                t_in=True).reshape(-1)[: nbcol * bn]
         else:
             x = bsr_rmatvec(blocks, d.block_cols, ub, nbcol).reshape(nbcol * bn)
         return x[: d.shape[1]]
@@ -891,7 +921,11 @@ def opSparse(
             data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
             if dtype is not None:
                 data = data._replace(vals=jnp.asarray(data.vals, dtype))
-            return RoutedCSROperator(data, symmetric, hermitian, w=w)
+            host_vals = (sp.data if dtype is None
+                         else np.asarray(sp.data, dtype))
+            return RoutedCSROperator(
+                data, symmetric, hermitian, w=w,
+                host_parts=(host_vals, sp.indices, sp.indptr))
         if format == "ell":
             data = ell_from_csr_parts(sp.data, sp.indices, sp.indptr, sp.shape)
             if dtype is not None:
