@@ -1062,12 +1062,15 @@ def routed_matmat(p: RoutedSpMV, X, use_pallas=None):
     nb = -(-n_c // RADIX)
     if X.shape[0] < nb * RADIX:
         X = jnp.pad(X, ((0, nb * RADIX - X.shape[0]), (0, 0)))
-    X3 = X.reshape(nb, RADIX, k)
+    # transpose ONCE to column-outer (k, n) — gathering (128, k) slices
+    # from a row-major X and relaying them out column-outer afterwards
+    # measured ~10x a matvec at k=8 (tools/tpu_r4_batch7b.py); the packed
+    # transpose up front leaves a fast batched ROW gather
+    X3 = X.T.reshape(k, nb, RADIX)
 
     C, m = p.vals.shape[0], p.vals.shape[1]
     five_stage = m > RADIX and len(p.stages) == 4
-    xw3 = X3[p.win_block.reshape(-1)]              # (C·m, 128, k)
-    xw = xw3.transpose(2, 0, 1).reshape(k * C * m, RADIX)  # column-outer
+    xw = X3[:, p.win_block.reshape(-1)].reshape(k * C * m, RADIX)
     lane_flat = p.lane_idx.reshape(C * m, RADIX)
     vals_flat = p.vals.reshape(C * m, RADIX)
     if use_pallas and five_stage:
@@ -1137,11 +1140,10 @@ def routed_rmatmat(pt: RoutedTranspose, U, use_pallas=None):
     interp = use_pallas == "interpret"
     if U.shape[0] < pt.n_tiles * RADIX:
         U = jnp.pad(U, ((0, pt.n_tiles * RADIX - U.shape[0]), (0, 0)))
-    U3 = U.reshape(pt.n_tiles, RADIX, k)
+    U3 = U.T.reshape(k, pt.n_tiles, RADIX)  # column-outer, see routed_matmat
 
     C, m, _ = pt.vals_pre.shape
-    uw3 = U3[pt.expand_tile.reshape(-1)]           # (C·m, 128, k)
-    uw = uw3.transpose(2, 0, 1).reshape(k * C * m, RADIX)
+    uw = U3[:, pt.expand_tile.reshape(-1)].reshape(k * C * m, RADIX)
     a = _take_rep(uw, pt.expand_idx.reshape(C * m, RADIX), k, use_pallas)
     st = list(pt.stages_t)
     BT = k * C
