@@ -399,6 +399,13 @@ def main():
 
         hp = (vals_u, cols_u.astype(np.int32), indptr_u.astype(np.int32))
         data_u = csr_from_parts(*hp, (nu, nu))
+        # untimed warmup pack: absorb the ONE-TIME process costs (lazy
+        # g++ build of native/clos_route.cpp on a fresh checkout, first
+        # jax dispatch) so routed_pack_s measures the pack itself
+        _tiny = np.zeros(3, np.float32), np.arange(3, dtype=np.int32), \
+            np.array([0, 1, 2, 3], np.int32)
+        lo.RoutedCSROperator(csr_from_parts(*_tiny, (3, 3)),
+                             host_parts=_tiny)
         t0 = time.perf_counter()
         lo.RoutedCSROperator(data_u, defer_transpose=True, host_parts=hp)
         t_pack_f = time.perf_counter() - t0
@@ -444,6 +451,23 @@ def main():
         detail["routed_spmm_k8_x_matvec"] = round(t_k / tR, 2)
         detail["routed_spmm_k8_gnnz_per_s"] = round(
             k_rhs * nnzu / t_k / 1e9, 2)
+
+        # row-panel protocol (apply_matrix_t): the pipeline's native
+        # column-outer layout on both ends — no boundary relayouts
+        Xp = jnp.ones((k_rhs, nu), dtype)
+
+        def spmm_panel_chain(o, Mt, iters):
+            def body(_, M):
+                return o.apply_matrix_t(M, mode="N") * (1.0 / k_rhs)
+
+            return jax.lax.fori_loop(0, iters, body, Mt)
+
+        t_kp = marginal_chain_time(spmm_panel_chain, opR, Xp,
+                                   iters_short=20, iters_long=170, reps=2)
+        detail["routed_spmm_k8_panel_us"] = round(t_kp * 1e6, 1)
+        detail["routed_spmm_k8_panel_x_matvec"] = round(t_kp / tR, 2)
+        detail["routed_spmm_k8_panel_gnnz_per_s"] = round(
+            k_rhs * nnzu / t_kp / 1e9, 2)
 
     def sec_routed_multichunk():
         # 262144² (16 nnz/row, ~4.2M nnz, 3 chunks): the batched-chunk

@@ -479,45 +479,67 @@ class RoutedCSROperator(CSROperator):
     def _ctprod(self, w):
         return self._tprod_routed(w, conj_vals=True)
 
+    def _routed_apply_matrix(self, M, mode: str, panel: bool):
+        # Shared prog/conj dispatch for apply_matrix / apply_matrix_t.
+        # Returns None when the routed path is unavailable (caller falls
+        # back to the CSR base paths).
+        if not (self._use_routed() and _on_tpu()):
+            return None
+        from .routed import RoutedTranspose
+
+        # symmetric/hermitian operators serve T/H with the FORWARD
+        # program (bump never packs routed_t for them)
+        prog, conj_vals, conj_io = {
+            "N": (self.routed, False, False),
+            "C": (self.routed, False, True),
+            "T": ((self.routed, False, False) if self._symmetric
+                  else (self.routed_t, False, False)),
+            "H": ((self.routed, False, False) if self._hermitian
+                  else (self.routed_t, True, False)),
+        }[mode]
+        if prog is None:
+            return None
+        from .routed import routed_matmat, routed_rmatmat
+
+        apply_fn = routed_matmat
+        if isinstance(prog, RoutedTranspose):
+            apply_fn = routed_rmatmat
+            if conj_vals and jnp.iscomplexobj(prog.vals_pre):
+                prog = prog._replace(vals_pre=jnp.conj(prog.vals_pre))
+        elif conj_vals and jnp.iscomplexobj(prog.vals):
+            prog = prog._replace(vals=jnp.conj(prog.vals))
+        X = _conj(M) if conj_io else M
+        # use_pallas follows the REAL backend (the _on_tpu seam above
+        # exists so tests can exercise this branch on CPU). All k columns
+        # share ONE routing program (rep-grid kernels) instead of a
+        # sequential per-column lax.map.
+        up = None if jax.default_backend() == "tpu" else False
+        Y = apply_fn(prog, X, use_pallas=up, panel=panel)
+        return _conj(Y) if conj_io else Y
+
     def apply_matrix(self, M, mode: str = "N"):
-        # matrix RHS: on TPU, map the routed matvec over columns (one
-        # compiled program) — both this and the inherited gather+segment
-        # CSR path scale linearly in k, but the routed column loop keeps
-        # the ~100× per-column advantage. Off-TPU the CSR path wins
-        # (vectorized host gather beats a sequential column loop).
+        # matrix RHS: on TPU, run the routed rep-grid SpMM (one shared
+        # routing program across columns) — both this and the inherited
+        # gather+segment CSR path scale linearly in k, but the routed
+        # path keeps the ~100× per-column advantage. Off-TPU the CSR
+        # path wins (vectorized host gather beats a column loop).
         self._check_mat(M, mode)
-        if self._use_routed() and _on_tpu():
-            from .routed import RoutedTranspose, routed_matvec, routed_rmatvec
+        Y = self._routed_apply_matrix(M, mode, panel=False)
+        return Y if Y is not None else super().apply_matrix(M, mode)
 
-            # symmetric/hermitian operators serve T/H with the FORWARD
-            # program (bump never packs routed_t for them)
-            prog, conj_vals, conj_io = {
-                "N": (self.routed, False, False),
-                "C": (self.routed, False, True),
-                "T": ((self.routed, False, False) if self._symmetric
-                      else (self.routed_t, False, False)),
-                "H": ((self.routed, False, False) if self._hermitian
-                      else (self.routed_t, True, False)),
-            }[mode]
-            if prog is not None:
-                from .routed import routed_matmat, routed_rmatmat
-
-                apply_fn = routed_matmat
-                if isinstance(prog, RoutedTranspose):
-                    apply_fn = routed_rmatmat
-                    if conj_vals and jnp.iscomplexobj(prog.vals_pre):
-                        prog = prog._replace(vals_pre=jnp.conj(prog.vals_pre))
-                elif conj_vals and jnp.iscomplexobj(prog.vals):
-                    prog = prog._replace(vals=jnp.conj(prog.vals))
-                X = _conj(M) if conj_io else M
-                # use_pallas follows the REAL backend (the _on_tpu seam
-                # above exists so tests can exercise this branch on CPU).
-                # All k columns share ONE routing program (rep-grid
-                # kernels) instead of a sequential per-column lax.map.
-                up = None if jax.default_backend() == "tpu" else False
-                Y = apply_fn(prog, X, use_pallas=up)
-                return _conj(Y) if conj_io else Y
-        return super().apply_matrix(M, mode)
+    def apply_matrix_t(self, Mt, mode: str = "N"):
+        # Row-panel apply (base.py::apply_matrix_t): (k, n) in, (k, m)
+        # out. The routed pipeline is column-outer on BOTH ends, so the
+        # panel layout is its NATIVE one — no boundary relayouts. In a
+        # closed chain XLA already cancels the dense layout's transpose
+        # pair (measured parity at k=8, tools/tpu_r4_batch12.py), but
+        # panel-carrying block methods (LOBPCG, multi-RHS Krylov) and
+        # open-ended applies skip the relayout structurally rather than
+        # relying on that fusion.
+        if getattr(Mt, "ndim", 2) != 2 or Mt.shape[1] != self.in_dim(mode):
+            raise LinearOperatorException("shape mismatch")
+        Y = self._routed_apply_matrix(Mt, mode, panel=True)
+        return Y if Y is not None else super().apply_matrix_t(Mt, mode)
 
 
 class BSROperator(_SparseBase):

@@ -1034,7 +1034,7 @@ def routed_rmatvec(pt: RoutedTranspose, u, use_pallas=None):
     return y.reshape(-1)[:n_c]
 
 
-def routed_matmat(p: RoutedSpMV, X, use_pallas=None):
+def routed_matmat(p: RoutedSpMV, X, use_pallas=None, panel=False):
     """Y = A @ X (k RHS columns) through ONE shared routing program.
 
     The crossbar index arrays, values, and combine boundaries are column-
@@ -1043,15 +1043,29 @@ def routed_matmat(p: RoutedSpMV, X, use_pallas=None):
     while the shared ones are fetched from a single HBM copy
     (kernels/lane_gather.py::_rep_specs). Replaces the sequential
     per-column ``lax.map`` (k × full matvec cost, VERDICT r3 item 6).
+
+    ``panel=True``: X arrives TRANSPOSED as (k, n) row panels and Y is
+    returned as (k, n_r) — the ``apply_matrix_t`` protocol layout. The
+    pipeline's native layout is column-outer on BOTH ends, so this skips
+    the two boundary relayouts ((n, k) → column-outer in, (k, n_r) →
+    (n_r, k) out) that the dense-API form pays per apply.
     """
     n_r, n_c = p.shape
     X = jnp.asarray(X)
-    k = X.shape[1]
+    if not panel:
+        # transpose ONCE to column-outer (k, n) — gathering (128, k)
+        # slices from a row-major X and relaying them out column-outer
+        # afterwards measured ~10x a matvec at k=8 (tpu_r4_batch7b.py);
+        # the packed transpose up front leaves a fast batched ROW gather
+        X = X.T
+    k = X.shape[0]
     if k == 1:
-        return routed_matvec(p, X[:, 0], use_pallas=use_pallas)[:, None]
+        y = routed_matvec(p, X[0], use_pallas=use_pallas)
+        return y[None, :] if panel else y[:, None]
     if p.passes:  # ReducePass fallback layouts: per-column loop (rare)
-        return jax.lax.map(
-            lambda c: routed_matvec(p, c, use_pallas=use_pallas), X.T).T
+        Y = jax.lax.map(
+            lambda c: routed_matvec(p, c, use_pallas=use_pallas), X)
+        return Y if panel else Y.T
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
@@ -1060,13 +1074,9 @@ def routed_matmat(p: RoutedSpMV, X, use_pallas=None):
         )
     interp = use_pallas == "interpret"
     nb = -(-n_c // RADIX)
-    if X.shape[0] < nb * RADIX:
-        X = jnp.pad(X, ((0, nb * RADIX - X.shape[0]), (0, 0)))
-    # transpose ONCE to column-outer (k, n) — gathering (128, k) slices
-    # from a row-major X and relaying them out column-outer afterwards
-    # measured ~10x a matvec at k=8 (tools/tpu_r4_batch7b.py); the packed
-    # transpose up front leaves a fast batched ROW gather
-    X3 = X.T.reshape(k, nb, RADIX)
+    if X.shape[1] < nb * RADIX:
+        X = jnp.pad(X, ((0, 0), (0, nb * RADIX - X.shape[1])))
+    X3 = X.reshape(k, nb, RADIX)
 
     C, m = p.vals.shape[0], p.vals.shape[1]
     five_stage = m > RADIX and len(p.stages) == 4
@@ -1101,7 +1111,7 @@ def routed_matmat(p: RoutedSpMV, X, use_pallas=None):
     kept = [P[:, c, :kc] for c, kc in enumerate(p.chunk_keep)]
     q = kept[0] if len(kept) == 1 else jnp.concatenate(kept, axis=1)
     if p.rowid is None:  # trivial: partials ARE rows
-        return q[:, :n_r].T
+        return q[:, :n_r] if panel else q[:, :n_r].T
     T8, K = p.rowid.shape
     if q.shape[1] < T8 * K:
         q = jnp.pad(q, ((0, 0), (0, T8 * K - q.shape[1])))
@@ -1120,17 +1130,23 @@ def routed_matmat(p: RoutedSpMV, X, use_pallas=None):
             T8 * RADIX)
         y = jax.vmap(lambda qq: jax.ops.segment_sum(
             qq, seg.reshape(-1), num_segments=T8 * RADIX))(q)
-    return y[:, :n_r].T
+    return y[:, :n_r] if panel else y[:, :n_r].T
 
 
-def routed_rmatmat(pt: RoutedTranspose, U, use_pallas=None):
+def routed_rmatmat(pt: RoutedTranspose, U, use_pallas=None, panel=False):
     """Y = Aᵀ @ U (k RHS columns) through the shared derived-transpose
-    program — the rep-grid analogue of ``routed_rmatvec``."""
+    program — the rep-grid analogue of ``routed_rmatvec``.
+
+    ``panel=True``: U in as (k, n) row panels, Y out as (k, n_c) — see
+    ``routed_matmat``."""
     n_r, n_c = pt.shape
     U = jnp.asarray(U)
-    k = U.shape[1]
+    if not panel:
+        U = U.T  # column-outer, see routed_matmat
+    k = U.shape[0]
     if k == 1:
-        return routed_rmatvec(pt, U[:, 0], use_pallas=use_pallas)[:, None]
+        y = routed_rmatvec(pt, U[0], use_pallas=use_pallas)
+        return y[None, :] if panel else y[:, None]
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
@@ -1138,9 +1154,9 @@ def routed_rmatmat(pt: RoutedTranspose, U, use_pallas=None):
             in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
         )
     interp = use_pallas == "interpret"
-    if U.shape[0] < pt.n_tiles * RADIX:
-        U = jnp.pad(U, ((0, pt.n_tiles * RADIX - U.shape[0]), (0, 0)))
-    U3 = U.T.reshape(k, pt.n_tiles, RADIX)  # column-outer, see routed_matmat
+    if U.shape[1] < pt.n_tiles * RADIX:
+        U = jnp.pad(U, ((0, 0), (0, pt.n_tiles * RADIX - U.shape[1])))
+    U3 = U.reshape(k, pt.n_tiles, RADIX)
 
     C, m, _ = pt.vals_pre.shape
     uw = U3[:, pt.expand_tile.reshape(-1)].reshape(k * C * m, RADIX)
@@ -1195,4 +1211,5 @@ def routed_rmatmat(pt: RoutedTranspose, U, use_pallas=None):
     Sz = jnp.concatenate([S4, jnp.zeros((k, 1, RADIX), S.dtype)], axis=1)
     nb, Wb = pt.win_rows.shape
     y = Sz[:, pt.win_rows.reshape(-1)].reshape(k, nb, Wb, RADIX).sum(axis=2)
-    return y.reshape(k, -1)[:, :n_c].T
+    y2 = y.reshape(k, -1)[:, :n_c]
+    return y2 if panel else y2.T

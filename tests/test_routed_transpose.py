@@ -277,3 +277,49 @@ def test_routed_operator_matmat_all_modes(monkeypatch):
         M = X if mode in ("N", "C") else U
         got = np.asarray(op.apply_matrix(jnp.asarray(M), mode=mode))
         np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-11)
+
+
+def test_routed_operator_apply_matrix_t_all_modes(monkeypatch):
+    """apply_matrix_t (row-panel protocol) on the routed operator runs the
+    panel=True SpMM — the pipeline's native column-outer layout on both
+    ends — and agrees with apply_matrix(Mt.T).T for every mode."""
+    rng = np.random.default_rng(23)
+    A = _random_csr(400, 300, 0.03, seed=29).astype(np.complex128)
+    A.data[:] = rng.standard_normal(A.nnz) + 1j * rng.standard_normal(A.nnz)
+    monkeypatch.setattr(sops, "_on_tpu", lambda: True)
+    op = sops.RoutedCSROperator(lo.opSparse(A, format="routed").data)
+    Ad = A.toarray()
+    Xt = rng.standard_normal((4, 300)) + 1j * rng.standard_normal((4, 300))
+    Ut = rng.standard_normal((4, 400)) + 1j * rng.standard_normal((4, 400))
+    for mode, ref in (("N", (Ad @ Xt.T).T), ("C", (Ad.conj() @ Xt.T).T),
+                      ("T", (Ad.T @ Ut.T).T), ("H", (Ad.conj().T @ Ut.T).T)):
+        Mt = Xt if mode in ("N", "C") else Ut
+        got = np.asarray(op.apply_matrix_t(jnp.asarray(Mt), mode=mode))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-11)
+    # k=1 panel and shape validation
+    y1 = np.asarray(op.apply_matrix_t(jnp.asarray(Xt[:1]), mode="N"))
+    np.testing.assert_allclose(y1, (Ad @ Xt[:1].T).T, rtol=1e-11, atol=1e-11)
+    with pytest.raises(lo.LinearOperatorException):
+        op.apply_matrix_t(jnp.asarray(Ut), mode="N")
+
+
+def test_routed_matmat_panel_matches_dense_layout():
+    """routed_matmat/rmatmat panel=True equal the transposed dense-layout
+    results (interpret-mode kernels, real f32)."""
+    from linops_tpu.sparse.routed import routed_matmat, routed_rmatmat
+
+    A = _random_csr(500, 400, 0.02, seed=31)
+    p, der = pack_routed_csr(A.data, A.indices, A.indptr, A.shape, w=8,
+                             with_transpose=True)
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((400, 5)).astype(np.float32)
+    U = rng.standard_normal((500, 5)).astype(np.float32)
+    Yp = np.asarray(routed_matmat(p, jnp.asarray(X.T.copy()),
+                                  use_pallas=False, panel=True))
+    Yd = np.asarray(routed_matmat(p, jnp.asarray(X), use_pallas=False))
+    np.testing.assert_allclose(Yp, Yd.T, rtol=1e-5, atol=1e-5)
+    Tp = np.asarray(routed_rmatmat(der, jnp.asarray(U.T.copy()),
+                                   use_pallas=False, panel=True))
+    Td = np.asarray(routed_rmatmat(der, jnp.asarray(U), use_pallas=False))
+    np.testing.assert_allclose(Tp, Td.T, rtol=1e-5, atol=1e-5)
