@@ -90,6 +90,7 @@ from .sparse import (
     BSROperator,
     ELLOperator,
     opSparse,
+    ReorderedOperator,
     DIAOperator,
     opDIA,
     dia_from_dense,
@@ -201,6 +202,7 @@ __all__ = [
     "BSROperator",
     "ELLOperator",
     "opSparse",
+    "ReorderedOperator",
     "DIAOperator",
     "opDIA",
     "dia_from_dense",

@@ -877,7 +877,8 @@ def opSparse(
     backend: str = "auto",
     dtype=None,
     w="auto",
-) -> _SparseBase:
+    reorder=None,
+):
     """Build a sparse operator from a dense array, a scipy sparse matrix, or
     a prebuilt COO/CSR/BSR/ELL pytree. ``format`` in {'coo', 'csr', 'bsr',
     'ell', 'routed', 'auto'}; ``block_shape="auto"`` picks the BSR tile
@@ -892,7 +893,32 @@ def opSparse(
     ``jnp.bfloat16`` — scipy can't carry bf16, so the cast happens at
     device upload); the auto block-shape pick is dtype-aware (a bf16
     operator lands on bm ≥ 16, where the 2× byte saving is real).
+    ``reorder="rcm"`` (square matrices) applies a reverse-Cuthill–McKee
+    similarity permutation FIRST and returns ``Pᵀ·op(A[perm][:,perm])·P``
+    (sparse/reorder.py) — scrambled-but-bandable patterns recover the
+    banded BSR/windowed MXU path (order-of-magnitude per-nnz over the
+    routed scattered path) at the cost of two Clos-routed permutation
+    applies.
     """
+    if reorder is not None:
+        if reorder != "rcm":
+            raise ValueError(f"unknown reorder {reorder!r} (only 'rcm')")
+        from .reorder import rcm_reordered_operator
+
+        if not hasattr(A, "tocsr"):
+            import scipy.sparse as sps
+
+            if isinstance(A, (COO, CSR, ELL, BSR)):
+                raise LinearOperatorException(
+                    "reorder='rcm' takes a scipy sparse matrix or a dense "
+                    "array (the permutation is computed on the host)")
+            Ad = np.asarray(A)
+            if tol > 0:
+                Ad = np.where(np.abs(Ad) > tol, Ad, 0.0)
+            A = sps.csr_matrix(Ad)
+        return rcm_reordered_operator(A.tocsr(), dict(
+            format=format, block_shape=block_shape, symmetric=symmetric,
+            hermitian=hermitian, tol=tol, backend=backend, dtype=dtype, w=w))
     cast = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
     if dtype is not None and isinstance(A, (COO, CSR, ELL, BSR)):
         if isinstance(A, BSR):
