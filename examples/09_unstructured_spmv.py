@@ -66,3 +66,19 @@ if native_available():
     ref = mesh.toarray()[rcm][:, rcm] @ x
     print("RCM-conjugated apply rel err:",
           np.linalg.norm(got - ref) / np.linalg.norm(ref))
+
+# One-keyword version: opSparse(reorder="rcm") computes the RCM
+# permutation, reorders on the host, builds the inner operator through
+# the normal auto-format pipeline (banded patterns land on BSR — the MXU
+# path), and returns the sandwich Pᵀ·op(A[perm][:,perm])·P with
+# Clos-routed permutation applies. Flags transfer: the sandwich of a
+# symmetric operator is symmetric, so cg/lobpcg accept it directly.
+if native_available():
+    sigma = rng.permutation(n)
+    scrambled = mesh[sigma][:, sigma].tocsr()
+    op_re = lo.opSparse(scrambled, format="auto", reorder="rcm",
+                        symmetric=True)
+    got = np.asarray(op_re * x)
+    print("reorder='rcm' inner:", type(op_re.inner).__name__,
+          "| apply rel err:",
+          np.linalg.norm(got - scrambled @ x) / np.linalg.norm(scrambled @ x))
