@@ -736,10 +736,38 @@ def main():
     section("solvers", sec_solvers)
     section("scaling", sec_scaling)
     section("lobpcg", sec_lobpcg)
+    def sec_reorder():
+        # opSparse(reorder="rcm"): a scrambled banded matrix recovers the
+        # banded BSR MXU path through the RCM similarity sandwich
+        # (sparse/reorder.py; measured 610 GB/s at n=262144 — this
+        # smaller shape keeps the relay upload inside the bench budget)
+        import scipy.sparse as sps
+
+        nrc, bwrc = 1 << 16, 56
+        diags = [rng.standard_normal(nrc - abs(k)).astype(np.float32)
+                 for k in range(-bwrc, bwrc + 1)]
+        Arc = sps.diags(diags, range(-bwrc, bwrc + 1), format="csr")
+        sig = rng.permutation(nrc)
+        Asc = Arc[sig][:, sig].tocsr()
+        t0 = time.perf_counter()
+        op_re = lo.opSparse(Asc, format="auto", reorder="rcm",
+                            dtype=jnp.float32)
+        detail["reorder_rcm_pack_s"] = round(time.perf_counter() - t0, 2)
+        detail["reorder_rcm_inner"] = type(op_re.inner).__name__
+        t_re = _marginal_apply_time(op_re, jnp.ones((nrc,), jnp.float32),
+                                    reps=2)
+        detail["reorder_rcm_us_per_apply"] = round(t_re * 1e6, 1)
+        detail["reorder_rcm_gnnz_per_s"] = round(Asc.nnz / t_re / 1e9, 2)
+        blk = getattr(op_re.inner.data, "blocks", None)
+        if blk is not None:
+            detail["reorder_rcm_gbs"] = round(
+                blk.size * blk.dtype.itemsize / t_re / 1e9, 1)
+
     section("routed_unstructured", sec_routed_unstructured)
     section("routed_multichunk", sec_routed_multichunk)
     section("spmv_windowed", sec_spmv_windowed)
     section("permutation", sec_permutation)
+    section("reorder", sec_reorder)
     section("csr_unstructured", sec_csr_unstructured)
 
     print(

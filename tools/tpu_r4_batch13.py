@@ -1,6 +1,6 @@
 """Round-4 TPU batch 13: opSparse(reorder='rcm') end-to-end on chip.
 
-A scrambled banded matrix (n=524288, 17 diagonals, 8.9M nnz) that the
+A scrambled banded matrix (n=262144, 113 diagonals, 29.6M nnz) that the
 scattered path could not even auto-route (nnz > cap → 0.063 Gnnz/s CSR)
 recovers the banded BSR MXU path through the RCM sandwich. Measures the
 reordered via-op chain vs the directly-banded operator (the permutation
@@ -26,7 +26,7 @@ from linops_tpu.utils.timing import sync
 print("devices:", jax.devices(), flush=True)
 
 rng = np.random.default_rng(0)
-n, bw = 1 << 19, 8
+n, bw = 1 << 18, 56
 diags = [rng.standard_normal(n - abs(k)).astype(np.float32)
          for k in range(-bw, bw + 1)]
 A = sps.diags(diags, range(-bw, bw + 1), format="csr")
@@ -45,7 +45,8 @@ print(f"banded pack: {time.perf_counter()-t0:.1f} s; "
       f"{type(op_band).__name__}", flush=True)
 
 d = op_re.inner.data
-blk_bytes = int(np.prod(d.blocks.shape)) * 4
+assert hasattr(d, "blocks"), f"auto picked {type(op_re.inner).__name__}"
+blk_bytes = int(np.prod(d.blocks.shape)) * d.blocks.dtype.itemsize
 print(f"inner blocks {d.blocks.shape} = {blk_bytes/1e9:.2f} GB, "
       f"kmax={d.block_cols.shape[1]}", flush=True)
 
