@@ -413,6 +413,11 @@ def main():
         t0 = time.perf_counter()
         opR = lo.RoutedCSROperator(data_u, host_parts=hp)  # + DERIVED transpose (eager)
         t_pack_ft = time.perf_counter() - t0
+        # raw fwd+derived-T construction time as its own key: the
+        # difference clamps to 0 when relay-upload variance (the dominant
+        # cost on this rig, see routed_upload_equiv_s) swamps the ~0.5 s
+        # derived pack
+        detail["routed_pack_ft_s"] = round(t_pack_ft, 2)
         detail["routed_pack_t_s"] = round(max(t_pack_ft - t_pack_f, 0.0), 2)
         detail["routed_pack_t_x_fwd"] = round(
             max(t_pack_ft - t_pack_f, 0.0) / max(t_pack_f, 1e-9), 2)
