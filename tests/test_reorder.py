@@ -109,3 +109,14 @@ def test_rcm_dense_input_and_tol():
     v = rng.standard_normal(60)
     np.testing.assert_allclose(np.asarray(op * v),
                                (Ad[sigma][:, sigma]) @ v, rtol=1e-9, atol=1e-9)
+
+
+def test_rcm_panel_protocol_T_mode():
+    """apply_matrix_t through the sandwich, transpose mode."""
+    Asc, _ = _scrambled_banded(150, 3, seed=41)
+    op = lo.opSparse(Asc, reorder="rcm")
+    rng = np.random.default_rng(4)
+    Ut = rng.standard_normal((3, 150))
+    got = np.asarray(op.apply_matrix_t(jnp.asarray(Ut), mode="T"))
+    ref = (Asc.toarray().T @ Ut.T).T
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-10)
