@@ -536,7 +536,8 @@ class RoutedCSROperator(CSROperator):
         # panel-carrying block methods (LOBPCG, multi-RHS Krylov) and
         # open-ended applies skip the relayout structurally rather than
         # relying on that fusion.
-        if getattr(Mt, "ndim", 2) != 2 or Mt.shape[1] != self.in_dim(mode):
+        Mt = jnp.asarray(Mt)  # normalize first, matching matmat()
+        if Mt.ndim != 2 or Mt.shape[1] != self.in_dim(mode):
             raise LinearOperatorException("shape mismatch")
         Y = self._routed_apply_matrix(Mt, mode, panel=True)
         return Y if Y is not None else super().apply_matrix_t(Mt, mode)

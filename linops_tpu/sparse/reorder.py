@@ -50,6 +50,11 @@ class ReorderedOperator(LinearOperator):
                 f"the permutation size (got {inner.shape} vs {P.nrow})")
         self.inner = inner
         self.P = P
+        # the sandwich applies Pᵀ on the way out of EVERY mode — pack the
+        # inverse routing program now (n=0: no counter effect), not at
+        # first (possibly in-jit) dispatch where it would silently fall to
+        # the ~0.1 G elem/s fine-grained gather
+        P.bump("T", 0)
 
     @property
     def nrow(self):
@@ -83,26 +88,41 @@ class ReorderedOperator(LinearOperator):
     def _ctprod(self, w):
         return self._sandwich(w, "H")
 
+    def _check_mat(self, M, mode: str, axis: int):
+        import jax.numpy as jnp
+
+        M = jnp.asarray(M)
+        if M.ndim != 2 or M.shape[axis] != self.nrow:
+            raise LinearOperatorException("shape mismatch")
+        return M
+
     def apply_matrix(self, M, mode: str = "N"):
         # P on a matrix is an XLA whole-row gather (PermutationOperator
         # .apply_matrix) — cheap for wide RHS; the inner operator runs its
         # own fast matrix path (BSR multi-RHS kernels etc.)
+        M = self._check_mat(M, mode, axis=0)
         Z = self.P.apply_matrix(M, "N")
         Z = self.inner.apply_matrix(Z, mode)
         return self.P.apply_matrix(Z, "T")
 
     def apply_matrix_t(self, Mt, mode: str = "N"):
-        # row-panel protocol: permute along axis 1 (still whole-row moves
-        # in memory order — the panel is (k, n))
-        import jax.numpy as jnp
-
-        Z = jnp.take(Mt, self.P.perm, axis=1)
+        # row-panel protocol: the permutation acts along axis 1 of the
+        # (k, n) panel. A direct jnp.take(Mt, perm, axis=1) gathers
+        # strided (k, 1) lane slices — the fine-grained-gather class this
+        # framework avoids — so route through the axis-0 whole-row gather
+        # on the transposed panel instead; the bracketing transposes are
+        # packed XLA relayouts that fuse with adjacent panel matmuls.
+        Mt = self._check_mat(Mt, mode, axis=1)
+        Z = self.P.apply_matrix(Mt.T, "N").T
         Z = self.inner.apply_matrix_t(Z, mode)
-        return jnp.take(Z, self.P.perm_inv, axis=1)
+        return self.P.apply_matrix(Z.T, "T").T
 
-    def bump(self, mode: str, n: int = 1):
+    def _bump_children(self, mode: str, n: int = 1):
+        # every mode's sandwich applies P in BOTH directions (P in, Pᵀ
+        # out) around the inner apply
         self.inner.bump(mode, n)
-        super().bump(mode, n)
+        self.P.bump("N", n)
+        self.P.bump("T", n)
 
     def _name(self):
         return f"Reordered operator (RCM → {self.inner._name()})"
