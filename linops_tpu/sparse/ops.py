@@ -479,6 +479,31 @@ class RoutedCSROperator(CSROperator):
     def _ctprod(self, w):
         return self._tprod_routed(w, conj_vals=True)
 
+    def _matrix_prog(self, mode: str):
+        """(prog, conj_vals, conj_io) for a matrix apply in ``mode`` —
+        symmetric/hermitian operators serve T/H with the FORWARD program
+        (bump never packs routed_t for them)."""
+        return {
+            "N": (self.routed, False, False),
+            "C": (self.routed, False, True),
+            "T": ((self.routed, False, False) if self._symmetric
+                  else (self.routed_t, False, False)),
+            "H": ((self.routed, False, False) if self._hermitian
+                  else (self.routed_t, True, False)),
+        }[mode]
+
+    def matrix_path(self, mode: str = "N", panel: bool = False) -> str:
+        """Which implementation a matrix apply takes on the CURRENT
+        backend: ``"routed_panel"`` / ``"routed"`` (the Clos-routed
+        rep-grid pipeline) or ``"csr_fallback"`` (gather+segment_sum,
+        ~100× slower per column on TPU). Host-side breadcrumb for
+        bench/debug — the same conditions the dispatch itself checks."""
+        if not (self._use_routed() and _on_tpu()):
+            return "csr_fallback"
+        if self._matrix_prog(mode)[0] is None:
+            return "csr_fallback"
+        return "routed_panel" if panel else "routed"
+
     def _routed_apply_matrix(self, M, mode: str, panel: bool):
         # Shared prog/conj dispatch for apply_matrix / apply_matrix_t.
         # Returns None when the routed path is unavailable (caller falls
@@ -487,16 +512,7 @@ class RoutedCSROperator(CSROperator):
             return None
         from .routed import RoutedTranspose
 
-        # symmetric/hermitian operators serve T/H with the FORWARD
-        # program (bump never packs routed_t for them)
-        prog, conj_vals, conj_io = {
-            "N": (self.routed, False, False),
-            "C": (self.routed, False, True),
-            "T": ((self.routed, False, False) if self._symmetric
-                  else (self.routed_t, False, False)),
-            "H": ((self.routed, False, False) if self._hermitian
-                  else (self.routed_t, True, False)),
-        }[mode]
+        prog, conj_vals, conj_io = self._matrix_prog(mode)
         if prog is None:
             return None
         from .routed import routed_matmat, routed_rmatmat
@@ -818,12 +834,17 @@ for _cls in (COOOperator, CSROperator, ELLOperator, BSROperator,
 # largest tile first: on equal stored bytes the bigger tile streams faster
 _BSR_AUTO_CANDIDATES = ((128, 128), (32, 128), (16, 128), (8, 128))
 
-# format="auto" only picks the Clos-routed layout below this nnz count:
-# packing costs ~0.9 s per 1M nnz (native router + derived transpose) —
-# acceptable for an explicit format="routed", surprising beyond a few
-# seconds for silent auto-routing. Multi-chunk applies are validated to
-# ~4.2M nnz at ~9 Gnnz/s (262144², tools/tpu_r4_batch2.py).
-ROUTED_AUTO_MAX_NNZ = 4_000_000
+# format="auto" picks the Clos-routed layout for unstructured patterns up
+# to ROUTED_AUTO_MAX_NNZ. Packing costs ~0.9-1.6 s per 1M nnz (native
+# router + derived transpose), so above ROUTED_AUTO_WARN_NNZ the choice
+# is announced with a host warning naming the pack cost — the alternative
+# (gather+segment_sum CSR) measured 0.062 Gnnz/s on v5e, a 180× cliff
+# (VERDICT r4 missing #2). Multi-chunk applies validated at 4.2M nnz
+# (9.2 Gnnz/s, tools/tpu_r4_batch2.py) and 8.4M nnz (bench r5
+# auto_8m section). Beyond the cap, auto falls to chunked CSR WITH a
+# warning naming the faster explicit options.
+ROUTED_AUTO_WARN_NNZ = 4_000_000
+ROUTED_AUTO_MAX_NNZ = 32_000_000
 
 
 def _auto_block_shape(sp, return_stored: bool = False, dtype=None):
@@ -959,8 +980,29 @@ def opSparse(
                 format, block_shape = "bsr", shape_best
             elif 0 < sp.nnz <= ROUTED_AUTO_MAX_NNZ:
                 format = "routed"
+                if sp.nnz > ROUTED_AUTO_WARN_NNZ:
+                    import warnings
+
+                    warnings.warn(
+                        f"opSparse(format='auto'): unstructured pattern with "
+                        f"{sp.nnz} nnz routes through the Clos pipeline — "
+                        f"one-time pack cost ~{sp.nnz / 1e6 * 1.6:.0f} s "
+                        f"(~1.6 s per 1M nnz; applies then run ~150× faster "
+                        f"than the gather CSR path). Pass format='csr' to "
+                        f"skip packing, or reorder='rcm' if the pattern is "
+                        f"bandable.", stacklevel=2)
             else:
                 format = "csr"
+                import warnings
+
+                warnings.warn(
+                    f"opSparse(format='auto'): {sp.nnz} nnz exceeds the "
+                    f"auto-routing cap ({ROUTED_AUTO_MAX_NNZ}); falling back "
+                    f"to the gather+segment_sum CSR path (~0.06 Gnnz/s on "
+                    f"TPU, ~150× below the routed pipeline). Pass "
+                    f"format='routed' explicitly to pack anyway "
+                    f"(~1.6 s per 1M nnz), or reorder='rcm' if the pattern "
+                    f"is bandable.", stacklevel=2)
         if format == "csr":
             data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
             if dtype is not None:
