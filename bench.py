@@ -1,6 +1,11 @@
 """Headline benchmark for linops_tpu (driver entry point).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE COMPACT JSON line: {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N, "detail": {<the headline keys BASELINE.md names>}} and
+writes the FULL detail dict to bench_out.json next to this file. The
+compact line stays ~1-2 KB so drivers that capture a bounded output tail
+can still parse it (the r2-r4 single fat line exceeded the capture and
+recorded "parsed": null three rounds running — VERDICT r4 weak #3).
 
 Measures the BASELINE.json configs as compiled chains (whole Krylov loop in
 one jit) using MARGINAL timing — each chain is run at two iteration counts
@@ -39,13 +44,53 @@ import linops_tpu as lo
 _partial = {"metric": "spmv_chain_bandwidth", "value": 0.0, "unit": "GB/s",
             "vs_baseline": 0.0, "detail": {"incomplete": "no sections ran"}}
 
+# keys promoted from the full detail dict into the compact printed line —
+# the ones BASELINE.md and the round verdicts track; everything else goes
+# to bench_out.json only
+_HEADLINE_KEYS = (
+    "platform", "roofline_gbs", "spmv_gnnz_per_s", "spmv_us_per_apply",
+    "lbfgs_fwd_us", "lbfgs_inv_us", "lbfgs_roofline_us_1to2pass",
+    "routed_unstructured_gnnz_per_s", "routed_unstructured_T_gnnz_per_s",
+    "routed_spmm_k8_us", "routed_spmm_k8_x_matvec", "routed_spmm_path",
+    "routed_spmm_k8_panel_us", "routed_spmm_k8_panel_x_matvec",
+    "routed_spmm_panel_path", "routed_spmm_panel_anomaly",
+    "routed_pack_cpu_s", "routed_pack_t_cpu_s", "routed_upload_s",
+    "routed_multichunk_gnnz_per_s", "routed_multichunk_T_gnnz_per_s",
+    "routed_multichunk_pack_cpu_s", "routed_multichunk_upload_s",
+    "spmv_windowed_gbs", "spmv_windowed_T_gbs", "spmv_windowed_multi_gbs",
+    "spmv_windowed_multi_T_gbs",
+    "spmv_8x128_bf16_gbs", "spmv_16x128_bf16_gbs",
+    "reorder_rcm_gbs", "auto_8m_format", "auto_8m_gnnz_per_s",
+    "lobpcg_us_per_iter_k2", "scaling_ok", "incomplete",
+)
+
+
+def _emit(detail):
+    """Write the full detail to bench_out.json; print the compact line."""
+    line = {k: _partial[k] for k in ("metric", "value", "unit", "vs_baseline")}
+    line["detail"] = {k: detail[k] for k in _HEADLINE_KEYS if k in detail}
+    sc = detail.get("scaling")
+    if isinstance(sc, dict):
+        pe = sc.get("projected_efficiency_v5e", {})
+        line["detail"]["scaling_ok"] = bool(
+            pe.get("meets_baseline_75pct_at_production_sizes", False))
+    line["detail"]["detail_file"] = "bench_out.json"
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json")
+        with open(out, "w") as f:
+            json.dump({**line, "detail": detail}, f, indent=1)
+    except Exception as e:  # the compact line must still go out
+        line["detail"]["detail_file"] = f"unwritable: {e}"
+    print(json.dumps(line), flush=True)
+
 
 def _emit_partial(signum, frame):
     _partial.setdefault("detail", {})["incomplete"] = (
         "killed by signal %d mid-run (wedged relay RPC or timeout); "
-        "values below are the sections that completed" % signum
+        "values recorded are the sections that completed" % signum
     )
-    print(json.dumps(_partial), flush=True)
+    _emit(_partial["detail"])
     os._exit(0)
 
 
@@ -291,8 +336,8 @@ def main():
             B.push(s, y)
             H.push(s, y)
         v = jnp.ones((n,), dtype)
-        t_fwd = _marginal_apply_time(B, v, reps=2)
-        t_inv = _marginal_apply_time(H, v, reps=2)
+        t_fwd = _marginal_apply_time(B, v, reps=3)
+        t_inv = _marginal_apply_time(H, v, reps=3)
         # Traffic model: MINIMUM one pass over the (2mem, n) memory plus
         # x and y. (Round-1 used a 2-pass model and over-credited past the
         # measured ceiling — XLA evidently keeps part of W resident across
@@ -401,35 +446,41 @@ def main():
         data_u = csr_from_parts(*hp, (nu, nu))
         # untimed warmup pack: absorb the ONE-TIME process costs (lazy
         # g++ build of native/clos_route.cpp on a fresh checkout, first
-        # jax dispatch) so routed_pack_s measures the pack itself
+        # jax dispatch) so the pack keys measure the pack itself
         _tiny = np.zeros(3, np.float32), np.arange(3, dtype=np.int32), \
             np.array([0, 1, 2, 3], np.int32)
         lo.RoutedCSROperator(csr_from_parts(*_tiny, (3, 3)),
                              host_parts=_tiny)
+        # CPU pack cost measured with to_device=False (no upload in the
+        # timed region — through the relay the upload dominates and its
+        # variance used to clamp the derived-T difference to 0.0,
+        # VERDICT r4 item 5)
+        from linops_tpu.sparse.routed import pack_routed_csr
+
         t0 = time.perf_counter()
-        lo.RoutedCSROperator(data_u, defer_transpose=True, host_parts=hp)
-        t_pack_f = time.perf_counter() - t0
-        detail["routed_pack_s"] = round(t_pack_f, 2)  # forward only
+        pack_routed_csr(*hp, (nu, nu), to_device=False)
+        t_cpu_f = time.perf_counter() - t0
         t0 = time.perf_counter()
-        opR = lo.RoutedCSROperator(data_u, host_parts=hp)  # + DERIVED transpose (eager)
-        t_pack_ft = time.perf_counter() - t0
-        # raw fwd+derived-T construction time as its own key: the
-        # difference clamps to 0 when relay-upload variance (the dominant
-        # cost on this rig, see routed_upload_equiv_s) swamps the ~0.5 s
-        # derived pack
-        detail["routed_pack_ft_s"] = round(t_pack_ft, 2)
-        detail["routed_pack_t_s"] = round(max(t_pack_ft - t_pack_f, 0.0), 2)
+        fwd_np, der_np = pack_routed_csr(*hp, (nu, nu), with_transpose=True,
+                                         to_device=False)
+        t_cpu_ft = time.perf_counter() - t0
+        detail["routed_pack_cpu_s"] = round(t_cpu_f, 2)
+        detail["routed_pack_ft_cpu_s"] = round(t_cpu_ft, 2)
+        detail["routed_pack_t_cpu_s"] = round(max(t_cpu_ft - t_cpu_f, 0.0), 2)
         detail["routed_pack_t_x_fwd"] = round(
-            max(t_pack_ft - t_pack_f, 0.0) / max(t_pack_f, 1e-9), 2)
-        # disambiguate layout cost from host->device transfer: upload an
-        # equivalent byte volume (the relay moves ~5-10 MB/s, dwarfing the
-        # CPU pack on this rig; production PCIe is ~3 orders faster)
-        prog_bytes = sum(
-            leaf.nbytes for leaf in jax.tree_util.tree_leaves(opR.routed))
+            max(t_cpu_ft - t_cpu_f, 0.0) / max(t_cpu_f, 1e-9), 2)
+        # upload, timed separately (one device_put of the whole program)
         t0 = time.perf_counter()
-        _sync(jax.device_put(np.zeros(prog_bytes, np.uint8)))
-        detail["routed_upload_equiv_s"] = round(time.perf_counter() - t0, 2)
+        fwd_dev = jax.device_put(fwd_np)
+        der_dev = jax.device_put(der_np) if der_np is not None else None
+        _sync(fwd_dev.vals)
+        detail["routed_upload_s"] = round(time.perf_counter() - t0, 2)
+        prog_bytes = sum(
+            leaf.nbytes
+            for leaf in jax.tree_util.tree_leaves((fwd_np, der_np)))
         detail["routed_prog_mb"] = round(prog_bytes / 1e6, 1)
+        opR = lo.RoutedCSROperator(data_u, routed=fwd_dev, routed_t=der_dev,
+                                   host_parts=hp)
         vu = jnp.ones((nu,), dtype)
         tR = _marginal_apply_time(opR, vu, reps=3)
         detail["routed_unstructured_n"] = nu
@@ -450,8 +501,12 @@ def main():
 
             return jax.lax.fori_loop(0, iters, body, Xc)
 
+        # the executed path, recorded host-side from the dispatch's own
+        # conditions — the r4 driver capture had a 20× panel/dense
+        # contradiction with nothing in the artifact to adjudicate it
+        detail["routed_spmm_path"] = opR.matrix_path("N", panel=False)
         t_k = marginal_chain_time(spmm_chain, opR, Xm, iters_short=20,
-                                  iters_long=170, reps=2)
+                                  iters_long=170, reps=3)
         detail["routed_spmm_k8_us"] = round(t_k * 1e6, 1)
         detail["routed_spmm_k8_x_matvec"] = round(t_k / tR, 2)
         detail["routed_spmm_k8_gnnz_per_s"] = round(
@@ -467,8 +522,26 @@ def main():
 
             return jax.lax.fori_loop(0, iters, body, Mt)
 
+        detail["routed_spmm_panel_path"] = opR.matrix_path("N", panel=True)
         t_kp = marginal_chain_time(spmm_panel_chain, opR, Xp,
-                                   iters_short=20, iters_long=170, reps=2)
+                                   iters_short=20, iters_long=170, reps=3)
+        # panel and dense-layout share everything but two boundary
+        # transposes: a >1.5× gap means a poisoned rep or a fallback.
+        # Re-measure BOTH once and keep per-key minima (each marginal
+        # timing is already a median of 3; the relay can still stall a
+        # whole rep set 1→500 s)
+        if t_kp > 1.5 * t_k or t_k > 1.5 * t_kp:
+            detail["routed_spmm_panel_anomaly"] = round(t_kp / t_k, 2)
+            t_k = min(t_k, marginal_chain_time(
+                spmm_chain, opR, Xm, iters_short=20, iters_long=170, reps=3))
+            t_kp = min(t_kp, marginal_chain_time(
+                spmm_panel_chain, opR, Xp, iters_short=20, iters_long=170,
+                reps=3))
+            detail["routed_spmm_k8_us"] = round(t_k * 1e6, 1)
+            detail["routed_spmm_k8_x_matvec"] = round(t_k / tR, 2)
+            detail["routed_spmm_k8_gnnz_per_s"] = round(
+                k_rhs * nnzu / t_k / 1e9, 2)
+            detail["routed_spmm_panel_anomaly_after"] = round(t_kp / t_k, 2)
         detail["routed_spmm_k8_panel_us"] = round(t_kp * 1e6, 1)
         detail["routed_spmm_k8_panel_x_matvec"] = round(t_kp / tR, 2)
         detail["routed_spmm_k8_panel_gnnz_per_s"] = round(
@@ -489,10 +562,24 @@ def main():
 
         hpm = (rng.standard_normal(nnzm).astype(np.float32),
                cols_m[order_m].astype(np.int32), indptr_m.astype(np.int32))
+        from linops_tpu.sparse.routed import pack_routed_csr
+
         t0 = time.perf_counter()
+        fwd_np, der_np = pack_routed_csr(*hpm, (nm, nm), with_transpose=True,
+                                         to_device=False)
+        t_cpu = time.perf_counter() - t0
+        detail["routed_multichunk_pack_cpu_s"] = round(t_cpu, 2)
+        detail["routed_multichunk_pack_cpu_s_per_mnnz"] = round(
+            t_cpu / (nnzm / 1e6), 2)
+        t0 = time.perf_counter()
+        fwd_dev = jax.device_put(fwd_np)
+        der_dev = jax.device_put(der_np) if der_np is not None else None
+        _sync(fwd_dev.vals)
+        detail["routed_multichunk_upload_s"] = round(
+            time.perf_counter() - t0, 2)
         opM = lo.RoutedCSROperator(csr_from_parts(*hpm, (nm, nm)),
+                                   routed=fwd_dev, routed_t=der_dev,
                                    host_parts=hpm)
-        detail["routed_multichunk_pack_s"] = round(time.perf_counter() - t0, 2)
         detail["routed_multichunk_chunks"] = int(opM.routed.vals.shape[0])
         vm = jnp.ones((nm,), dtype)
         tM = _marginal_apply_time(opM, vm, reps=2)
@@ -768,24 +855,48 @@ def main():
             detail["reorder_rcm_gbs"] = round(
                 blk.size * blk.dtype.itemsize / t_re / 1e9, 1)
 
+    def sec_auto_8m():
+        # the r4 cliff case: 8.4M-nnz unstructured through format="auto".
+        # Auto now routes it (with a pack-cost warning) instead of silently
+        # falling to the 0.062 Gnnz/s gather path (VERDICT r4 missing #2);
+        # this section documents the chosen behavior at ≥8M nnz.
+        import warnings
+
+        import scipy.sparse as sps
+
+        na = 1 << 19
+        counts = rng.poisson(16, na)
+        nnza = int(counts.sum())
+        indptr_a = np.zeros(na + 1, np.int64)
+        np.cumsum(counts, out=indptr_a[1:])
+        cols_a = rng.integers(0, na, nnza)
+        order_a = np.lexsort((cols_a, np.repeat(np.arange(na), counts)))
+        spA = sps.csr_matrix(
+            (rng.standard_normal(nnza).astype(np.float32),
+             cols_a[order_a].astype(np.int32), indptr_a.astype(np.int64)),
+            shape=(na, na))
+        t0 = time.perf_counter()
+        with warnings.catch_warnings(record=True) as wlist:
+            warnings.simplefilter("always")
+            opA8 = lo.opSparse(spA, format="auto")
+        detail["auto_8m_nnz"] = nnza
+        detail["auto_8m_format"] = type(opA8).__name__
+        detail["auto_8m_pack_s"] = round(time.perf_counter() - t0, 2)
+        detail["auto_8m_warned"] = any(
+            "pack" in str(w.message) for w in wlist)
+        va = jnp.ones((na,), dtype)
+        tA8 = _marginal_apply_time(opA8, va, reps=2)
+        detail["auto_8m_gnnz_per_s"] = round(nnza / tA8 / 1e9, 3)
+
     section("routed_unstructured", sec_routed_unstructured)
     section("routed_multichunk", sec_routed_multichunk)
+    section("auto_8m", sec_auto_8m)
     section("spmv_windowed", sec_spmv_windowed)
     section("permutation", sec_permutation)
     section("reorder", sec_reorder)
     section("csr_unstructured", sec_csr_unstructured)
 
-    print(
-        json.dumps(
-            {
-                "metric": "spmv_chain_bandwidth",
-                "value": round(spmv_gbs, 2),
-                "unit": "GB/s",
-                "vs_baseline": round(spmv_gbs / roofline, 4),
-                "detail": detail,
-            }
-        )
-    )
+    _emit(detail)
 
 
 if __name__ == "__main__":

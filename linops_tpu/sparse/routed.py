@@ -356,14 +356,22 @@ def _run_bounds(keys, lanes, n_windows):
 
 
 def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None,
-                    with_transpose=False):
+                    with_transpose=False, to_device=True):
     """Pack host CSR arrays into a RoutedSpMV routing program.
 
     ``with_transpose=True`` additionally returns the DERIVED transpose
     program (RoutedTranspose) — or None when the layout cannot support it
     (ReducePass-fallback combines, or column-count skew that would blow up
     the per-block window gather) — as a second tuple element.
+
+    ``to_device=False`` leaves every program leaf as a host numpy array
+    (upload later with one ``jax.device_put(program)``): separates the
+    CPU pack cost from the host→device transfer, which dominates through
+    slow links (the bench's relay moves ~5-10 MB/s) and is the reason
+    difference-of-totals pack timings clamp to zero (VERDICT r4 item 5).
+    The ReducePass fallback combine is device-resident either way.
     """
+    _up = jnp.asarray if to_device else (lambda a: a)
     n_r, n_c = int(shape[0]), int(shape[1])
     check_int32_range(shape, int(data.shape[0]))
     data = np.asarray(data)
@@ -614,7 +622,7 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None,
                                                     c * m + int(w1)))
 
     stages_stacked = tuple(
-        jnp.asarray(np.stack([s[i] for s in stage_l]))
+        _up(np.stack([s[i] for s in stage_l]))
         for i in range(len(stage_l[0]))
     )
 
@@ -643,14 +651,14 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None,
                                        rowid.size // RADIX)
 
     fwd = RoutedSpMV(
-        vals=jnp.asarray(np.stack(vals_l)),
-        lane_idx=jnp.asarray(np.stack(lane_l)),
-        win_block=jnp.asarray(np.stack(winb_l)),
+        vals=_up(np.stack(vals_l)),
+        lane_idx=_up(np.stack(lane_l)),
+        win_block=_up(np.stack(winb_l)),
         stages=stages_stacked,
-        rowid=None if rowid is None else jnp.asarray(rowid),
+        rowid=None if rowid is None else _up(rowid),
         passes=passes,
-        comb_lo=None if comb_lo is None else jnp.asarray(comb_lo),
-        comb_hi=None if comb_hi is None else jnp.asarray(comb_hi),
+        comb_lo=None if comb_lo is None else _up(comb_lo),
+        comb_hi=None if comb_hi is None else _up(comb_hi),
         shape=(n_r, n_c),
         w=int(w),
         chunk_keep=keep,
@@ -670,17 +678,17 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None,
             for b, v in enumerate(blk_win_rows):
                 wr[b, : len(v)] = v
             derived = RoutedTranspose(
-                vals_pre=jnp.asarray(np.stack(t_valsp)),
-                g1inv=jnp.asarray(np.stack(t_g1inv)),
-                expand_tile=jnp.asarray(np.stack(t_etile)),
-                expand_idx=jnp.asarray(np.stack(t_eidx)),
+                vals_pre=_up(np.stack(t_valsp)),
+                g1inv=_up(np.stack(t_g1inv)),
+                expand_tile=_up(np.stack(t_etile)),
+                expand_idx=_up(np.stack(t_eidx)),
                 stages_t=tuple(
-                    jnp.asarray(np.stack([s[i] for s in t_stages]))
+                    _up(np.stack([s[i] for s in t_stages]))
                     for i in range(len(t_stages[0]))
                 ),
-                bnd_lo=jnp.asarray(np.stack(t_blo)),
-                bnd_hi=jnp.asarray(np.stack(t_bhi)),
-                win_rows=jnp.asarray(wr),
+                bnd_lo=_up(np.stack(t_blo)),
+                bnd_hi=_up(np.stack(t_bhi)),
+                win_rows=_up(wr),
                 n_tiles=int(T8),
                 shape=(n_r, n_c),
             )

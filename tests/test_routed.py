@@ -310,3 +310,29 @@ def test_routed_pathological_patterns():
     xc = rng.standard_normal(1)
     np.testing.assert_allclose(np.asarray(routed_matvec(p, xc, use_pallas=False)),
                                (C @ xc), rtol=1e-12)
+
+
+def test_pack_to_device_false_roundtrip():
+    """to_device=False leaves numpy leaves; one jax.device_put later gives
+    a program identical in behavior to the default device pack (the bench
+    uses this seam to split CPU pack cost from upload, VERDICT r4 #5)."""
+    import jax
+
+    A = _random_csr(1200, 1100, 0.01, seed=11)
+    host_prog, host_der = pack_routed_csr(
+        A.data, A.indices, A.indptr, A.shape, with_transpose=True,
+        to_device=False)
+    # every leaf stayed on host
+    assert all(isinstance(leaf, np.ndarray)
+               for leaf in jax.tree_util.tree_leaves((host_prog, host_der)))
+    dev_prog = jax.device_put(host_prog)
+    x = np.random.default_rng(4).standard_normal(1100)
+    y = np.asarray(routed_matvec(dev_prog, x, use_pallas=False))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+    if host_der is not None:
+        from linops_tpu.sparse.routed import routed_rmatvec
+
+        dev_der = jax.device_put(host_der)
+        u = np.random.default_rng(5).standard_normal(1200)
+        yt = np.asarray(routed_rmatvec(dev_der, u, use_pallas=False))
+        np.testing.assert_allclose(yt, A.T @ u, rtol=1e-12)
