@@ -493,8 +493,9 @@ def test_bsr_multiwindow_forward(monkeypatch, rng):
     """Mostly-banded pattern (band + a far-off column cluster per stripe,
     e.g. RCM leftovers): the banded plan refuses (span exceeds its single
     window cap) but the multi-window plan keeps the forward on the Pallas
-    path with independently addressed windows; transpose stays correct via
-    the XLA fallback (multi plan is forward-only)."""
+    path with independently addressed windows; the transpose runs the
+    monotone-lane sliding-window scatter kernel (round-5: multi plans are
+    no longer forward-only)."""
     import linops_tpu.kernels.bsr_spmv as BK
     from linops_tpu.sparse.formats import BSR
     from linops_tpu.sparse.ops import BSROperator
@@ -513,6 +514,11 @@ def test_bsr_multiwindow_forward(monkeypatch, rng):
     op = BSROperator(data, backend="pallas")
     assert op.win_q is not None and op.cols_local is None
     assert op.win_q.ndim == 2 and op._wb > 0
+    # the monotone-lane transpose plan must exist for this pattern (a
+    # slow band lane + a revisiting outlier-cluster lane)
+    assert op.win_q_t is not None and op.win_valid_t is not None
+    qt = np.asarray(op.win_q_t)
+    assert (np.diff(qt, axis=1) >= 0).all(), "lanes must be monotone"
     x = rng.standard_normal(nbcol * bn).astype(np.float32)
     ref = np.zeros(nbrow * bm, np.float32)
     for bi in range(nbrow):
@@ -554,6 +560,83 @@ def test_bsr_window_plan_multi_units():
     cols_s = (np.arange(16)[:, None] * 977 % 8000).astype(np.int32)
     assert bsr_window_plan_multi(cols_s, R=16, nbcol=8192, wb_max=8,
                                  max_windows=4) is None
+
+
+def test_bsr_window_plan_multi_t_units():
+    """Monotone-lane transpose planner: a fixed outlier cluster gets a
+    constant lane, a sliding band a monotone lane; a strictly descending
+    window sequence longer than the lane count must refuse."""
+    from linops_tpu.kernels.bsr_spmv import bsr_window_plan_multi_t
+
+    # band window rises 0,0,1,1 while cluster stays at window 50; group 2
+    # skips the cluster (forces a valid=0 lane repeat)
+    R = 8
+    cols = np.zeros((4 * R, 2), np.int32)
+    for g in range(4):
+        band = g // 2
+        clus = 50 if g != 2 else band  # group 2: band only
+        for r in range(R):
+            cols[g * R + r] = sorted([band * 8 + 1, clus * 8 + 1])
+    plan = bsr_window_plan_multi_t(cols, R=R, nbcol=512, wb=8, W=2)
+    assert plan is not None
+    q_t, valid, xpb = plan
+    assert (np.diff(q_t, axis=1) >= 0).all()
+    # every real window of every group is served by a valid lane
+    for g in range(4):
+        wins = set(np.unique(cols[g * R:(g + 1) * R] // 8))
+        served = {int(q_t[w, g]) for w in range(q_t.shape[0]) if valid[w, g]}
+        assert wins == served
+    assert xpb % 8 == 0 and xpb >= 512
+
+    # descending windows through more lanes than available: refuse
+    cols_d = np.zeros((6 * R, 1), np.int32)
+    for g in range(6):
+        cols_d[g * R:(g + 1) * R, 0] = (10 - g) * 8 + 1
+    assert bsr_window_plan_multi_t(cols_d, R=R, nbcol=512, wb=8, W=4) is None
+
+
+def test_bsr_multiwindow_transpose_groups(monkeypatch, rng):
+    """Multi-window transpose kernel across SEVERAL row groups: lane
+    repeats with valid=0, window revisit-with-accumulate within a lane,
+    and unvisited window blocks coming out exactly zero."""
+    import linops_tpu.kernels.bsr_spmv as BK
+    from linops_tpu.sparse.formats import BSR
+    from linops_tpu.sparse.ops import BSROperator
+
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_X_ELEMS", 2048)
+    monkeypatch.setattr(BK, "_TILE_BYTES_TARGET", 65536)  # R=16 -> 4 groups
+    # shrink the single-window cap so the banded plan refuses (span ~57
+    # blocks) and the multi-window plan fires with small windows
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_WINDOW_BLOCKS", 16)
+    nbrow, kmax, bm, bn = 64, 2, 8, 128
+    nbcol = 64
+    cols = np.zeros((nbrow, kmax), np.int32)
+    for bi in range(nbrow):
+        g = bi // 16
+        band = g * 3  # sliding band
+        clus = 56 if g != 2 else band + 1  # cluster absent in group 2
+        cols[bi] = sorted([band, clus])
+    blocks = rng.standard_normal((nbrow, kmax, bm, bn)).astype(np.float32)
+    data = BSR(blocks=jnp.asarray(blocks), block_cols=jnp.asarray(cols),
+               shape=(nbrow * bm, nbcol * bn))
+    op = BSROperator(data, backend="pallas")
+    assert op.win_q is not None and op.cols_local is None
+    assert op.win_q_t is not None
+    dense = np.zeros((nbrow * bm, nbcol * bn), np.float32)
+    for bi in range(nbrow):
+        for k in range(kmax):
+            c = cols[bi, k]
+            dense[bi * bm:(bi + 1) * bm, c * bn:(c + 1) * bn] += blocks[bi, k]
+    u = rng.standard_normal(nbrow * bm).astype(np.float32)
+    yt = np.asarray(op.T @ u)
+    ref = dense.T @ u
+    np.testing.assert_allclose(yt, ref, rtol=3e-6, atol=3e-5)
+    dead = np.abs(ref) == 0
+    assert np.abs(yt[dead]).max(initial=0.0) == 0.0
+    # forward stays correct through the same plan family
+    x = rng.standard_normal(nbcol * bn).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op @ x), dense @ x,
+                               rtol=3e-6, atol=3e-5)
 
 
 def test_bsr_window_plan_refuses_real_col0_in_pad_slot():
