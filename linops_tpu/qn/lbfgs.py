@@ -139,19 +139,36 @@ def _compact_middle(state: LBFGSState, inverse: bool):
     regression, VERDICT r4 weak #1) — precomputing G turns both applies
     into two (mem, n) passes + one (2mem)² mat-vec.
 
-    Forward middle (Byrd-Nocedal-Schnabel 1994 thm 2.3, Schur-eliminating
-    the diagonal −D block): with L = strict lower of chrono SᵀY, D = its
-    diagonal, M = θSᵀS + L D⁻¹ Lᵀ (SPD exactly when K is invertible),
+    The conventions match the BNS U factors the apply materializes
+    (``_compact_apply``): forward W = [θS; Y], inverse W = [S; γY],
+    both in CHRONO row order.
 
-      G_chrono = −[[θ² M⁻¹,        θ M⁻¹ L D⁻¹        ],
-                   [θ D⁻¹Lᵀ M⁻¹,   D⁻¹Lᵀ M⁻¹ L D⁻¹ − D⁻¹]]
+    Forward middle (BNS 1994 thm 2.3, Schur-eliminating the diagonal −D
+    block): with L = strict lower of chrono SᵀY, D = its diagonal,
+    M = θSᵀS + L D⁻¹ Lᵀ (SPD exactly when K is invertible),
+
+      G = −[[M⁻¹,        M⁻¹ L D⁻¹         ],
+            [D⁻¹Lᵀ M⁻¹,  D⁻¹Lᵀ M⁻¹ L D⁻¹ − D⁻¹]]
 
     Inverse middle (BNS 1994 eq. 2.6, chrono R = upper of SᵀY):
 
-      G_chrono = [[R⁻ᵀ(D+γYᵀY)R⁻¹,  −γR⁻ᵀ], [−γR⁻¹, 0]]
+      G = [[R⁻ᵀ(D+γYᵀY)R⁻¹,  −R⁻ᵀ], [−R⁻¹, 0]]
 
     Empty slots carry unit R/M diagonal; their G rows/cols are exactly
-    zero because the masked Grams are zero there."""
+    zero because the masked Grams are zero there.
+
+    PERFORMANCE-CRITICAL SHAPE (measured, tools/tpu_r5_batch3-9.py at
+    n=1e6, mem=16 on v5e, against a [182, 353] 1-to-2-pass roofline
+    window): the apply must build W per call as a dynamic-index gather
+    with a traced-scalar multiply on one half (exactly the form above).
+    XLA then (a) does NOT hoist the W build out of compiled chains, and
+    (b) fuses iteration i's output pass with iteration i+1's input pass,
+    so the memory streams ~1.5× per apply: 266-281 µs/apply in-chain.
+    Every variation tried was slower: hoisted/constant stacked W 346,
+    plain (unscaled) gathered concat 346, separate slot-order S/Y passes
+    + small scatter 395-399 (the r3-r4 regression), middle-stage form
+    (LU / Cholesky+triangular / matvec) moves it only when the solve
+    runs at apply time (+90 µs, the r3 forward bug)."""
     from jax.scipy.linalg import cho_solve, solve_triangular
 
     mem = state.S.shape[0]
@@ -175,8 +192,8 @@ def _compact_middle(state: LBFGSState, inverse: bool):
         Rinv = jnp.where(vmask2, Rinv, 0.0)
         B11 = pmatmul(Rinv.T, D[:, None] * Rinv + gamma * pmatmul(YY_o, Rinv))
         Gc = jnp.block([
-            [B11, -gamma * Rinv.T],
-            [-gamma * Rinv, jnp.zeros((mem, mem), SY_o.dtype)],
+            [B11, -Rinv.T],
+            [-Rinv, jnp.zeros((mem, mem), SY_o.dtype)],
         ])
     else:
         SS_o = jnp.where(vmask2, state.SS[order][:, order], 0.0)
@@ -189,29 +206,33 @@ def _compact_middle(state: LBFGSState, inverse: bool):
         Minv = cho_solve((C, True), eye)
         Minv = jnp.where(vmask2, Minv, 0.0)
         MLdi = pmatmul(Minv, Ldi)
-        G11 = -(theta * theta) * Minv
-        G12 = -theta * MLdi
         G22 = -pmatmul(Ldi.T, MLdi) + jnp.diag(d_inv)
-        Gc = jnp.block([[G11, G12], [G12.T, G22]])
-    # chrono → slot conjugation: G_slot[ord2[i], ord2[j]] = Gc[i, j]
-    ord2 = jnp.concatenate([order, mem + order])
-    return (jnp.zeros((2 * mem, 2 * mem), Gc.dtype)
-            .at[ord2[:, None], ord2[None, :]].set(Gc))
+        Gc = jnp.block([[-Minv, -MLdi], [-MLdi.T, G22]])
+    return Gc
 
 
 def _compact_apply(state: LBFGSState, x, inverse: bool):
-    """Shared compact-form apply: two (mem, n) passes in SLOT order + one
-    (2mem)² mat-vec with the push-maintained middle matrix ``state.G``.
-    Gathering S[order]/Y[order] instead would copy the whole (2mem, n)
-    memory before the pass (measured 372.7 µs vs the [182, 353] 1-to-
-    2-pass roofline window at n=1e6, mem=16)."""
+    """Shared compact-form apply: one (2mem, n) chrono-gathered W pass,
+    one (2mem)² mat-vec with the push-maintained middle ``state.G``,
+    one output pass over Wᵀ:
+
+      forward:  B v = θv + Wᵀ G (W v),  W = [θS; Y]   (chrono rows)
+      inverse:  H v = γv + Wᵀ G (W v),  W = [S; γY]
+
+    The W build (dynamic gather + traced-scalar multiply on one half) is
+    the PERFORMANCE-CRITICAL shape — see ``_compact_middle``."""
     mem = state.S.shape[0]
-    scale = state.gamma if inverse else 1.0 / state.gamma
-    ps = pmatmul(state.S, x)
-    qs = pmatmul(state.Y, x)
-    coef = pmatmul(state.G, jnp.concatenate([ps, qs]))
-    return (scale * x + pmatmul(state.S.T, coef[:mem])
-            + pmatmul(state.Y.T, coef[mem:]))
+    order = jnp.mod(state.insert + jnp.arange(mem), mem)
+    if inverse:
+        scale = state.gamma
+        W = jnp.concatenate(
+            [state.S[order], scale * state.Y[order]], axis=0)
+    else:
+        scale = 1.0 / state.gamma
+        W = jnp.concatenate(
+            [scale * state.S[order], state.Y[order]], axis=0)
+    coef = pmatmul(state.G, pmatmul(W, x))
+    return scale * x + pmatmul(W.T, coef)
 
 
 def inverse_apply_compact(state: LBFGSState, x):
