@@ -311,3 +311,23 @@ def test_lobpcg_accepts_large_n_f32_warm_start(rng):
     X0[1, 1] = 1.0
     th, X, res, it = lo.lobpcg(op, k=2, X0=X0, tol=1e-3, maxiter=2)
     assert np.all(np.isfinite(np.asarray(th)))
+
+
+def test_lobpcg_gram_vs_direct_parity(rng):
+    """The coefficient-space (gram) basis maintenance must find the same
+    eigenpairs as the big-array (direct) body, at comparable iteration
+    counts, on a spread spectrum with clusters."""
+    n = 400
+    d = np.concatenate([np.array([1.0, 1.0 + 1e-4, 1.2]),
+                        np.linspace(2.0, 100.0, n - 3)])
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    A = (Q * d) @ Q.T
+    op = lo.LinearOperator(jnp.asarray(A), hermitian=True)
+    out = {}
+    for basis in ("gram", "direct"):
+        th, X, res, it = lo.lobpcg(op, k=3, tol=1e-9, maxiter=600, key=KEY,
+                                   basis=basis)
+        np.testing.assert_allclose(np.asarray(th), d[:3], rtol=1e-7)
+        out[basis] = it
+    # no pathological convergence degradation from the gram path
+    assert out["gram"] <= 3 * out["direct"] + 20, out
