@@ -170,9 +170,12 @@ def _group_ksum(z, kmax, out_dtype):
 def _fwd_kernel_onehot(kmax: int, fast: bool, t_out: bool, cols_ref, x_ref,
                        blocks_ref, y_ref):
     RK, bm, bn = blocks_ref.shape  # RK = R*kmax, flattened host-side
-    xg = _onehot_gather(cols_ref, x_ref, y_ref.dtype, fast)  # (RK, bn)
+    # accumulators are ALWAYS f32: Mosaic rejects bf16 matmul
+    # accumulators ('matmul acc must be 32-bit'); a bf16 y_ref gets one
+    # cast at the store
+    xg = _onehot_gather(cols_ref, x_ref, jnp.float32, fast)  # (RK, bn)
     z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm), VPU
-    y = _group_ksum(z, kmax, y_ref.dtype)
+    y = _group_ksum(z, kmax, jnp.float32).astype(y_ref.dtype)
     y_ref[...] = y.T if t_out else y
 
 
@@ -456,10 +459,10 @@ def _fwd_kernel_onehot_win(kmax: int, fast: bool, t_out: bool, q_ref,
                            cols_ref, xlo_ref, xhi_ref, blocks_ref, y_ref):
     RK, bm, bn = blocks_ref.shape
     wb = xlo_ref.shape[0]
-    xg = _onehot_gather_offset(cols_ref, xlo_ref, y_ref.dtype, fast, 0)
-    xg = xg + _onehot_gather_offset(cols_ref, xhi_ref, y_ref.dtype, fast, wb)
+    xg = _onehot_gather_offset(cols_ref, xlo_ref, jnp.float32, fast, 0)
+    xg = xg + _onehot_gather_offset(cols_ref, xhi_ref, jnp.float32, fast, wb)
     z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm)
-    y = _group_ksum(z, kmax, y_ref.dtype)
+    y = _group_ksum(z, kmax, jnp.float32).astype(y_ref.dtype)
     y_ref[...] = y.T if t_out else y
 
 
@@ -517,11 +520,11 @@ def _fwd_kernel_onehot_multiwin(kmax: int, fast: bool, t_out: bool, wb: int,
     i = pl.program_id(0)
     xg = None
     for w, xr in enumerate(xs):
-        g = _onehot_gather_offset(cols_ref, xr, y_ref.dtype, fast,
+        g = _onehot_gather_offset(cols_ref, xr, jnp.float32, fast,
                                   q_ref[w, i] * wb)
         xg = g if xg is None else xg + g
     z = jnp.sum(blocks_ref[...] * xg[:, None, :], axis=2)  # (RK, bm)
-    y = _group_ksum(z, kmax, y_ref.dtype)
+    y = _group_ksum(z, kmax, jnp.float32).astype(y_ref.dtype)
     y_ref[...] = y.T if t_out else y
 
 
@@ -590,7 +593,7 @@ def _t_kernel_onehot(kmax: int, t_in: bool, cols_t_ref, u_ref, blocks_ref,
         u,
         (((1,), (0,)), ((), ())),
         precision=_GATHER_PRECISION,
-        preferred_element_type=out_ref.dtype,
+        preferred_element_type=jnp.float32,
     )  # (RK, bm)
     # contrib[(r,k), :] = sum_m blocks[(r,k),m,:]*u[r,m]  (VPU, exact f32)
     contrib = jnp.sum(blocks_ref[...] * u_rk[:, :, None], axis=1)  # (RK, bn)
@@ -613,8 +616,8 @@ def _t_kernel_onehot(kmax: int, t_in: bool, cols_t_ref, u_ref, blocks_ref,
         (((1,), (0,)), ((), ())),
         precision=(_GATHER_PRECISION if contrib.dtype == jnp.float32
                    else jax.lax.Precision.DEFAULT),
-        preferred_element_type=out_ref.dtype,
-    )  # (nbcol, bn)
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)  # (nbcol, bn)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -711,7 +714,7 @@ def _t_kernel_onehot_win(kmax: int, t_in: bool, q_ref, cols_ref, u_ref,
     u_rk = jax.lax.dot_general(
         expand, u, (((1,), (0,)), ((), ())),
         precision=_GATHER_PRECISION,
-        preferred_element_type=olo_ref.dtype)  # (RK, bm)
+        preferred_element_type=jnp.float32)  # (RK, bm)
     contrib = jnp.sum(blocks_ref[...] * u_rk[:, :, None], axis=1)  # (RK, bn)
 
     i = pl.program_id(0)
@@ -729,7 +732,8 @@ def _t_kernel_onehot_win(kmax: int, t_in: bool, q_ref, cols_ref, u_ref,
             sel = (ids == cols_ref[...]).astype(contrib.dtype)
             upd = jax.lax.dot_general(
                 sel, contrib, (((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=ref.dtype)
+                precision=prec,
+                preferred_element_type=jnp.float32).astype(ref.dtype)
 
             @pl.when(new)
             def _(u=upd, r=ref, s=s, e=e):
@@ -878,7 +882,7 @@ def _t_kernel_onehot_multiwin(kmax: int, t_in: bool, wb: int, W: int,
     u_rk = jax.lax.dot_general(
         expand, u, (((1,), (0,)), ((), ())),
         precision=_GATHER_PRECISION,
-        preferred_element_type=out_refs[0].dtype)  # (RK, bm)
+        preferred_element_type=jnp.float32)  # (RK, bm)
     contrib = jnp.sum(blocks_ref[...] * u_rk[:, :, None], axis=1)  # (RK, bn)
 
     i = pl.program_id(0)
@@ -896,7 +900,8 @@ def _t_kernel_onehot_multiwin(kmax: int, t_in: bool, wb: int, W: int,
             sel = (ids == cols_ref[...]).astype(contrib.dtype)
             upd = jax.lax.dot_general(
                 sel, contrib, (((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=ref.dtype) * vw
+                precision=prec,
+                preferred_element_type=jnp.float32).astype(ref.dtype) * vw
 
             @pl.when(new)
             def _(u=upd, r=ref, s=s, e=e):

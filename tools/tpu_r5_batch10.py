@@ -36,7 +36,7 @@ blocks = jnp.asarray(
     rng.standard_normal((nbrow, kmax, bm, bn)).astype(np.float32)
 ).astype(jnp.bfloat16)
 cols = jnp.asarray(rng.integers(0, nbcol, size=(nbrow, kmax)).astype(np.int32))
-x = jnp.ones((nbcol, bn), jnp.bfloat16)
+x = jnp.ones((nbcol, bn), jnp.float32)
 
 R = bsr_pallas_rows_per_program(bm, kmax, bn, 2)
 print(f"R={R}", flush=True)
@@ -65,7 +65,7 @@ def spmv_flat(blocks2, cols_flat, xb):
         ],
         out_specs=pl.BlockSpec((R, bm), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbrow, bm), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((nbrow, bm), jnp.float32),
     )(cols_flat, xb, blocks2)
 
 
@@ -88,8 +88,7 @@ try:
     def chain(blocks2, cols_flat, xb, iters):
         def body(_, v):
             y = spmv_flat(blocks2, cols_flat, v)
-            return (y / jnp.float32(kmax)).reshape(nbcol, bn).astype(
-                jnp.bfloat16)
+            return (y / jnp.float32(kmax)).reshape(nbcol, bn)
 
         return lax.fori_loop(0, iters, body, xb)
 
@@ -116,7 +115,7 @@ from linops_tpu.kernels.bsr_spmv import bsr_matvec_pallas
 def chain3(blocks, cols, xb, iters):
     def body(_, v):
         y = bsr_matvec_pallas(blocks, cols, v)
-        return (y / jnp.float32(kmax)).reshape(nbcol, bn).astype(jnp.bfloat16)
+        return (y / jnp.float32(kmax)).reshape(nbcol, bn)
 
     return lax.fori_loop(0, iters, body, xb)
 
@@ -131,4 +130,15 @@ for _ in range(3):
 t = sorted(ds)[1] / 1000
 print(f"3-D ctrl bf16 8x128: {t*1e6:.1f} us = "
       f"{blocks.size*2/t/1e9:.1f} GB/s logical", flush=True)
+
+# regression: ALL-bf16 apply must now COMPILE (f32 accumulators patch) —
+# it used to crash Mosaic with 'matmul acc must be 32-bit'
+xb16 = jnp.ones((nbcol, bn), jnp.bfloat16)
+try:
+    yb = bsr_matvec_pallas(blocks, cols, xb16)
+    sync(yb)
+    print("all-bf16 apply compiles OK, out dtype", yb.dtype, flush=True)
+except Exception as e:
+    print(f"all-bf16 apply STILL FAILS: {type(e).__name__}: {str(e)[:200]}",
+          flush=True)
 print(f"[t+{time.time()-t0:.0f}s] batch10 done", flush=True)
