@@ -747,7 +747,15 @@ class BSROperator(_SparseBase):
         if self._pallas_eligible(xb.size, nbcol, transpose=False, x_dtype=xb.dtype):
             from ..kernels.bsr_spmv import bsr_matvec_pallas
 
-            variant = "onehot_fast" if self._backend == "pallas_fast" else "auto"
+            # bf16 STORAGE defaults to the 2-pass gather: its ~1e-5 x
+            # split error sits 2 orders below the bf16 value quantization
+            # (4e-3), and the dropped third MXU pass is the EXPOSED cost
+            # at fine blocks (measured 8×128 bf16: 579 vs 444 GB/s,
+            # tools/tpu_r5_batch13/14.py — the kernel is gather-MXU-bound
+            # there, not DMA-bound; see docs/performance.md)
+            variant = ("onehot_fast"
+                       if (self._backend == "pallas_fast"
+                           or d.blocks.dtype == jnp.bfloat16) else "auto")
             y = bsr_matvec_pallas(
                 d.blocks, d.block_cols, xb, interpret=self._interpret(),
                 variant=variant,
@@ -767,7 +775,8 @@ class BSROperator(_SparseBase):
                     d.blocks, d.block_cols, self.win_q, xb,
                     wb=self._wb, x_pad_blocks=self._x_pad_blocks,
                     interpret=self._interpret(),
-                    fast=self._backend == "pallas_fast",
+                    fast=(self._backend == "pallas_fast"
+                          or d.blocks.dtype == jnp.bfloat16),
                     t_out=True).T.reshape(nbrow * bm)
             else:
                 from ..kernels.bsr_spmv import bsr_matvec_pallas_windowed
@@ -776,7 +785,8 @@ class BSROperator(_SparseBase):
                     d.blocks, self.cols_local, self.win_q, xb,
                     wb=self._wb, x_pad_blocks=self._x_pad_blocks,
                     interpret=self._interpret(),
-                    fast=self._backend == "pallas_fast",
+                    fast=(self._backend == "pallas_fast"
+                          or d.blocks.dtype == jnp.bfloat16),
                     t_out=True).T.reshape(nbrow * bm)
         else:
             y = bsr_matvec(d.blocks, d.block_cols, xb).reshape(nbrow * bm)
