@@ -695,3 +695,41 @@ def test_bsr_windowed_transpose(monkeypatch, rng):
         np.testing.assert_allclose(ytB, refB, rtol=3e-6, atol=3e-5)
         dead = np.abs(refB) == 0
         assert np.abs(ytB[dead]).max(initial=0.0) == 0.0
+
+
+def test_bsr_all_bf16_apply(monkeypatch, rng):
+    """All-bf16 applies (bf16 blocks AND bf16 vector) through the Pallas
+    kernels: the dots must accumulate f32 (Mosaic rejects bf16 matmul
+    accumulators — crashed on TPU before r5) and the result keeps the
+    promoted bf16 dtype."""
+    from linops_tpu.sparse.formats import BSR
+    from linops_tpu.sparse.ops import BSROperator
+
+    nbrow, kmax, bm, bn = 16, 2, 8, 128
+    nbcol = 4
+    blocks = rng.standard_normal((nbrow, kmax, bm, bn)).astype(np.float32)
+    cols = rng.integers(0, nbcol, (nbrow, kmax)).astype(np.int32)
+    data = BSR(blocks=jnp.asarray(blocks).astype(jnp.bfloat16),
+               block_cols=jnp.asarray(cols), shape=(nbrow * bm, nbcol * bn))
+    op = BSROperator(data, backend="pallas")
+    v = rng.standard_normal(nbcol * bn).astype(np.float32)
+    v16 = jnp.asarray(v).astype(jnp.bfloat16)
+    y = op @ v16
+    assert y.dtype == jnp.bfloat16
+    dense = np.zeros((nbrow * bm, nbcol * bn), np.float32)
+    b16 = np.asarray(jnp.asarray(blocks).astype(jnp.bfloat16), np.float32)
+    for bi in range(nbrow):
+        for kk in range(kmax):
+            dense[bi * bm:(bi + 1) * bm,
+                  cols[bi, kk] * bn:(cols[bi, kk] + 1) * bn] += b16[bi, kk]
+    ref = dense @ np.asarray(v16, np.float32)
+    np.testing.assert_allclose(np.asarray(y, np.float32), ref,
+                               rtol=3e-2, atol=3e-1)
+    yt = op.T @ v16[: nbrow * bm] if nbrow * bm <= nbcol * bn else None
+    u16 = jnp.asarray(rng.standard_normal(nbrow * bm).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    yt = op.T @ u16
+    assert yt.dtype == jnp.bfloat16
+    reft = dense.T @ np.asarray(u16, np.float32)
+    np.testing.assert_allclose(np.asarray(yt, np.float32), reft,
+                               rtol=3e-2, atol=3e-1)
