@@ -146,25 +146,8 @@ class StencilOperator(LinearOperator):
             y = y + _shift_nd(jnp.conj(self.coeffs[i]) * x, tuple(-o for o in off))
         return y.reshape(-1)
 
-    # Beyond this grid size a BATCHED (vmap) panel apply materializes
-    # lane-shifted copies of the whole k-wide panel in HBM (measured
-    # 2,054 µs for a width-6 apply on the 2048² Laplacian ≈ 11 memory
-    # passes, tools/tpu_r5_batch5.py), while SEQUENTIAL per-vector
-    # applies stay VMEM-fused (~58 µs each). Below it the panel fits
-    # VMEM and the batched form wins (no per-step scan latency).
-    _MAP_MIN_GRID = 1 << 20
-
     def apply_matrix(self, M, mode: str = "N"):
-        if self.nrow >= self._MAP_MIN_GRID and M.shape[1] > 1:
-            return jax.lax.map(lambda col: self.apply(col, mode), M.T).T
         return jax.vmap(lambda col: self.apply(col, mode), in_axes=1, out_axes=1)(M)
-
-    def apply_matrix_t(self, Mt, mode: str = "N"):
-        # row-panel protocol: map over the panel rows directly — no
-        # boundary transposes at all (each row is one 1-D grid apply)
-        if self.nrow >= self._MAP_MIN_GRID and Mt.shape[0] > 1:
-            return jax.lax.map(lambda r: self.apply(r, mode), Mt)
-        return super().apply_matrix_t(Mt, mode)
 
     def _name(self):
         return (
