@@ -50,6 +50,10 @@ class LSR1State(NamedTuple):
     gamma: jax.Array  # () scaling factor
     insert: jax.Array  # () int32, 0-based
     opnorm_ub: jax.Array  # () upper bound on ‖B‖₂ (a-form; lazy)
+    Minv: jax.Array  # (mem, mem) inverse of the compact middle M (chrono
+    # coords), maintained at push so the hot apply runs ZERO
+    # factorizations (same finding as the L-BFGS G matrix: a mem-sized
+    # LU at apply time costs ~+90 µs of sequential latency on v5e)
 
 
 def _init_state(n: int, mem: int, dtype) -> LSR1State:
@@ -64,6 +68,7 @@ def _init_state(n: int, mem: int, dtype) -> LSR1State:
         gamma=jnp.ones((), dtype),
         insert=jnp.zeros((), jnp.int32),
         opnorm_ub=jnp.ones((), dtype),
+        Minv=jnp.eye(mem, dtype=dtype),
     )
 
 
@@ -83,11 +88,10 @@ def lsr1_apply_matrix(state: LSR1State, X):
     return X / state.gamma + pmatmul(state.A.T, coef)
 
 
-def _compact_parts(state: LSR1State):
-    """Chronologically-ordered compact pieces: U = Y − S/γ and
-    M = D + L + Lᵀ − SᵀS/γ (Byrd-Nocedal-Schnabel 1994, thm 5.1), with
-    unit diagonal on empty slots (their U rows are zero, so they
-    contribute exactly nothing)."""
+def _compact_M(state: LSR1State):
+    """The small chrono middle matrix M = D + L + Lᵀ − SᵀS/γ
+    (Byrd-Nocedal-Schnabel 1994, thm 5.1) with unit diagonal on empty
+    slots, plus (order, valid)."""
     mem = state.S.shape[0]
     order = jnp.mod(state.insert + jnp.arange(mem), mem)  # oldest → newest
     valid = state.ys[order] != 0
@@ -97,6 +101,24 @@ def _compact_parts(state: LSR1State):
     L = jnp.tril(SY_o, k=-1)
     M = jnp.diag(jnp.diag(SY_o)) + L + L.T - SS_o / state.gamma
     M = jnp.where(vmask2, M, 0.0) + jnp.diag(jnp.where(valid, 0.0, 1.0))
+    return M, order, valid
+
+
+def _compact_minv(state: LSR1State):
+    """Push-time inverse of the compact middle (empty slots zeroed): the
+    hot apply then runs matmul-only, and the per-apply U build stays a
+    dynamic-index gather with a traced-scalar term — the form XLA does
+    not hoist out of chains and fuses across iterations (see the L-BFGS
+    ``_compact_middle`` note; tools/tpu_r5_batch3-9.py)."""
+    M, order, valid = _compact_M(state)
+    vmask2 = valid[:, None] & valid[None, :]
+    return jnp.where(vmask2, jnp.linalg.inv(M), 0.0)
+
+
+def _compact_parts(state: LSR1State):
+    """Chronologically-ordered compact pieces (U, M): U = Y − S/γ with
+    empty slots zeroed."""
+    M, order, valid = _compact_M(state)
     U = jnp.where(
         valid[:, None], state.Y[order] - state.S[order] / state.gamma, 0.0
     )  # (mem, n)
@@ -106,15 +128,15 @@ def _compact_parts(state: LSR1State):
 def lsr1_apply_compact(state: LSR1State, x):
     """Compact SR1 product: B v = v/γ + Uᵀ M⁻¹ (U v) — numerically equal to
     the a-form recursion on accepted pairs, but needs NO a-vectors, so
-    pushes stay O(mem·n)."""
-    U, M = _compact_parts(state)
-    coef = jnp.linalg.solve(M, pmatmul(U, x))
+    pushes stay O(mem·n). M⁻¹ is push-maintained (``state.Minv``)."""
+    U, _ = _compact_parts(state)
+    coef = pmatmul(state.Minv, pmatmul(U, x))
     return x / state.gamma + pmatmul(U.T, coef)
 
 
 def lsr1_apply_matrix_compact(state: LSR1State, X):
-    U, M = _compact_parts(state)
-    coef = jnp.linalg.solve(M, pmatmul(U, X))
+    U, _ = _compact_parts(state)
+    coef = pmatmul(state.Minv, pmatmul(U, X))
     return X / state.gamma + pmatmul(U.T, coef)
 
 
@@ -184,7 +206,9 @@ def _push(state: LSR1State, s, y, *, scaling: bool, with_a: bool = True) -> LSR1
     SS = state.SS.at[ins, :].set(ss_vec).at[:, ins].set(ss_vec)
 
     new = LSR1State(S=S, Y=Y, ys=ysv, A=state.A, as_=state.as_, SY=SY, SS=SS,
-                    gamma=gamma, insert=insert_new, opnorm_ub=state.opnorm_ub)
+                    gamma=gamma, insert=insert_new,
+                    opnorm_ub=state.opnorm_ub, Minv=state.Minv)
+    new = new._replace(Minv=_compact_minv(new))
     if with_a:
         new = _recompute_all_a(new)
     return new
