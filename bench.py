@@ -49,7 +49,7 @@ _partial = {"metric": "spmv_chain_bandwidth", "value": 0.0, "unit": "GB/s",
 # to bench_out.json only
 _HEADLINE_KEYS = (
     "platform", "roofline_gbs", "spmv_gnnz_per_s", "spmv_us_per_apply",
-    "lbfgs_fwd_us", "lbfgs_inv_us", "lbfgs_roofline_us_1to2pass",
+    "lbfgs_fwd_us", "lbfgs_inv_us", "lsr1_fwd_us", "lbfgs_roofline_us_1to2pass",
     "routed_unstructured_gnnz_per_s", "routed_unstructured_T_gnnz_per_s",
     "routed_spmm_k8_us", "routed_spmm_k8_x_matvec", "routed_spmm_path",
     "routed_spmm_k8_panel_us", "routed_spmm_k8_panel_x_matvec",
@@ -355,6 +355,16 @@ def main():
             round(min_bytes / (ceil * 1e9) * 1e6, 1),
             round((2 * (2 * mem) * n + 2 * n) * bpe / (ceil * 1e9) * 1e6, 1),
         ]
+
+        # L-SR1 compact apply (U is (mem, n): ~half the L-BFGS traffic;
+        # push-maintained M-inverse keeps the hot apply matmul-only)
+        R1 = lo.LSR1Operator(jnp.float32, n, mem=mem)
+        for _ in range(mem):
+            s = rng.standard_normal(n).astype(np.float32)
+            y = 2.0 * s + 0.5 * rng.standard_normal(n).astype(np.float32)
+            R1.push(s, y)
+        t_sr1 = _marginal_apply_time(R1, v, reps=2)
+        detail["lsr1_fwd_us"] = round(t_sr1 * 1e6, 1)
 
         # push throughput: lazy a/b (production default, O(mem·n)) vs the
         # eager reference recompute (O(mem²·n))
