@@ -524,9 +524,23 @@ def main():
         # the executed path, recorded host-side from the dispatch's own
         # conditions — the r4 driver capture had a 20× panel/dense
         # contradiction with nothing in the artifact to adjudicate it
+        def spmm_time(chain_fn, X):
+            # k-RHS stages move f32 VALUES, so < 3× one matvec is
+            # physically impossible (the 0.8k× value-traffic floor);
+            # an implausibly-fast delta means the relay returned a
+            # poisoned rep set (observed: a ~0 s delta) — re-measure and
+            # keep the slower (admissible) reading
+            t = marginal_chain_time(chain_fn, opR, X, iters_short=20,
+                                    iters_long=170, reps=3)
+            if t < 3.0 * tR:
+                detail["routed_spmm_implausible_fast"] = round(t * 1e6, 1)
+                t = max(t, marginal_chain_time(
+                    chain_fn, opR, X, iters_short=20, iters_long=170,
+                    reps=3))
+            return t
+
         detail["routed_spmm_path"] = opR.matrix_path("N", panel=False)
-        t_k = marginal_chain_time(spmm_chain, opR, Xm, iters_short=20,
-                                  iters_long=170, reps=3)
+        t_k = spmm_time(spmm_chain, Xm)
         detail["routed_spmm_k8_us"] = round(t_k * 1e6, 1)
         detail["routed_spmm_k8_x_matvec"] = round(t_k / tR, 2)
         detail["routed_spmm_k8_gnnz_per_s"] = round(
@@ -543,24 +557,22 @@ def main():
             return jax.lax.fori_loop(0, iters, body, Mt)
 
         detail["routed_spmm_panel_path"] = opR.matrix_path("N", panel=True)
-        t_kp = marginal_chain_time(spmm_panel_chain, opR, Xp,
-                                   iters_short=20, iters_long=170, reps=3)
+        t_kp = spmm_time(spmm_panel_chain, Xp)
         # panel and dense-layout share everything but two boundary
-        # transposes: a >1.5× gap means a poisoned rep or a fallback.
-        # Re-measure BOTH once and keep per-key minima (each marginal
-        # timing is already a median of 3; the relay can still stall a
-        # whole rep set 1→500 s)
+        # transposes: a >1.5× gap means a stalled rep set or a fallback.
+        # Re-measure the SLOWER one once and keep its min (the fast side
+        # already passed the plausibility floor above; the relay can
+        # stall a whole rep set 1→500 s)
         if t_kp > 1.5 * t_k or t_k > 1.5 * t_kp:
             detail["routed_spmm_panel_anomaly"] = round(t_kp / t_k, 2)
-            t_k = min(t_k, marginal_chain_time(
-                spmm_chain, opR, Xm, iters_short=20, iters_long=170, reps=3))
-            t_kp = min(t_kp, marginal_chain_time(
-                spmm_panel_chain, opR, Xp, iters_short=20, iters_long=170,
-                reps=3))
-            detail["routed_spmm_k8_us"] = round(t_k * 1e6, 1)
-            detail["routed_spmm_k8_x_matvec"] = round(t_k / tR, 2)
-            detail["routed_spmm_k8_gnnz_per_s"] = round(
-                k_rhs * nnzu / t_k / 1e9, 2)
+            if t_k > t_kp:
+                t_k = min(t_k, spmm_time(spmm_chain, Xm))
+                detail["routed_spmm_k8_us"] = round(t_k * 1e6, 1)
+                detail["routed_spmm_k8_x_matvec"] = round(t_k / tR, 2)
+                detail["routed_spmm_k8_gnnz_per_s"] = round(
+                    k_rhs * nnzu / t_k / 1e9, 2)
+            else:
+                t_kp = min(t_kp, spmm_time(spmm_panel_chain, Xp))
             detail["routed_spmm_panel_anomaly_after"] = round(t_kp / t_k, 2)
         detail["routed_spmm_k8_panel_us"] = round(t_kp * 1e6, 1)
         detail["routed_spmm_k8_panel_x_matvec"] = round(t_kp / tR, 2)
