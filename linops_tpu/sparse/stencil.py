@@ -146,54 +146,8 @@ class StencilOperator(LinearOperator):
             y = y + _shift_nd(jnp.conj(self.coeffs[i]) * x, tuple(-o for o in off))
         return y.reshape(-1)
 
-    # panel applies switch to one fused convolution once the batched
-    # shift-and-add would materialize per-offset copies of an
-    # HBM-resident panel (measured 2,054 µs for a width-6 apply on the
-    # 2048² Laplacian ≈ 11 memory passes; the conv emitter streams the
-    # panel ~once). Below the bound the panel fits VMEM and the fused
-    # shift form is already optimal.
-    _CONV_MIN_GRID = 1 << 21
-
-    def _conv_kernel(self, mode: str):
-        """(2R+1)^d cross-correlation kernel W[center + off] = c_off
-        (mirrored offsets for T/H), or None when the conv path does not
-        apply (non-scalar coeffs, non-2D grid, complex dtype)."""
-        if (not self._scalar_coeffs or len(self._grid) != 2
-                or jnp.iscomplexobj(self.coeffs)):
-            return None
-        R = max((max(abs(o) for o in off) for off in self._offsets),
-                default=0)
-        if R == 0 or R > 8:  # wide stencils: window cost grows as (2R+1)²
-            return None
-        W = jnp.zeros((2 * R + 1, 2 * R + 1), self.coeffs.dtype)
-        sgn = -1 if mode in ("T", "H") else 1
-        for i, off in enumerate(self._offsets):
-            W = W.at[R + sgn * off[0], R + sgn * off[1]].add(self.coeffs[i])
-        return W[None, None]  # (O=1, I=1, kh, kw)
-
-    def _conv_apply_rows(self, Mt, mode: str):
-        """Row-panel apply via one conv; Mt (k, n) -> (k, n)."""
-        W = self._conv_kernel(mode)
-        if W is None:
-            return None
-        k = Mt.shape[0]
-        X = Mt.reshape((k, 1) + self._grid).astype(
-            jnp.result_type(Mt.dtype, W.dtype))
-        Y = jax.lax.conv_general_dilated(
-            X, W.astype(X.dtype), (1, 1), "SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=jax.lax.Precision.HIGHEST)
-        return Y.reshape(k, -1)
-
     def apply_matrix(self, M, mode: str = "N"):
         return jax.vmap(lambda col: self.apply(col, mode), in_axes=1, out_axes=1)(M)
-
-    def apply_matrix_t(self, Mt, mode: str = "N"):
-        if self.nrow >= self._CONV_MIN_GRID and Mt.shape[0] > 1:
-            Y = self._conv_apply_rows(Mt, mode)
-            if Y is not None:
-                return Y
-        return super().apply_matrix_t(Mt, mode)
 
     def _name(self):
         return (

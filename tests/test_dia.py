@@ -187,41 +187,3 @@ def test_stencil_3d(rng):
     assert_close(S * v, dense @ v)
     assert_close(S.T * v, dense.T @ v)
     assert_close(S.to_dense(), dense, rtol=1e-12)
-
-
-def test_stencil_conv_panel_path(rng):
-    """Above the conv threshold the 2-D scalar-coefficient stencil panel
-    apply runs as ONE fused convolution — parity with per-column applies
-    for N and T on asymmetric stencils and non-square grids."""
-    import jax.numpy as jnp
-
-    from linops_tpu.sparse.stencil import StencilOperator, opStencil2D
-
-    old = StencilOperator._CONV_MIN_GRID
-    try:
-        StencilOperator._CONV_MIN_GRID = 1 << 8
-        S = opStencil2D(32, 40, [(0, 0), (0, 1), (1, 0)],
-                        jnp.asarray([2.0, -1.0, -0.5], jnp.float32))
-        Mt = rng.standard_normal((4, 32 * 40)).astype(np.float32)
-        for mode in ("N", "T"):
-            got = np.asarray(S.apply_matrix_t(jnp.asarray(Mt), mode))
-            ref = np.stack([np.asarray(S.matvec(jnp.asarray(Mt[j]),
-                                                mode=mode))
-                            for j in range(4)])
-            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
-        # varying-coefficient stencils must keep the shift fallback
-        import linops_tpu as lo
-
-        L = lo.laplacian_2d(16, 16, dtype=jnp.float32)
-        coeffs_var = jnp.ones((5, 16, 16), jnp.float32)
-        from linops_tpu.sparse.stencil import StencilOperator as SO
-
-        V = SO((16, 16), [(-1, 0), (0, -1), (0, 0), (0, 1), (1, 0)],
-               coeffs_var)
-        Mt2 = rng.standard_normal((3, 256)).astype(np.float32)
-        got = np.asarray(V.apply_matrix_t(jnp.asarray(Mt2), "N"))
-        ref = np.stack([np.asarray(V.matvec(jnp.asarray(Mt2[j])))
-                        for j in range(3)])
-        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
-    finally:
-        StencilOperator._CONV_MIN_GRID = old
