@@ -524,23 +524,30 @@ def main():
         # the executed path, recorded host-side from the dispatch's own
         # conditions — the r4 driver capture had a 20× panel/dense
         # contradiction with nothing in the artifact to adjudicate it
-        def spmm_time(chain_fn, X):
+        def spmm_time(chain_fn, X, tag):
             # k-RHS stages move f32 VALUES, so < 3× one matvec is
             # physically impossible (the 0.8k× value-traffic floor);
             # an implausibly-fast delta means the relay returned a
-            # poisoned rep set (observed: a ~0 s delta) — re-measure and
-            # keep the slower (admissible) reading
+            # poisoned rep set (observed TWICE in a row in r5 run3:
+            # ~0 s deltas) — keep re-measuring, keep the slowest
+            # admissible reading, and if every attempt stays below the
+            # floor record a named flag instead of a silent 0.0
             t = marginal_chain_time(chain_fn, opR, X, iters_short=20,
                                     iters_long=170, reps=3)
-            if t < 3.0 * tR:
-                detail["routed_spmm_implausible_fast"] = round(t * 1e6, 1)
+            attempts = 0
+            while t < 3.0 * tR and attempts < 3:
+                attempts += 1
+                detail[f"routed_spmm_{tag}_implausible_fast"] = round(
+                    t * 1e6, 1)
                 t = max(t, marginal_chain_time(
                     chain_fn, opR, X, iters_short=20, iters_long=170,
                     reps=3))
+            if t < 3.0 * tR:
+                detail[f"routed_spmm_{tag}_unmeasurable"] = True
             return t
 
         detail["routed_spmm_path"] = opR.matrix_path("N", panel=False)
-        t_k = spmm_time(spmm_chain, Xm)
+        t_k = spmm_time(spmm_chain, Xm, "dense")
         detail["routed_spmm_k8_us"] = round(t_k * 1e6, 1)
         detail["routed_spmm_k8_x_matvec"] = round(t_k / tR, 2)
         detail["routed_spmm_k8_gnnz_per_s"] = round(
@@ -557,7 +564,7 @@ def main():
             return jax.lax.fori_loop(0, iters, body, Mt)
 
         detail["routed_spmm_panel_path"] = opR.matrix_path("N", panel=True)
-        t_kp = spmm_time(spmm_panel_chain, Xp)
+        t_kp = spmm_time(spmm_panel_chain, Xp, "panel")
         # panel and dense-layout share everything but two boundary
         # transposes: a >1.5× gap means a stalled rep set or a fallback.
         # Re-measure the SLOWER one once and keep its min (the fast side
@@ -566,13 +573,13 @@ def main():
         if t_kp > 1.5 * t_k or t_k > 1.5 * t_kp:
             detail["routed_spmm_panel_anomaly"] = round(t_kp / t_k, 2)
             if t_k > t_kp:
-                t_k = min(t_k, spmm_time(spmm_chain, Xm))
+                t_k = min(t_k, spmm_time(spmm_chain, Xm, "dense"))
                 detail["routed_spmm_k8_us"] = round(t_k * 1e6, 1)
                 detail["routed_spmm_k8_x_matvec"] = round(t_k / tR, 2)
                 detail["routed_spmm_k8_gnnz_per_s"] = round(
                     k_rhs * nnzu / t_k / 1e9, 2)
             else:
-                t_kp = min(t_kp, spmm_time(spmm_panel_chain, Xp))
+                t_kp = min(t_kp, spmm_time(spmm_panel_chain, Xp, "panel"))
             detail["routed_spmm_panel_anomaly_after"] = round(t_kp / t_k, 2)
         detail["routed_spmm_k8_panel_us"] = round(t_kp * 1e6, 1)
         detail["routed_spmm_k8_panel_x_matvec"] = round(t_kp / tR, 2)
