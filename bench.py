@@ -54,6 +54,8 @@ _HEADLINE_KEYS = (
     "routed_spmm_k8_us", "routed_spmm_k8_x_matvec", "routed_spmm_path",
     "routed_spmm_k8_panel_us", "routed_spmm_k8_panel_x_matvec",
     "routed_spmm_panel_path", "routed_spmm_panel_anomaly",
+    "routed_spmm_dense_implausible_fast", "routed_spmm_dense_unmeasurable",
+    "routed_spmm_panel_implausible_fast", "routed_spmm_panel_unmeasurable",
     "routed_pack_cpu_s", "routed_pack_t_cpu_s", "routed_upload_s",
     "routed_multichunk_gnnz_per_s", "routed_multichunk_T_gnnz_per_s",
     "routed_multichunk_pack_cpu_s", "routed_multichunk_upload_s",

@@ -898,10 +898,10 @@ def _t_kernel_onehot_multiwin(kmax: int, t_in: bool, wb: int, W: int,
             ids = jax.lax.broadcasted_iota(jnp.int32, (e - s, RK), 0) + (
                 q_now * wb + s)
             sel = (ids == cols_ref[...]).astype(contrib.dtype)
-            upd = jax.lax.dot_general(
+            upd = (jax.lax.dot_general(
                 sel, contrib, (((1,), (0,)), ((), ())),
                 precision=prec,
-                preferred_element_type=jnp.float32).astype(ref.dtype) * vw
+                preferred_element_type=jnp.float32) * vw).astype(ref.dtype)
 
             @pl.when(new)
             def _(u=upd, r=ref, s=s, e=e):

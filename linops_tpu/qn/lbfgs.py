@@ -66,9 +66,12 @@ class LBFGSState(NamedTuple):
     gamma: jax.Array  # () scaling factor γ (1 when scaling disabled)
     insert: jax.Array  # () int32 next ring slot, 0-based
     opnorm_ub: jax.Array  # () upper bound on ‖B‖₂ (forward form)
-    G: jax.Array  # (2mem, 2mem) compact-apply middle matrix, SLOT coords
-    # (maintained at push by _compact_middle so the hot applies run zero
-    # factorizations — see forward/inverse_apply_compact)
+    G: jax.Array  # (2, 2mem, 2mem) compact-apply middle matrices for
+    # BOTH forms ([0]=forward, [1]=inverse), maintained at push by
+    # _compact_middle so the hot applies run zero factorizations AND any
+    # state works with either apply form (a state pushed by a forward
+    # operator can be restored into an inverse one and vice versa) —
+    # see forward/inverse_apply_compact
 
 
 def _init_state(n: int, mem: int, dtype, inverse: bool) -> LBFGSState:
@@ -87,7 +90,7 @@ def _init_state(n: int, mem: int, dtype, inverse: bool) -> LBFGSState:
         gamma=jnp.ones((), dtype),
         insert=jnp.zeros((), jnp.int32),
         opnorm_ub=jnp.ones((), rdt),
-        G=jnp.zeros((2 * mem, 2 * mem), dtype),
+        G=jnp.zeros((2, 2 * mem, 2 * mem), dtype),
     )
 
 
@@ -231,7 +234,7 @@ def _compact_apply(state: LBFGSState, x, inverse: bool):
         scale = 1.0 / state.gamma
         W = jnp.concatenate(
             [scale * state.S[order], state.Y[order]], axis=0)
-    coef = pmatmul(state.G, pmatmul(W, x))
+    coef = pmatmul(state.G[1 if inverse else 0], pmatmul(W, x))
     return scale * x + pmatmul(W.T, coef)
 
 
@@ -451,9 +454,11 @@ def _push_common(state: LBFGSState, s, y, ys, *, scaling: bool, inverse: bool,
         opnorm_ub=ub,
         G=state.G,
     )
-    # refresh the compact middle matrix from the final small pieces —
-    # O(mem³) device work, so the hot applies run zero factorizations
-    return new._replace(G=_compact_middle(new, inverse))
+    # refresh BOTH compact middle matrices from the final small pieces —
+    # O(mem³) device work, so the hot applies run zero factorizations and
+    # the state stays form-agnostic (either operator form can apply it)
+    return new._replace(G=jnp.stack([
+        _compact_middle(new, False), _compact_middle(new, True)]))
 
 
 def _push_plain_impl(state, s, y, *, scaling, inverse, with_ab=True):

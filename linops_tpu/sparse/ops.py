@@ -1029,16 +1029,18 @@ def opSparse(
                         f"bandable.", stacklevel=2)
             else:
                 format = "csr"
-                import warnings
+                if sp.nnz > ROUTED_AUTO_MAX_NNZ:
+                    import warnings
 
-                warnings.warn(
-                    f"opSparse(format='auto'): {sp.nnz} nnz exceeds the "
-                    f"auto-routing cap ({ROUTED_AUTO_MAX_NNZ}); falling back "
-                    f"to the gather+segment_sum CSR path (~0.06 Gnnz/s on "
-                    f"TPU, ~150× below the routed pipeline). Pass "
-                    f"format='routed' explicitly to pack anyway "
-                    f"(~1.6 s per 1M nnz), or reorder='rcm' if the pattern "
-                    f"is bandable.", stacklevel=2)
+                    warnings.warn(
+                        f"opSparse(format='auto'): {sp.nnz} nnz exceeds "
+                        f"the auto-routing cap ({ROUTED_AUTO_MAX_NNZ}); "
+                        f"falling back to the gather+segment_sum CSR path "
+                        f"(~0.06 Gnnz/s on TPU, ~150× below the routed "
+                        f"pipeline). Pass format='routed' explicitly to "
+                        f"pack anyway (~1.6 s per 1M nnz), or "
+                        f"reorder='rcm' if the pattern is bandable.",
+                        stacklevel=2)
         if format == "csr":
             data = csr_from_parts(sp.data, sp.indices, sp.indptr, sp.shape)
             if dtype is not None:

@@ -156,7 +156,5 @@ def rcm_reordered_operator(sp, opsparse_kwargs: dict):
     A_r = sp[perm][:, perm].tocsr()
     inner = opSparse(A_r, **opsparse_kwargs)
     P = opPermutation(perm)
-    # the sandwich ALWAYS applies Pᵀ on the way out — pack the inverse
-    # routing program now, not at first (possibly in-jit) dispatch
-    P.bump("T", 0)
+    # ReorderedOperator.__init__ pre-packs P's inverse routing program
     return ReorderedOperator(inner, P)

@@ -529,3 +529,35 @@ def test_eager_op_rejects_foreign_stale_state(rng):
     p = os.path.join(tempfile.mkdtemp(), "g.npz")
     lo.save_operator(p, graph)
     assert getattr(lazy2, "_ab_fresh", False)  # hook recursed into the graph
+
+
+def test_compact_state_is_form_agnostic(rng):
+    """Regression (r5 review): the push-maintained middle matrix must
+    serve BOTH compact forms — a state pushed through a forward operator
+    applies exactly through the inverse compact path (checkpoint restore
+    across forms, direct module-function calls)."""
+    from linops_tpu.qn.lbfgs import (forward_apply, inverse_apply,
+                                     forward_apply_compact,
+                                     inverse_apply_compact)
+
+    n = 48
+    B = lo.LBFGSOperator(jnp.float64, n, mem=5)
+    H = lo.InverseLBFGSOperator(jnp.float64, n, mem=5)
+    for _ in range(7):  # > mem: ring wraparound
+        s = rng.standard_normal(n)
+        y = s + 0.25 * rng.standard_normal(n)
+        B.push(s, y)
+        H.push(s, y)
+    v = rng.standard_normal(n)
+    # forward-pushed state through the INVERSE compact apply
+    got = np.asarray(inverse_apply_compact(B.state, jnp.asarray(v)))
+    ref = np.asarray(inverse_apply(B.state, jnp.asarray(v)))
+    np.testing.assert_allclose(got, ref, rtol=1e-11)
+    # inverse-pushed state through the FORWARD compact apply
+    got2 = np.asarray(forward_apply_compact(H.state, jnp.asarray(v)))
+    ref2 = np.asarray(forward_apply(B._materialized_state(), jnp.asarray(v)))
+    np.testing.assert_allclose(got2, ref2, rtol=1e-11)
+    # operator-level cross-form state swap
+    H2 = lo.InverseLBFGSOperator(jnp.float64, n, mem=5)
+    H2.state = B.state
+    np.testing.assert_allclose(np.asarray(H2 @ v), ref, rtol=1e-11)

@@ -725,7 +725,6 @@ def test_bsr_all_bf16_apply(monkeypatch, rng):
     ref = dense @ np.asarray(v16, np.float32)
     np.testing.assert_allclose(np.asarray(y, np.float32), ref,
                                rtol=3e-2, atol=3e-1)
-    yt = op.T @ v16[: nbrow * bm] if nbrow * bm <= nbcol * bn else None
     u16 = jnp.asarray(rng.standard_normal(nbrow * bm).astype(np.float32)
                       ).astype(jnp.bfloat16)
     yt = op.T @ u16
@@ -733,3 +732,39 @@ def test_bsr_all_bf16_apply(monkeypatch, rng):
     reft = dense.T @ np.asarray(u16, np.float32)
     np.testing.assert_allclose(np.asarray(yt, np.float32), reft,
                                rtol=3e-2, atol=3e-1)
+
+
+def test_bsr_multiwindow_transpose_bf16(monkeypatch, rng):
+    """Regression (r5 review): the multi-window transpose kernel crashed
+    on bf16 blocks ('Invalid dtype for swap') because the lane-validity
+    multiply re-promoted the update to f32 after the output-dtype cast."""
+    import linops_tpu.kernels.bsr_spmv as BK
+    from linops_tpu.sparse.formats import BSR
+    from linops_tpu.sparse.ops import BSROperator
+
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_X_ELEMS", 2048)
+    monkeypatch.setattr(BK, "_TILE_BYTES_TARGET", 65536)
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_WINDOW_BLOCKS", 16)
+    nbrow, kmax, bm, bn = 64, 2, 8, 128
+    nbcol = 64
+    cols = np.zeros((nbrow, kmax), np.int32)
+    for bi in range(nbrow):
+        g = bi // 16
+        cols[bi] = sorted([g * 3, 56 if g != 2 else g * 3 + 1])
+    blocks = rng.standard_normal((nbrow, kmax, bm, bn)).astype(np.float32)
+    data = BSR(blocks=jnp.asarray(blocks).astype(jnp.bfloat16),
+               block_cols=jnp.asarray(cols), shape=(nbrow * bm, nbcol * bn))
+    op = BSROperator(data, backend="pallas")
+    assert op.win_q_t is not None
+    u = rng.standard_normal(nbrow * bm).astype(np.float32)
+    yt = op.T @ jnp.asarray(u).astype(jnp.bfloat16)
+    assert yt.dtype == jnp.bfloat16
+    dense = np.zeros((nbrow * bm, nbcol * bn), np.float32)
+    b16 = np.asarray(data.blocks, np.float32)
+    for bi in range(nbrow):
+        for kk in range(kmax):
+            c = cols[bi, kk]
+            dense[bi * bm:(bi + 1) * bm, c * bn:(c + 1) * bn] += b16[bi, kk]
+    ref = dense.T @ np.asarray(jnp.asarray(u).astype(jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(np.asarray(yt, np.float32), ref,
+                               rtol=5e-2, atol=5e-1)
