@@ -535,14 +535,14 @@ def main():
             # admissible reading, and if every attempt stays below the
             # floor record a named flag instead of a silent 0.0
             t = marginal_chain_time(chain_fn, opR, X, iters_short=20,
-                                    iters_long=170, reps=3)
+                                    iters_long=320, reps=3)
             attempts = 0
             while t < 3.0 * tR and attempts < 3:
                 attempts += 1
                 detail[f"routed_spmm_{tag}_implausible_fast"] = round(
                     t * 1e6, 1)
                 t = max(t, marginal_chain_time(
-                    chain_fn, opR, X, iters_short=20, iters_long=170,
+                    chain_fn, opR, X, iters_short=20, iters_long=320,
                     reps=3))
             if t < 3.0 * tR:
                 detail[f"routed_spmm_{tag}_unmeasurable"] = True
