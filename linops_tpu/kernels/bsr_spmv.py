@@ -91,10 +91,20 @@ def bsr_pallas_rows_per_program(bm: int, kmax: int = 8, bn: int = 128,
                                 itemsize: int = 4) -> int:
     """Block-rows per grid step (callers pad nbrow to a multiple): the
     largest multiple of 8 in [8, 128] keeping one block tile near the
-    ~4 MB pipeline target."""
+    ~4 MB pipeline target — snapped to a multiple of
+    ``lcm(8, 128/gcd(kmax, 128))`` so the lane-major (1, R·kmax) cols
+    block is 128-lane divisible. Mosaic REJECTS specs whose last dim is
+    neither 128-divisible nor the full array dim (caught on-chip,
+    tools/tpu_r5_batch16.py — interpret mode does not enforce it), and
+    every grid with more than one step hits that rule."""
+    import math
+
     per_row = max(kmax * bm * bn * itemsize, 1)
     r = _TILE_BYTES_TARGET // per_row
-    return int(max(8, min(128, (r // 8) * 8)))
+    m = 128 // math.gcd(int(kmax), 128)
+    m = (8 * m) // math.gcd(8, m)  # lcm(8, m): sublane rule too
+    r = int(max(8, min(128, (r // 8) * 8)))
+    return int(max(m, (r // m) * m))
 
 
 def _onehot_gather_offset(cols_ref, x_ref, out_dtype, fast: bool,

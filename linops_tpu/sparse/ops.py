@@ -635,6 +635,10 @@ class BSROperator(_SparseBase):
                         bm, self.data.blocks.shape[1], bn,
                         jnp.dtype(self.data.blocks.dtype).itemsize,
                         self.data.blocks.shape[0])
+                    if (Rw * self.data.blocks.shape[1] * bm * bn
+                            * jnp.dtype(self.data.blocks.dtype).itemsize
+                            > 8 * 1024 * 1024):
+                        return  # tile too big (odd-kmax 128-lane rule)
                     # wb_max passed explicitly so the LIVE module constant
                     # governs (a def-time default would pin the value and
                     # make it untestable/untunable)
@@ -696,10 +700,14 @@ class BSROperator(_SparseBase):
 
         d = self.data
         bm, bn = d.block_shape
-        R = bsr_pallas_rows_per_program(
-            bm, d.blocks.shape[1], bn, jnp.dtype(d.blocks.dtype).itemsize
-        )
+        kmax = d.blocks.shape[1]
+        itemsize = jnp.dtype(d.blocks.dtype).itemsize
+        R = bsr_pallas_rows_per_program(bm, kmax, bn, itemsize)
         if d.blocks.shape[0] % R:
+            return False
+        # odd kmax forces R=128 for the 128-lane cols rule; refuse when
+        # the resulting double-buffered tile would blow the VMEM budget
+        if R * kmax * bm * bn * itemsize > 8 * 1024 * 1024:
             return False
         if jnp.dtype(d.blocks.dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
             return False

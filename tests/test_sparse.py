@@ -606,16 +606,18 @@ def test_bsr_multiwindow_transpose_groups(monkeypatch, rng):
     monkeypatch.setattr(BK, "BSR_PALLAS_MAX_X_ELEMS", 2048)
     monkeypatch.setattr(BK, "_TILE_BYTES_TARGET", 65536)  # R=16 -> 4 groups
     # shrink the single-window cap so the banded plan refuses (span ~57
-    # blocks) and the multi-window plan fires with small windows
+    # blocks) and the multi-window plan fires with small windows.
+    # kmax=8 keeps R*kmax = 128 — the lane-major cols BlockSpec must be
+    # 128-divisible on real TPUs (bsr_pallas_rows_per_program snaps R)
     monkeypatch.setattr(BK, "BSR_PALLAS_MAX_WINDOW_BLOCKS", 16)
-    nbrow, kmax, bm, bn = 64, 2, 8, 128
+    nbrow, kmax, bm, bn = 64, 8, 8, 128
     nbcol = 64
     cols = np.zeros((nbrow, kmax), np.int32)
     for bi in range(nbrow):
         g = bi // 16
-        band = g * 3  # sliding band
-        clus = 56 if g != 2 else band + 1  # cluster absent in group 2
-        cols[bi] = sorted([band, clus])
+        band = g * 3  # sliding 7-wide band
+        clus = 56 if g != 2 else band + 7  # cluster absent in group 2
+        cols[bi] = sorted(list(range(band, band + 7)) + [clus])
     blocks = rng.standard_normal((nbrow, kmax, bm, bn)).astype(np.float32)
     data = BSR(blocks=jnp.asarray(blocks), block_cols=jnp.asarray(cols),
                shape=(nbrow * bm, nbcol * bn))
@@ -745,12 +747,13 @@ def test_bsr_multiwindow_transpose_bf16(monkeypatch, rng):
     monkeypatch.setattr(BK, "BSR_PALLAS_MAX_X_ELEMS", 2048)
     monkeypatch.setattr(BK, "_TILE_BYTES_TARGET", 65536)
     monkeypatch.setattr(BK, "BSR_PALLAS_MAX_WINDOW_BLOCKS", 16)
-    nbrow, kmax, bm, bn = 64, 2, 8, 128
+    nbrow, kmax, bm, bn = 64, 8, 8, 128
     nbcol = 64
     cols = np.zeros((nbrow, kmax), np.int32)
     for bi in range(nbrow):
         g = bi // 16
-        cols[bi] = sorted([g * 3, 56 if g != 2 else g * 3 + 1])
+        clus = 56 if g != 2 else g * 3 + 7
+        cols[bi] = sorted(list(range(g * 3, g * 3 + 7)) + [clus])
     blocks = rng.standard_normal((nbrow, kmax, bm, bn)).astype(np.float32)
     data = BSR(blocks=jnp.asarray(blocks).astype(jnp.bfloat16),
                block_cols=jnp.asarray(cols), shape=(nbrow * bm, nbcol * bn))
@@ -768,3 +771,15 @@ def test_bsr_multiwindow_transpose_bf16(monkeypatch, rng):
     ref = dense.T @ np.asarray(jnp.asarray(u).astype(jnp.bfloat16), np.float32)
     np.testing.assert_allclose(np.asarray(yt, np.float32), ref,
                                rtol=5e-2, atol=5e-1)
+
+
+def test_rows_per_program_lane_rule():
+    """R*kmax must be 128-divisible (Mosaic lane rule for the lane-major
+    cols BlockSpec) for every kmax, and R stays a multiple of 8."""
+    from linops_tpu.kernels.bsr_spmv import bsr_pallas_rows_per_program
+
+    for kmax in (1, 2, 3, 5, 7, 8, 10, 16, 25, 32):
+        for bm in (8, 16, 32):
+            R = bsr_pallas_rows_per_program(bm, kmax, 128, 4)
+            assert (R * kmax) % 128 == 0, (kmax, bm, R)
+            assert R % 8 == 0 and R >= 8
