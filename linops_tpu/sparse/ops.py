@@ -639,6 +639,13 @@ class BSROperator(_SparseBase):
                             * jnp.dtype(self.data.blocks.dtype).itemsize
                             > 8 * 1024 * 1024):
                         return  # tile too big (odd-kmax 128-lane rule)
+                    # the packed t_out/t_in (bm, R) kernel I/O blocks obey
+                    # Mosaic's lane rule only when R is 128-divisible or
+                    # the grid is one step (caught on-chip, batch17) —
+                    # otherwise stay on the XLA path on real TPUs
+                    if (jax.default_backend() == "tpu" and Rw % 128
+                            and self.data.blocks.shape[0] != Rw):
+                        return
                     # wb_max passed explicitly so the LIVE module constant
                     # governs (a def-time default would pin the value and
                     # make it untestable/untunable)
@@ -667,12 +674,22 @@ class BSROperator(_SparseBase):
                             self._wb = wb
                             self._x_pad_blocks = xpb
                             # transpose: monotone-lane plan over the same
-                            # (wb, W) — keeps T/H on the Pallas sliding-
-                            # window scatter instead of the ~0.25-ceiling
-                            # XLA scatter (VERDICT r4 missing #1)
-                            plant = _bk.bsr_window_plan_multi_t(
-                                self.data.block_cols, Rw, nbcol, wb,
-                                int(qm.shape[0]), blocks=self.data.blocks)
+                            # wb — keeps T/H on the Pallas sliding-window
+                            # scatter instead of the ~0.25-ceiling XLA
+                            # scatter (VERDICT r4 missing #1). The lane
+                            # count is independent of the forward's W:
+                            # when the forward's W lanes cannot be made
+                            # monotone, extra lanes (up to the plan cap)
+                            # often can (e.g. a far cluster revisited
+                            # after band windows passed it).
+                            plant = None
+                            for Wt in sorted({int(qm.shape[0]),
+                                              _bk.BSR_PALLAS_MAX_WINDOWS}):
+                                plant = _bk.bsr_window_plan_multi_t(
+                                    self.data.block_cols, Rw, nbcol, wb,
+                                    Wt, blocks=self.data.blocks)
+                                if plant is not None:
+                                    break
                             if plant is not None:
                                 qt, vt, xpbt = plant
                                 self.win_q_t = jnp.asarray(qt)
