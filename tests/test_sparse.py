@@ -783,3 +783,65 @@ def test_rows_per_program_lane_rule():
             R = bsr_pallas_rows_per_program(bm, kmax, 128, 4)
             assert (R * kmax) % 128 == 0, (kmax, bm, R)
             assert R % 8 == 0 and R >= 8
+
+
+def test_bsr_multiwindow_transpose_fuzz(monkeypatch, rng):
+    """Property fuzz for the monotone-lane transpose planner: random
+    mostly-banded patterns either get a plan whose lanes are monotone and
+    cover every real window, or refuse; when planned, the interpret-mode
+    kernel matches the dense oracle exactly-ish."""
+    import linops_tpu.kernels.bsr_spmv as BK
+    from linops_tpu.sparse.formats import BSR
+    from linops_tpu.sparse.ops import BSROperator
+
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_X_ELEMS", 2048)
+    monkeypatch.setattr(BK, "_TILE_BYTES_TARGET", 65536)  # R=16
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_WINDOW_BLOCKS", 16)
+    nbrow, kmax, bm, bn = 64, 8, 8, 128
+    nbcol = 64
+    planned = 0
+    for trial in range(6):
+        cols = np.zeros((nbrow, kmax), np.int32)
+        base_step = int(rng.integers(1, 4))
+        n_clusters = int(rng.integers(0, 3))
+        clusters = rng.integers(40, nbcol - 1, size=max(n_clusters, 1))
+        for bi in range(nbrow):
+            g = bi // 16
+            band0 = min(g * base_step, nbcol - kmax - 1)
+            row = list(range(band0, band0 + kmax - n_clusters))
+            for c in clusters[:n_clusters]:
+                # clusters drop out for a random group (lane repeats)
+                row.append(int(c) if g != int(rng.integers(0, 4))
+                           else band0 + kmax)
+            cols[bi] = sorted(row)[:kmax]
+        blocks = rng.standard_normal((nbrow, kmax, bm, bn)).astype(
+            np.float32)
+        op = BSROperator(
+            BSR(blocks=jnp.asarray(blocks), block_cols=jnp.asarray(cols),
+                shape=(nbrow * bm, nbcol * bn)), backend="pallas")
+        if op.win_q_t is None:
+            continue  # refusal is a legal outcome
+        planned += 1
+        qt = np.asarray(op.win_q_t)
+        vt = np.asarray(op.win_valid_t)
+        assert (np.diff(qt, axis=1) >= 0).all(), (trial, qt)
+        # every real window of every group served by a valid lane
+        wb = op._wb
+        ngroups = qt.shape[1]
+        R = nbrow // ngroups
+        for g in range(ngroups):
+            wins = set(np.unique(cols[g * R:(g + 1) * R] // wb))
+            served = {int(qt[w, g]) for w in range(qt.shape[0])
+                      if vt[w, g]}
+            assert wins <= served, (trial, g, wins, served)
+        u = rng.standard_normal(nbrow * bm).astype(np.float32)
+        yt = np.asarray(op.T @ jnp.asarray(u))
+        dense = np.zeros((nbrow * bm, nbcol * bn), np.float32)
+        for bi in range(nbrow):
+            for kk in range(kmax):
+                c = cols[bi, kk]
+                dense[bi * bm:(bi + 1) * bm,
+                      c * bn:(c + 1) * bn] += blocks[bi, kk]
+        ref = dense.T @ u
+        np.testing.assert_allclose(yt, ref, rtol=3e-6, atol=3e-5)
+    assert planned >= 2, f"only {planned} of 6 trials planned"
