@@ -77,7 +77,7 @@ def stencil_panel(X3):  # (k, nx, ny)
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, nx, ny), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(X3, X3, X3)
 
 
