@@ -587,7 +587,7 @@ class BSROperator(_SparseBase):
     _fields_children = ("data", "win_q", "cols_local", "win_q_t",
                         "win_valid_t")
     _fields_aux = ("_symmetric", "_hermitian", "_backend", "_wb",
-                   "_x_pad_blocks", "_x_pad_blocks_t")
+                   "_x_pad_blocks", "_x_pad_blocks_t", "_win_packed")
 
     def __init__(self, data, symmetric: bool = False, hermitian: bool = False,
                  backend: str = "auto", win_q=None, cols_local=None,
@@ -604,6 +604,9 @@ class BSROperator(_SparseBase):
         self._wb = _wb
         self._x_pad_blocks = _x_pad_blocks
         self._x_pad_blocks_t = _x_pad_blocks_t
+        # packed (bm, R) kernel I/O is lane-legal only when R is
+        # 128-divisible or the grid is one step (set during planning)
+        self._win_packed = True
         maybe_kernel = backend != "xla" and (
             backend != "auto" or data.block_shape[0] < 128
         )
@@ -637,15 +640,17 @@ class BSROperator(_SparseBase):
                         self.data.blocks.shape[0])
                     if (Rw * self.data.blocks.shape[1] * bm * bn
                             * jnp.dtype(self.data.blocks.dtype).itemsize
-                            > 8 * 1024 * 1024):
+                            > 4 * 1024 * 1024):
                         return  # tile too big (odd-kmax 128-lane rule)
                     # the packed t_out/t_in (bm, R) kernel I/O blocks obey
                     # Mosaic's lane rule only when R is 128-divisible or
                     # the grid is one step (caught on-chip, batch17) —
-                    # otherwise stay on the XLA path on real TPUs
-                    if (jax.default_backend() == "tpu" and Rw % 128
-                            and self.data.blocks.shape[0] != Rw):
-                        return
+                    # otherwise run the kernels with UNPACKED (R, bm)
+                    # I/O (measured only a few percent slower at the
+                    # bench shape: 541 vs 576 GB/s) instead of losing
+                    # the whole Pallas path to the XLA fallback
+                    self._win_packed = (not _on_tpu() or Rw % 128 == 0
+                                        or self.data.blocks.shape[0] == Rw)
                     # wb_max passed explicitly so the LIVE module constant
                     # governs (a def-time default would pin the value and
                     # make it untestable/untunable)
@@ -723,8 +728,11 @@ class BSROperator(_SparseBase):
         if d.blocks.shape[0] % R:
             return False
         # odd kmax forces R=128 for the 128-lane cols rule; refuse when
-        # the resulting double-buffered tile would blow the VMEM budget
-        if R * kmax * bm * bn * itemsize > 8 * 1024 * 1024:
+        # the tile exceeds the ~4 MB pipeline target — these kernels set
+        # no vmem_limit_bytes, so a double-buffered oversize tile plus
+        # the resident x and selector overflows the 16 MB scoped-VMEM
+        # default at Mosaic compile time (opaque HTTP 500 on the relay)
+        if R * kmax * bm * bn * itemsize > 4 * 1024 * 1024:
             return False
         if jnp.dtype(d.blocks.dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
             return False
@@ -793,26 +801,28 @@ class BSROperator(_SparseBase):
             # and its host flatten is a slow relayout (measured 443 vs
             # 626 GB/s at n=4.2M, tools/tpu_r4_batch5/6.py). One packed
             # XLA transpose restores the flat vector.
+            pk = self._win_packed  # lane-legal packed I/O (see __init__)
             if self.cols_local is None:  # mostly-banded multi-window plan
                 from ..kernels.bsr_spmv import bsr_matvec_pallas_multiwin
 
-                y = bsr_matvec_pallas_multiwin(
+                out = bsr_matvec_pallas_multiwin(
                     d.blocks, d.block_cols, self.win_q, xb,
                     wb=self._wb, x_pad_blocks=self._x_pad_blocks,
                     interpret=self._interpret(),
                     fast=(self._backend == "pallas_fast"
                           or d.blocks.dtype == jnp.bfloat16),
-                    t_out=True).T.reshape(nbrow * bm)
+                    t_out=pk)
             else:
                 from ..kernels.bsr_spmv import bsr_matvec_pallas_windowed
 
-                y = bsr_matvec_pallas_windowed(
+                out = bsr_matvec_pallas_windowed(
                     d.blocks, self.cols_local, self.win_q, xb,
                     wb=self._wb, x_pad_blocks=self._x_pad_blocks,
                     interpret=self._interpret(),
                     fast=(self._backend == "pallas_fast"
                           or d.blocks.dtype == jnp.bfloat16),
-                    t_out=True).T.reshape(nbrow * bm)
+                    t_out=pk)
+            y = (out.T if pk else out).reshape(nbrow * bm)
         else:
             y = bsr_matvec(d.blocks, d.block_cols, xb).reshape(nbrow * bm)
         return y[: d.shape[0]]
@@ -837,22 +847,24 @@ class BSROperator(_SparseBase):
             # t_in: hand the kernel u TRANSPOSED (bm, nbrow) — one packed
             # XLA transpose on the host replaces a 128/bm-lane-padded
             # HBM read (same layout economics as the forward t_out)
+            pk = self._win_packed  # lane-legal packed I/O (see __init__)
+            u_in = ub.T if pk else ub
             if self.cols_local is None:  # multi-window monotone-lane plan
                 from ..kernels.bsr_spmv import bsr_rmatvec_pallas_multiwin
 
                 x = bsr_rmatvec_pallas_multiwin(
                     blocks, d.block_cols, self.win_q_t, self.win_valid_t,
-                    ub.T, wb=self._wb, x_pad_blocks=self._x_pad_blocks_t,
+                    u_in, wb=self._wb, x_pad_blocks=self._x_pad_blocks_t,
                     nbcol=nbcol, interpret=self._interpret(),
-                    t_in=True).reshape(-1)[: nbcol * bn]
+                    t_in=pk).reshape(-1)[: nbcol * bn]
             else:
                 from ..kernels.bsr_spmv import bsr_rmatvec_pallas_windowed
 
                 x = bsr_rmatvec_pallas_windowed(
-                    blocks, self.cols_local, self.win_q, ub.T,
+                    blocks, self.cols_local, self.win_q, u_in,
                     wb=self._wb, x_pad_blocks=self._x_pad_blocks,
                     nbcol=nbcol, interpret=self._interpret(),
-                    t_in=True).reshape(-1)[: nbcol * bn]
+                    t_in=pk).reshape(-1)[: nbcol * bn]
         else:
             x = bsr_rmatvec(blocks, d.block_cols, ub, nbcol).reshape(nbcol * bn)
         return x[: d.shape[1]]

@@ -845,3 +845,43 @@ def test_bsr_multiwindow_transpose_fuzz(monkeypatch, rng):
         ref = dense.T @ u
         np.testing.assert_allclose(yt, ref, rtol=3e-6, atol=3e-5)
     assert planned >= 2, f"only {planned} of 6 trials planned"
+
+
+def test_bsr_windowed_unpacked_io(monkeypatch, rng):
+    """When R is not 128-divisible (Mosaic lane rule forbids the packed
+    (bm, R) kernel I/O on TPU), the windowed paths downgrade to unpacked
+    (R, bm) I/O instead of losing the Pallas plan — both directions must
+    stay correct through the unpacked layout."""
+    import linops_tpu.kernels.bsr_spmv as BK
+    from linops_tpu.sparse import ops as sparse_ops
+    from linops_tpu.sparse.formats import BSR
+    from linops_tpu.sparse.ops import BSROperator
+
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_X_ELEMS", 2048)
+    monkeypatch.setattr(BK, "_TILE_BYTES_TARGET", 65536)  # R=16
+    monkeypatch.setattr(BK, "BSR_PALLAS_MAX_WINDOW_BLOCKS", 16)
+    monkeypatch.setattr(sparse_ops, "_on_tpu", lambda: True)
+    nbrow, kmax, bm, bn = 64, 8, 8, 128
+    nbcol = 64
+    cols = np.zeros((nbrow, kmax), np.int32)
+    for bi in range(nbrow):
+        g = bi // 16
+        clus = 56 if g != 2 else g * 3 + 7
+        cols[bi] = sorted(list(range(g * 3, g * 3 + 7)) + [clus])
+    blocks = rng.standard_normal((nbrow, kmax, bm, bn)).astype(np.float32)
+    op = BSROperator(BSR(blocks=jnp.asarray(blocks),
+                         block_cols=jnp.asarray(cols),
+                         shape=(nbrow * bm, nbcol * bn)), backend="pallas")
+    assert op.win_q is not None, "plan must survive the lane rule"
+    assert op._win_packed is False  # R=16 % 128 != 0 under the seam
+    dense = np.zeros((nbrow * bm, nbcol * bn), np.float32)
+    for bi in range(nbrow):
+        for kk in range(kmax):
+            c = cols[bi, kk]
+            dense[bi * bm:(bi + 1) * bm, c * bn:(c + 1) * bn] += blocks[bi, kk]
+    v = rng.standard_normal(nbcol * bn).astype(np.float32)
+    u = rng.standard_normal(nbrow * bm).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op @ v), dense @ v,
+                               rtol=3e-6, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(op.T @ u), dense.T @ u,
+                               rtol=3e-6, atol=3e-5)
