@@ -176,6 +176,11 @@ __all__ = [
     "opHouseholder",
     "opHermitian",
     "TimedOperator",
+    "TimedLinearOperator",
+    "AdjointLinearOperator",
+    "TransposeLinearOperator",
+    "ConjugateLinearOperator",
+    "AbstractLinearOperator",
     "SparseInverseOperator",
     "opSparseInverse",
     "opSparseLDL",
@@ -240,3 +245,13 @@ __all__ = [
     "check_hermitian",
     "check_positive_definite",
 ]
+
+
+# Reference-name aliases (LinearOperators.jl export names) so migrating
+# users find the exact identifiers they know; the TPU-native names are
+# the primary API (reference: src/LinearOperators.jl exports).
+TimedLinearOperator = TimedOperator
+AdjointLinearOperator = AdjointOperator
+TransposeLinearOperator = TransposeOperator
+ConjugateLinearOperator = ConjugateOperator
+AbstractLinearOperator = LinearOperator

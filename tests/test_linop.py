@@ -367,3 +367,22 @@ def test_operator_power_numpy_exponent(rng):
     op = lo.LinearOperator(A)
     np.testing.assert_allclose(np.asarray(lo.to_dense(op ** np.int64(3))),
                                np.linalg.matrix_power(A, 3), atol=1e-12)
+
+
+def test_reference_name_aliases():
+    """Every LinearOperators.jl export name resolves in linops_tpu —
+    either natively, via the documented rename, or via the aliases
+    (migration contract)."""
+    native = ["BlockDiagonalOperator", "DiagonalAndrei", "DiagonalBFGS",
+              "DiagonalPSB", "InverseLBFGSOperator", "LBFGSOperator",
+              "LSR1Operator", "ShiftedOperator", "SpectralGradient",
+              "check_ctranspose", "opCholesky", "opDiagonal",
+              "opExtension", "opEye", "opHermitian", "opHouseholder",
+              "opInverse", "opLDL", "opOnes", "opRestriction", "opZeros"]
+    aliases = ["AbstractLinearOperator", "AdjointLinearOperator",
+               "TransposeLinearOperator", "ConjugateLinearOperator",
+               "TimedLinearOperator"]
+    for name in native + aliases:
+        assert hasattr(lo, name), name
+    assert lo.TimedLinearOperator is lo.TimedOperator
+    assert lo.AbstractLinearOperator is lo.LinearOperator
