@@ -180,7 +180,6 @@ __all__ = [
     "AdjointLinearOperator",
     "TransposeLinearOperator",
     "ConjugateLinearOperator",
-    "AbstractLinearOperator",
     "SparseInverseOperator",
     "opSparseInverse",
     "opSparseLDL",
@@ -254,4 +253,3 @@ TimedLinearOperator = TimedOperator
 AdjointLinearOperator = AdjointOperator
 TransposeLinearOperator = TransposeOperator
 ConjugateLinearOperator = ConjugateOperator
-AbstractLinearOperator = LinearOperator

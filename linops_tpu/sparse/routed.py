@@ -496,6 +496,23 @@ def pack_routed_csr(data, indices, indptr, shape, w="auto", dtype=None,
             else:
                 align_ok = False
         bounds.append(lo)
+    # rebalance multi-chunk splits to EQUAL sizes: stacked chunk arrays
+    # share one domain N = max over chunks, and the greedy largest-fit
+    # split leaves a half-empty last chunk padded up to the full ones —
+    # measured slot utilization 0.667 vs 0.799 single-chunk at the bench
+    # shape, which is exactly the multichunk throughput gap (9.2 vs 11.3
+    # Gnnz/s). Equal chunks shrink N for everyone; fall back to the
+    # greedy bounds when a balanced chunk fails the fits() check.
+    if len(bounds) > 2:
+        nch = len(bounds) - 1
+        per = -(-n_units // nch)
+        if q_align > 1:
+            per = -(-per // q_align) * q_align
+        bal = [min(i * per, n_units) for i in range(nch)] + [n_units]
+        if (all(b1 > b0 for b0, b1 in zip(bal[:-1], bal[1:]))
+                and all(fits(b0, b1, CLOS_MAX_SLOTS)
+                        for b0, b1 in zip(bal[:-1], bal[1:]))):
+            bounds = bal
     chunks = list(zip(bounds[:-1], bounds[1:]))
     derive_t = with_transpose and (trivial or tiled) and align_ok
 

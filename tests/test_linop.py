@@ -385,4 +385,6 @@ def test_reference_name_aliases():
     for name in native + aliases:
         assert hasattr(lo, name), name
     assert lo.TimedLinearOperator is lo.TimedOperator
-    assert lo.AbstractLinearOperator is lo.LinearOperator
+    # AbstractLinearOperator is the CLASS (pre-existing export);
+    # LinearOperator is the reference-style factory function
+    assert isinstance(lo.opEye(3), lo.AbstractLinearOperator)
